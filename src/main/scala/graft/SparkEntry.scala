@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The operator inventory (SURVEY §2) is split across modules under
+  * `graft.queries`; each query has a DuckDB oracle unless it is
+  * signature-based (MinHash/SimHash/LSH use Spark hash functions) —
+  * those get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 shape: scan → filter → groupBy → multi-agg → sort
+    * (reference lifecycle E2, SURVEY §3). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    GroupBy.queries("q_tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (Projection.queries, Projection.oracle),
+    (Aggregates.queries, Aggregates.oracle),
+    (GroupBy.queries, GroupBy.oracle),
+    (Joins.queries, Joins.oracle),
+    (Rolling.queries, Rolling.oracle),
+    (Strings.queries, Strings.oracle),
+    (Datetime.queries, Datetime.oracle),
+    (NullOps.queries, NullOps.oracle),
+    (Extras.queries, Extras.oracle))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for signature-based ops → driver
+    * records a rows-only check. */
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
+
+  /** Headline queries benchmarked by Bench (one per subsystem). */
+  val benchQueries: Seq[String] = Seq(
+    "q_tpch_q1", "q_groupby_agg", "q_join_inner", "q_join_multi_key",
+    "q_merge_asof", "q_rolling_basic", "q_sort_values", "q_value_counts",
+    "q_str_classify", "q_dt_trunc_month", "q_dedup_exact", "q_dedup_minhash",
+    "q_ann_brute", "q_text_stats")
 }

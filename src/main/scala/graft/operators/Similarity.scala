@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single projection + TakeOrdered,
+  * no shuffle of the embedding table beyond the top-k reduction; exact and
+  * embarrassingly parallel, the right tool when k·|queries| is small.
+  *
+  * Scale path: random-hyperplane LSH bucketing — embeddings are hashed to
+  * a signature of sign-bits against deterministic pseudo-random
+  * hyperplanes; candidate search touches only matching buckets, turning a
+  * 100 TB scan per query into a bucket-join. (IVF would need a trained
+  * codebook; hyperplane LSH is data-independent and needs no fit step.)
+  */
+object Similarity {
+
+  /** Cosine similarity between an embedding column and a broadcast-literal
+    * query vector, as a pure expression (float inputs widened to double). */
+  def cosineToQuery(emb: Column, query: Seq[Double]): Column = {
+    val q = array(query.map(lit): _*)
+    val e = transform(emb, x => x.cast("double"))
+    val dot = aggregate(zip_with(e, q, (a, b) => a * b), lit(0.0), _ + _)
+    val ne = sqrt(aggregate(transform(e, x => x * x), lit(0.0), _ + _))
+    val nq = lit(math.sqrt(query.map(x => x * x).sum))
+    dot / (ne * nq)
+  }
+
+  /** Exact brute-force top-k by cosine similarity (TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge, no global sort). */
+  def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
+                     query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosineToQuery(col(embCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * a hash mapped to [-1, 1]. Data-independent, reproducible everywhere. */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+    (h.toDouble / Int.MaxValue)
+  }
+
+  /** LSH bucket signature: `planes` sign bits packed into a long. */
+  def hyperplaneSig(emb: Column, dim: Int, planes: Int = 16): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      val dot = aggregate(
+        zip_with(transform(emb, x => x.cast("double")), plane, (a, b) => a * b),
+        lit(0.0), _ + _)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via LSH: restrict the exact cosine scan to rows whose
+    * bucket signature is Hamming-close (≤ maxHammingDist) to the query's.
+    * Recall is tunable via planes/maxHammingDist; candidates shrink
+    * ~2^-planes per extra plane. */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+              query: Seq[Double], k: Int, planes: Int = 12,
+              maxHammingDist: Int = 2): DataFrame = {
+    val dim = query.length
+    val qSig: Long = {
+      (0 until planes).map { p =>
+        val dot = (0 until dim).map(d => query(d) * planeComponent(p, d)).sum
+        if (dot >= 0) 1L << p else 0L
+      }.reduce(_ | _)
+    }
+    df.withColumn("__sig", hyperplaneSig(col(embCol), dim, planes))
+      .filter(bit_count(col("__sig").bitwiseXOR(lit(qSig))) <= maxHammingDist)
+      .select(col(idCol), cosineToQuery(col(embCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine within LSH
+    * buckets (bucket equi-join, verified exactly). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                         dim: Int, planes: Int = 12,
+                         threshold: Double = 0.95): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      transform(col(embCol), x => x.cast("double")).as("e"),
+      hyperplaneSig(col(embCol), dim, planes).as("sig"))
+    val a = sig.select(col("sig"), col("id").as("id_a"), col("e").as("e_a"))
+    val b = sig.select(col("sig"), col("id").as("id_b"), col("e").as("e_b"))
+    val dot = aggregate(zip_with(col("e_a"), col("e_b"), (x, y) => x * y),
+      lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(col("e_a"), x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(col("e_b"), x => x * x), lit(0.0), _ + _))
+    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", dot / (na * nb))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here is built from codegen'd built-ins (length/split/regexp)
+  * or higher-order array functions — no UDFs — so a 100 TB documents scan
+  * stays a single pipelined stage: scan → project. Parity-plus over the
+  * reference (whose string surface is §2.9; these compose it).
+  */
+object TextOps {
+
+  /** Whitespace tokens (pandas-ish `str.split()` with no args). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (whitespace tokenization; 0 for empty/blank). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: word-piece regex splits on
+    * letter/digit/punct boundaries (a cheap stand-in for a real tokenizer
+    * with the same plan shape). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-z])(?=[A-Z])|\\s+|(?=[^A-Za-z0-9\\s])"),
+      x => length(x) > 0))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]-]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** English stopword ratio over tokens — one quality-score component. */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStopwords): Column = {
+    val t = tokens(lower(text))
+    size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * low punctuation density (shape borrowed from Gopher/C4-style rules). */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 5000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    (lenOk + stopOk + punctOk) / lit(3.0)
+  }
+
+  /** Language markers for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for", "that"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est"),
+    "es" -> Seq("el", "la", "los", "las", "y", "de", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "mit"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  /** Heuristic language ID: argmax of per-language marker-token hit count,
+    * deterministic tie-break by language code. Pure expression tree —
+    * scales as a projection. */
+  def langId(text: Column): Column = {
+    val t = tokens(lower(text))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
+      struct(
+        (-size(filter(t, x => x.isin(markers.map(lit): _*)))).as("neg_score"),
+        lit(code).as("code"))
+    }
+    // sort by (−score, code) ascending: element 1 = best score, ties
+    // resolved to the alphabetically-first language code.
+    element_at(array_sort(array(scored: _*)), 1).getField("code")
+  }
+
+  /** Normalized document fingerprint: lowercase, strip punctuation,
+    * collapse whitespace, md5. Identical fingerprints ⇒ near-identical
+    * docs under formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", "")),
+      "\\s+", " "))
+}

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions._
+
+/** SURVEY §2.4 full-column reductions.
+  *
+  * Reference surface: Series `sum/prod/min/max/mean/median/std/var/count/
+  * skew/quantile/idxmax/idxmin/nunique/unique/value_counts/describe/corr/
+  * cov` (`sdc/datatypes/hpat_pandas_series_functions.py`, NaN-skipping
+  * kernels `sdc/functions/numpy_like.py`, moments
+  * `sdc/functions/statistics.py:31-44`).
+  *
+  * Numeric policy: aggregates over fixed-decimal data are computed with
+  * exact decimal power sums and then combined with IEEE-deterministic
+  * scalar arithmetic, so results are bit-identical regardless of
+  * partition count — both for the DuckDB oracle and for cluster
+  * reproducibility. All sums stay single-pass, map-side-combined hash
+  * aggregates (partial + final) — the same plan shape at any scale.
+  */
+object Aggregates {
+
+  // Composite positional index for idxmax/idxmin on lineitem:
+  // l_linenumber is 1..7, so this is a dense unique per-row label.
+  private def liIdx = col("l_orderkey") * 10 + col("l_linenumber")
+
+  val queries: Map[String, Q] = Map(
+    // sum / min / max / mean / count in one reduction pass
+    "q_agg_basic" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (dsum(col("l_extendedprice")) / count(col("l_extendedprice")))
+          .as("mean_price"),
+        count(col("l_quantity")).as("cnt"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // prod: product of small integers is exact in double (associative here)
+    "q_agg_prod" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(product(col("l_linenumber").cast("double")).as("line_prod"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // var / std (sample, ddof=1 — pandas default) from exact power sums
+    "q_agg_var_std" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        dvarSamp(col("l_quantity")).as("var_qty"),
+        dstdSamp(col("l_quantity")).as("std_qty"))
+    }),
+
+    // median + quantile (exact, interpolated — pandas default)
+    "q_agg_quantile" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("q25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("q75_price"))
+    }),
+
+    // skew: pandas bias-corrected G1, from exact decimal power sums
+    "q_agg_skew" -> ((s, dir) => {
+      val x = col("l_quantity")
+      Tables(s, dir, "lineitem")
+        .agg(
+          count(x).cast("double").as("n"),
+          dsum(x).as("s1"),
+          sum((x * x).cast(DecimalType(34, 4))).cast("double").as("s2"),
+          sum((x * x * x).cast(DecimalType(38, 6))).cast("double").as("s3"))
+        .select(
+          expr("s1/n").as("mean"), col("n"), col("s1"), col("s2"), col("s3"))
+        .select(
+          expr("""round(
+            ((s3/n - 3*mean*(s2/n) + 2*mean*mean*mean)
+             / ((s2/n - mean*mean) * sqrt(s2/n - mean*mean)))
+            * sqrt(n*(n-1)) / (n-2), 6)""").as("skew_qty"))
+    }),
+
+    // idxmax / idxmin with pandas first-occurrence tie-break
+    "q_idxmax" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val mx = li.agg(max(col("l_quantity")).as("mx"),
+        min(col("l_quantity")).as("mn"))
+      val imax = li.join(mx).filter(col("l_quantity") === col("mx"))
+        .agg(min(liIdx).as("idx")).withColumn("which", lit("idxmax"))
+      val imin = li.join(mx).filter(col("l_quantity") === col("mn"))
+        .agg(min(liIdx).as("idx")).withColumn("which", lit("idxmin"))
+      imax.unionByName(imin).select(col("which"), col("idx"))
+        .orderBy(col("which"))
+    }),
+
+    // nunique / approx variant sanity (exact only in the oracle check)
+    "q_nunique" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+    }),
+
+    // unique: distinct values, sorted
+    "q_unique" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority")).distinct()
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // value_counts(sort=True): count desc, then value asc for determinism
+    "q_value_counts" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("c_mktsegment"))
+    }),
+
+    // describe(): count/mean/std/min/25%/50%/75%/max as named columns
+    "q_describe" -> ((s, dir) => {
+      val x = col("c_acctbal")
+      Tables(s, dir, "customer").agg(
+        count(x).as("cnt"),
+        (dsum(x) / count(x)).as("mean_v"),
+        dstdSamp(x).as("std_v"),
+        min(x).as("min_v"),
+        round(expr("percentile(c_acctbal, 0.25)"), 6).as("p25"),
+        round(expr("percentile(c_acctbal, 0.5)"), 6).as("p50"),
+        round(expr("percentile(c_acctbal, 0.75)"), 6).as("p75"),
+        max(x).as("max_v"))
+    }),
+
+    // corr / cov between two series, from exact cross sums
+    "q_corr_cov" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      Tables(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(x).as("sx"),
+          dsum(y).as("sy"),
+          sum((x * x).cast(DecimalType(34, 4))).cast("double").as("sxx"),
+          sum((y * y).cast(DecimalType(38, 4))).cast("double").as("syy"),
+          sum((x * y).cast(DecimalType(38, 4))).cast("double").as("sxy"))
+        .select(
+          expr("""round((n*sxy - sx*sy) /
+            (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)""").as("corr_qp"),
+          expr("round((sxy - sx*sy/n) / (n-1), 4)").as("cov_qp"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_basic" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    / COUNT(l_extendedprice) AS mean_price,
+        |  COUNT(l_quantity) AS cnt,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_prod" ->
+      """SELECT l_orderkey,
+        |  PRODUCT(CAST(l_linenumber AS DOUBLE)) AS line_prod
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_agg_var_std" ->
+      """WITH s AS (SELECT
+        |    COUNT(l_quantity) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(34,4))) AS DOUBLE) AS s2
+        |  FROM lineitem)
+        |SELECT (s2 - s1*s1/n) / (n - 1.0) AS var_qty,
+        |       SQRT((s2 - s1*s1/n) / (n - 1.0)) AS std_qty FROM s""".stripMargin,
+
+    "q_agg_quantile" ->
+      """SELECT
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q25_price,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q75_price
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_skew" ->
+      """WITH s AS (SELECT
+        |    CAST(COUNT(l_quantity) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(34,4))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3
+        |  FROM lineitem),
+        |m AS (SELECT n, s1, s2, s3, s1/n AS mean FROM s)
+        |SELECT ROUND(
+        |  ((s3/n - 3*mean*(s2/n) + 2*mean*mean*mean)
+        |   / ((s2/n - mean*mean) * SQRT(s2/n - mean*mean)))
+        |  * SQRT(n*(n-1)) / (n-2), 6) AS skew_qty FROM m""".stripMargin,
+
+    "q_idxmax" ->
+      """WITH mx AS (SELECT MAX(l_quantity) AS mx, MIN(l_quantity) AS mn FROM lineitem)
+        |SELECT 'idxmax' AS which,
+        |  MIN(l_orderkey*10 + l_linenumber) AS idx
+        |FROM lineitem, mx WHERE l_quantity = mx
+        |UNION ALL
+        |SELECT 'idxmin' AS which,
+        |  MIN(l_orderkey*10 + l_linenumber) AS idx
+        |FROM lineitem, mx WHERE l_quantity = mn
+        |ORDER BY which""".stripMargin,
+
+    "q_nunique" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem""".stripMargin,
+
+    "q_unique" ->
+      """SELECT DISTINCT o_orderpriority FROM orders
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_value_counts" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+        |GROUP BY c_mktsegment ORDER BY cnt DESC, c_mktsegment""".stripMargin,
+
+    "q_describe" ->
+      """SELECT
+        |  COUNT(c_acctbal) AS cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+        |    / COUNT(c_acctbal) AS mean_v,
+        |  SQRT((CAST(SUM(CAST(c_acctbal*c_acctbal AS DECIMAL(34,4))) AS DOUBLE)
+        |    - CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+        |      * CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+        |      / COUNT(c_acctbal))
+        |    / (COUNT(c_acctbal) - 1.0)) AS std_v,
+        |  MIN(c_acctbal) AS min_v,
+        |  ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+        |  MAX(c_acctbal) AS max_v
+        |FROM customer""".stripMargin,
+
+    "q_corr_cov" ->
+      """WITH s AS (SELECT
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(34,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT ROUND((n*sxy - sx*sy) /
+        |         (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 6) AS corr_qp,
+        |       ROUND((sxy - sx*sy/n) / (n-1), 4) AS cov_qp FROM s""".stripMargin
+  )
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+
+/** SURVEY §2.9 datetime surface.
+  *
+  * Reference: `Timestamp.year/month/day/hour/...` field extraction
+  * (`sdc/hiframes/pd_timestamp_ext.py:119-135`), datetime comparisons and
+  * DatetimeIndex min/max (`sdc/tests/test_date.py:50-175`), `parse_dates`
+  * in read_csv. All map to codegen'd `year/month/dayofmonth/hour/minute/
+  * second/date_trunc` over native TimestampType.
+  */
+object Datetime {
+
+  val queries: Map[String, Q] = Map(
+    // field extraction
+    "q_dt_fields" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // range filter + min/max reduction over timestamps
+    "q_dt_filter_minmax" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+    }),
+
+    // truncate-to-month rollup (time-bucketed aggregation)
+    "q_dt_trunc_month" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("month"))
+    }),
+
+    // date arithmetic: days between ship date and a fixed epoch + add
+    "q_dt_arith" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+            .as("days_since"),
+          date_add(col("l_shipdate").cast("date"), 30).as("ship_plus30"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dt_fields" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(quarter(o_orderdate) AS INT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_dt_filter_minmax" ->
+      """SELECT COUNT(*) AS n, MIN(l_shipdate) AS min_ship,
+        |  MAX(l_shipdate) AS max_ship
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+
+    "q_dt_trunc_month" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_dt_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS INT)
+        |    AS days_since,
+        |  CAST(l_shipdate AS DATE) + 30 AS ship_plus30
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

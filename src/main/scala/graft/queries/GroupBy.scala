@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions._
+
+/** SURVEY §2.5 GroupBy.
+  *
+  * Reference surface: `df.groupby(by)` + `count/max/mean/median/min/prod/
+  * std/sum/var` (`sdc/datatypes/hpat_pandas_groupby_functions.py:361-597`;
+  * chunk-dict build + merge `hpat_pandas_dataframe_functions.py:2993-3108`).
+  * The reference's chunked-dict-then-merge is exactly Spark's partial/final
+  * hash aggregate, so everything here is a plain `groupBy().agg()` —
+  * map-side combine first, one shuffle on the group key, no sort unless
+  * the query asks for sorted keys.
+  */
+object GroupBy {
+
+  val queries: Map[String, Q] = Map(
+    // Flagship TPC-H-Q1 shape: scan → filter → groupBy → multi-agg → sort.
+    // Mirrors reference lifecycle E2 (`df.groupby('A').sum()`).
+    "q_tpch_q1" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val dec2 = DecimalType(30, 2)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec2) *
+              (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+            .cast("double").as("sum_disc_price"),
+          sum(col("l_extendedprice").cast(dec2) *
+              (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)) *
+              (lit(BigDecimal(1)).cast(dec2) + col("l_tax").cast(dec2)))
+            .cast("double").as("sum_charge"),
+          (dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(col("l_extendedprice")))
+            .as("avg_price"),
+          (dsum(col("l_discount")) / count(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // groupby multi-agg: count/min/max/sum/mean per single key
+    "q_groupby_agg" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          (dsum(col("o_totalprice")) / count(col("o_totalprice")))
+            .as("mean_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // groupby var/std via exact per-group power sums
+    "q_groupby_var_std" -> ((s, dir) => {
+      val x = col("o_totalprice")
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(x).cast("double").as("n"),
+          dsum(x).as("s1"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("s2"))
+        .select(col("o_orderpriority"),
+          expr("(s2 - s1*s1/n) / (n - 1.0)").as("var_price"),
+          expr("sqrt((s2 - s1*s1/n) / (n - 1.0))").as("std_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // groupby median (exact percentile per group)
+    "q_groupby_median" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(round(expr("percentile(c_acctbal, 0.5)"), 6).as("median_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // two-level grouping + having-style post-filter
+    "q_groupby_multi_key" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sq"))
+        .filter(col("n") > 10)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
+      |      (CAST(1 AS DECIMAL(30,2)) - CAST(l_discount AS DECIMAL(30,2)))) AS DOUBLE)
+      |    AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
+      |      (CAST(1 AS DECIMAL(30,2)) - CAST(l_discount AS DECIMAL(30,2))) *
+      |      (CAST(1 AS DECIMAL(30,2)) + CAST(l_tax AS DECIMAL(30,2)))) AS DOUBLE)
+      |    AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+      |    / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+      |    / COUNT(l_extendedprice) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE)
+      |    / COUNT(l_discount) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q1" -> q1Sql,
+
+    "q_groupby_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS mean_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_groupby_var_std" ->
+      """WITH s AS (SELECT o_orderpriority,
+        |    CAST(COUNT(o_totalprice) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        |  (s2 - s1*s1/n) / (n - 1.0) AS var_price,
+        |  SQRT((s2 - s1*s1/n) / (n - 1.0)) AS std_price
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
+
+    "q_groupby_median" ->
+      """SELECT c_mktsegment,
+        |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_groupby_multi_key" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sq
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |HAVING COUNT(*) > 10
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+import graft.operators.MergeAsof
+
+/** SURVEY §2.3 joins.
+  *
+  * Reference surface: `pd.merge`/`df.merge` inner/left/right/outer on one
+  * or more keys (legacy HPAT, `sdc/tests/test_join.py:52-340`),
+  * `pd.merge_asof` (ibid.), and the index-alignment join used by Series
+  * binary ops (`sdc/datatypes/common_functions.py:225-457`
+  * `_sdc_internal_join`).
+  *
+  * Scale notes: dimension sides (customer, part, supplier at TPC-H ratios)
+  * are explicitly `broadcast()` so the fact side never shuffles for them;
+  * fact-fact joins shuffle on the join key and Catalyst/AQE pick
+  * sort-merge vs shuffled-hash. merge_asof is the union+window plan in
+  * [[graft.operators.MergeAsof]] — one shuffle, no row explosion.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // inner join fact→dim with broadcast; aggregated revenue per segment
+    "q_join_inner" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // left join: every customer, order count + spend (0 for orderless)
+    "q_join_left" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // full outer join of two aggregates (null-filled both sides)
+    "q_join_outer" -> ((s, dir) => {
+      val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      val neg = Tables(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      neg.join(big, col("c_custkey") === col("o_custkey"), "outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_big"))
+        .orderBy(col("custkey"))
+    }),
+
+    // multi-key join (on=['a','b']) between two derived frames
+    "q_join_multi_key" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val qty = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+      val rev = li.filter(col("l_returnflag") =!= "R")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"))
+      qty.join(rev, Seq("l_partkey", "l_suppkey"), "inner")
+        .orderBy(col("l_partkey"), col("l_suppkey"))
+    }),
+
+    // semi / anti: customers with ≥1 order vs none (EXISTS / NOT EXISTS)
+    "q_join_semi_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("no_orders"))
+      semi.unionByName(anti).select(col("kind"), col("n")).orderBy(col("kind"))
+    }),
+
+    // three-way star join through nation→region with broadcasts
+    "q_join_star" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // merge_asof: for each click, the user's most recent prior view value.
+    // Right side deduped per (user, ts) so ties are deterministic.
+    "q_merge_asof" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      MergeAsof.backward(clicks, views, on = "ts", by = Seq("user_id"),
+          rightCols = Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("view_value"), 6).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // index-alignment join of two keyed series + add with fill_value=0
+    // (reference `_sdc_internal_join` + fill_value semantics, §2.10)
+    "q_align_fill_add" -> ((s, dir) => {
+      val bal = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("v1"))
+      val spend = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("v2"))
+        .select(col("o_custkey").as("k2"), col("v2"))
+      bal.join(spend, col("k") === col("k2"), "outer")
+        .select(
+          coalesce(col("k"), col("k2")).as("k"),
+          (coalesce(col("v1"), lit(0.0)) + coalesce(col("v2"), lit(0.0)))
+            .as("added"))
+        .orderBy(col("k"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 0.0)
+        |    AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_outer" ->
+      """WITH big AS (
+        |  SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        |  WHERE o_totalprice > 200000 GROUP BY o_custkey),
+        |neg AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_big
+        |FROM neg FULL OUTER JOIN big ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_join_multi_key" ->
+      """WITH qty AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |rev AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_partkey, l_suppkey)
+        |SELECT qty.l_partkey, qty.l_suppkey, sum_qty, sum_price
+        |FROM qty JOIN rev USING (l_partkey, l_suppkey)
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
+
+    "q_join_semi_anti" ->
+      """SELECT 'no_orders' AS kind, COUNT(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_merge_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT event_id, clicks.user_id, ROUND(view_value, 6) AS view_value
+        |FROM clicks ASOF LEFT JOIN views
+        |  ON clicks.user_id = views.user_id AND clicks.ts >= views.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_align_fill_add" ->
+      """WITH bal AS (
+        |  SELECT c_custkey AS k, c_acctbal AS v1 FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |spend AS (
+        |  SELECT o_custkey AS k2,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS v2
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(k, k2) AS k,
+        |  COALESCE(v1, 0.0) + COALESCE(v2, 0.0) AS added
+        |FROM bal FULL OUTER JOIN spend ON k = k2
+        |ORDER BY k""".stripMargin
+  )
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2.9 string functions (Series.str accessor).
+  *
+  * Reference surface: `sdc/datatypes/hpat_pandas_stringmethods_functions.py`
+  * (center/contains/endswith/find/len/ljust/rjust/startswith/zfill/
+  * lower/upper/strip family/is* classifiers) and scalar string ops in
+  * `sdc/str_ext.py` (replace, re.sub, split, join, int(str)).
+  *
+  * All of these compile to codegen'd built-ins (`length/lpad/rpad/instr/
+  * regexp_*/split`) — no UDFs, so they stay inside whole-stage codegen
+  * and vectorize over the parquet scan.
+  */
+object Strings {
+
+  val queries: Map[String, Q] = Map(
+    // len / upper / lower / title-case / substring / concat
+    "q_str_basic" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          length(col("p_name")).as("name_len"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          substring(col("p_name"), 1, 8).as("name_pre"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // contains / startswith / endswith / find(locate)
+    "q_str_predicates" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_type").contains("BRUSHED").as("has_brushed"),
+          col("p_type").startsWith("STANDARD").as("is_standard"),
+          col("p_type").endsWith("STEEL").as("is_steel"),
+          (instr(col("p_name"), "a") - 1).as("find_a"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ljust / rjust / zfill / center (pandas pad semantics: extra on right)
+    "q_str_pad" -> ((s, dir) => {
+      val w = 30
+      val len = length(col("p_brand"))
+      val padTotal = greatest(lit(w) - len, lit(0))
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          rpad(col("p_brand"), w, " ").as("ljust"),
+          lpad(col("p_brand"), w, " ").as("rjust"),
+          lpad(col("p_brand"), 12, "0").as("zfill"),
+          rpad(lpad(col("p_brand"),
+            (len + floor(padTotal / 2)).cast("int"), " "), w, " ").as("centered"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // split + element access; replace via regexp
+    "q_str_split_replace" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          split(col("p_type"), " ").getItem(0).as("type_word1"),
+          regexp_replace(col("p_name"), "a", "@").as("name_sub"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_novowel"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // is* classifiers via anchored regexes + strip family + capitalize
+    "q_str_classify" -> ((s, dir) => {
+      val word1 = split(col("p_name"), " ").getItem(0)
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          word1.rlike("^[A-Za-z]+$").as("isalpha"),
+          word1.rlike("^[0-9]+$").as("isdigit"),
+          word1.rlike("^[a-z]+$").as("islower"),
+          word1.rlike("^[A-Z]+$").as("isupper"),
+          trim(col("p_name")).as("stripped"),
+          concat(upper(substring(word1, 1, 1)),
+            lower(substring(word1, 2, 1000))).as("capitalized"))
+        .orderBy(col("p_partkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_basic" ->
+      """SELECT p_partkey,
+        |  LENGTH(p_name) AS name_len,
+        |  UPPER(p_brand) AS brand_up,
+        |  LOWER(p_type) AS type_lo,
+        |  SUBSTRING(p_name, 1, 8) AS name_pre,
+        |  p_brand || '|' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_predicates" ->
+      """SELECT p_partkey,
+        |  contains(p_type, 'BRUSHED') AS has_brushed,
+        |  starts_with(p_type, 'STANDARD') AS is_standard,
+        |  suffix(p_type, 'STEEL') AS is_steel,
+        |  CAST(strpos(p_name, 'a') - 1 AS INT) AS find_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_pad" ->
+      """SELECT p_partkey,
+        |  rpad(p_brand, 30, ' ') AS ljust,
+        |  lpad(p_brand, 30, ' ') AS rjust,
+        |  lpad(p_brand, 12, '0') AS zfill,
+        |  rpad(lpad(p_brand,
+        |    CAST(LENGTH(p_brand) + FLOOR(GREATEST(30 - LENGTH(p_brand), 0) / 2) AS INT),
+        |    ' '), 30, ' ') AS centered
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_split_replace" ->
+      """SELECT p_partkey,
+        |  split_part(p_type, ' ', 1) AS type_word1,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS name_sub,
+        |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_novowel
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_classify" ->
+      """SELECT p_partkey,
+        |  regexp_matches(split_part(p_name, ' ', 1), '^[A-Za-z]+$') AS isalpha,
+        |  regexp_matches(split_part(p_name, ' ', 1), '^[0-9]+$') AS isdigit,
+        |  regexp_matches(split_part(p_name, ' ', 1), '^[a-z]+$') AS islower,
+        |  regexp_matches(split_part(p_name, ' ', 1), '^[A-Z]+$') AS isupper,
+        |  TRIM(p_name) AS stripped,
+        |  UPPER(SUBSTRING(split_part(p_name, ' ', 1), 1, 1)) ||
+        |    LOWER(SUBSTRING(split_part(p_name, ' ', 1), 2, 1000)) AS capitalized
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}
