@@ -20,16 +20,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    // Warm-up: JIT + codegen + file-footer caches.
+    // Warm-up: JIT + codegen + file-footer caches. Failures logged loudly —
+    // a broken query must never silently bench as a no-op.
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -27,7 +27,7 @@ object Dedup {
     val ws = words(text)
     when(size(ws) < w, array(concat_ws(" ", ws)))
       .otherwise(transform(sequence(lit(0), size(ws) - w),
-        i => concat_ws(" ", slice(ws, i + 1, w))))
+        i => concat_ws(" ", slice(ws, i + 1, lit(w)))))
   }
 
   /** k 64-bit MinHash values of the shingle set (seeded xxhash64). */
@@ -61,7 +61,7 @@ object Dedup {
     // band rows: (band index, hash of the band's r minhash slots)
     val banded = sig.select(col("id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * r + 1, r)))))
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
     val l = banded.select(col("band"), col("bh"),

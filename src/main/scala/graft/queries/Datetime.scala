@@ -52,7 +52,8 @@ object Datetime {
         .select(col("l_orderkey"), col("l_linenumber"),
           datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
             .as("days_since"),
-          date_add(col("l_shipdate").cast("date"), 30).as("ship_plus30"))
+          date_add(col("l_shipdate").cast("date"), 30).cast("timestamp")
+            .as("ship_plus30"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
@@ -83,7 +84,7 @@ object Datetime {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS INT)
         |    AS days_since,
-        |  CAST(l_shipdate AS DATE) + 30 AS ship_plus30
+        |  CAST(CAST(l_shipdate AS DATE) + 30 AS TIMESTAMP) AS ship_plus30
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -37,12 +37,13 @@ object Rolling {
       val rsum = sum(col("l_extendedprice").cast(dec2)).over(w).cast("double")
       Tables(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"))
+          col("l_extendedprice"), col("l_shipdate"))
         .withColumn("roll_cnt", cnt)
         .withColumn("roll_sum", when(cnt >= 3, rsum))
         .withColumn("roll_mean", when(cnt >= 3, rsum / cnt))
         .withColumn("roll_min", when(cnt >= 3, min(col("l_extendedprice")).over(w)))
         .withColumn("roll_max", when(cnt >= 3, max(col("l_extendedprice")).over(w)))
+        .drop("l_shipdate")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -57,9 +58,11 @@ object Rolling {
       val s2 = sum((x * x).cast(DecimalType(34, 4))).over(w).cast("double")
       val variance = (s2 - s1 * s1 / n) / (n - lit(1.0))
       Tables(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), x)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), x,
+          col("l_shipdate"))
         .withColumn("roll_var", when(n >= 4, variance))
         .withColumn("roll_std", when(n >= 4, sqrt(variance)))
+        .drop("l_shipdate")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     })
   )

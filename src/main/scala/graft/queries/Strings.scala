@@ -12,7 +12,7 @@ import graft.Tables
   * `sdc/str_ext.py` (replace, re.sub, split, join, int(str)).
   *
   * All of these compile to codegen'd built-ins (`length/lpad/rpad/instr/
-  * regexp_*/split`) — no UDFs, so they stay inside whole-stage codegen
+  * regexp functions/split`) — no UDFs, so they stay inside whole-stage codegen
   * and vectorize over the parquet scan.
   */
 object Strings {
@@ -52,7 +52,7 @@ object Strings {
           lpad(col("p_brand"), w, " ").as("rjust"),
           lpad(col("p_brand"), 12, "0").as("zfill"),
           rpad(lpad(col("p_brand"),
-            (len + floor(padTotal / 2)).cast("int"), " "), w, " ").as("centered"))
+            (len + floor(padTotal / 2)).cast("int"), lit(" ")), lit(w), lit(" ")).as("centered"))
         .orderBy(col("p_partkey"))
     }),
 
