@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through untouched: the Bench/Verify
+// driver contract is ONE raw JSON line on stdout, and sbt's default
+// LoggedOutput strategy would prefix it with "[info] ", breaking the
+// driver's parse (BENCH_r03 parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+outputStrategy := Some(OutputStrategy.StdoutOutput) // runMain too
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

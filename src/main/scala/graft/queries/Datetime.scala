@@ -80,6 +80,10 @@ object Datetime {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
 
+    // ship_plus30 is TIMESTAMP (not DATE) on BOTH sides deliberately: the
+    // reference's date + offset yields datetime64[ns] (pandas Timestamp at
+    // midnight), so TIMESTAMP is the reference-faithful output type — the
+    // oracle's cast mirrors that semantics rather than the implementation.
     "q_dt_arith" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS INT)

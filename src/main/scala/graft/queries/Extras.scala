@@ -83,9 +83,12 @@ object Extras {
     "q_ann_brute" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val query = embQuery(s, dir)
+      // Order by the UNROUNDED similarity (same as the oracle's ORDER BY
+      // cs DESC) and round only in the output projection — ordering by the
+      // rounded value could permute 6-decimal ties differently.
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 20)
-        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
     // LSH-bucketed ANN (scale path; rows-only — recall-dependent)
@@ -93,8 +96,8 @@ object Extras {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, "vec_id", "embedding", embQuery(s, dir),
           k = 20, planes = 12, maxHammingDist = 4)
-        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
     // ——— sources: CSV round-trip through an explicit schema ———

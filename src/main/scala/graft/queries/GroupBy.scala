@@ -58,18 +58,31 @@ object GroupBy {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // groupby var/std via exact per-group power sums
+    // groupby var/std via exact per-group power sums.
+    // x² is formed in DECIMAL arithmetic (cast-then-multiply), not as a
+    // double product cast to decimal: o_totalprice² ≈ 3.6e11 needs 15-16
+    // significant digits at scale 4, where the double product's ulp
+    // (~6e-5) is comparable to the decimal rounding boundary (5e-5), so
+    // Spark and the oracle could round the last digit differently.
+    // DECIMAL(18,2)×DECIMAL(18,2) = DECIMAL(37,4) is exact in both engines.
+    // The final values are still rounded: once the exact scaled sum exceeds
+    // 2^53 the DECIMAL→DOUBLE conversion itself is engine-dependent by an
+    // ulp (Java rounds the decimal correctly; DuckDB goes through int128 →
+    // double → scale, two roundings), so derived doubles of ~1e10 magnitude
+    // can differ at the 1e-5 level. Rounding var to 2 and std to 6 decimals
+    // leaves ≥3 orders of magnitude of slack.
     "q_groupby_var_std" -> ((s, dir) => {
       val x = col("o_totalprice")
+      val xd = x.cast(DecimalType(18, 2))
       Tables(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
           count(x).cast("double").as("n"),
           dsum(x).as("s1"),
-          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("s2"))
+          sum(xd * xd).cast("double").as("s2"))
         .select(col("o_orderpriority"),
-          expr("(s2 - s1*s1/n) / (n - 1.0)").as("var_price"),
-          expr("sqrt((s2 - s1*s1/n) / (n - 1.0))").as("std_price"))
+          round(expr("(s2 - s1*s1/n) / (n - 1.0)"), 2).as("var_price"),
+          round(expr("sqrt((s2 - s1*s1/n) / (n - 1.0))"), 6).as("std_price"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -132,11 +145,12 @@ object GroupBy {
       """WITH s AS (SELECT o_orderpriority,
         |    CAST(COUNT(o_totalprice) AS DOUBLE) AS n,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+        |             * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM orders GROUP BY o_orderpriority)
         |SELECT o_orderpriority,
-        |  (s2 - s1*s1/n) / (n - 1.0) AS var_price,
-        |  SQRT((s2 - s1*s1/n) / (n - 1.0)) AS std_price
+        |  ROUND((s2 - s1*s1/n) / (n - 1.0), 2) AS var_price,
+        |  ROUND(SQRT((s2 - s1*s1/n) / (n - 1.0)), 6) AS std_price
         |FROM s ORDER BY o_orderpriority""".stripMargin,
 
     "q_groupby_median" ->
