@@ -25,9 +25,12 @@ object SparkEntry {
     (GroupBy.queries, GroupBy.oracle),
     (Joins.queries, Joins.oracle),
     (Rolling.queries, Rolling.oracle),
+    (Apply.queries, Apply.oracle),
     (Strings.queries, Strings.oracle),
     (Datetime.queries, Datetime.oracle),
     (NullOps.queries, NullOps.oracle),
+    (Sources.queries, Sources.oracle),
+    (Multimodal.queries, Multimodal.oracle),
     (Extras.queries, Extras.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -100,22 +100,6 @@ object Extras {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
-    // ——— sources: CSV round-trip through an explicit schema ———
-    "q_read_csv" -> ((s, dir) => {
-      val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$sfTag"
-      Tables(s, dir, "nation")
-        .orderBy(col("n_nationkey"))
-        .coalesce(1)
-        .write.mode("overwrite").option("header", "true").csv(tmp)
-      val schema = StructType(Seq(
-        StructField("n_nationkey", IntegerType),
-        StructField("n_name", StringType),
-        StructField("n_regionkey", IntegerType)))
-      s.read.option("header", "true").schema(schema).csv(tmp)
-        .orderBy(col("n_nationkey"))
-    }),
-
     // ——— streaming shape (batch-equivalent of the windowed agg) ———
     "q_events_window" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -200,10 +184,6 @@ object Extras {
         |FROM embeddings, q)
         |SELECT vec_id, ROUND(cs, 6) AS cos_sim FROM sims
         |ORDER BY cs DESC, vec_id LIMIT 20""".stripMargin,
-
-    "q_read_csv" ->
-      """SELECT n_nationkey, n_name, n_regionkey FROM nation
-        |ORDER BY n_nationkey""".stripMargin,
 
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,

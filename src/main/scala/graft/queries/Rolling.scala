@@ -64,6 +64,107 @@ object Rolling {
         .withColumn("roll_std", when(n >= 4, sqrt(variance)))
         .drop("l_shipdate")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // rolling median + quantile (exact, linear interpolation — pandas
+    // default), window=5, minp=3. percentile() is an aggregate usable
+    // over a window frame; rounded to 6dp because the two engines
+    // interpolate with differently-associated (equal-valued) formulas.
+    "q_rolling_median_quantile" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+        .rowsBetween(-4, Window.currentRow)
+      val x = col("l_quantity")
+      val n = count(x).over(w)
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), x,
+          col("l_shipdate"))
+        .withColumn("roll_median",
+          when(n >= 3, round(expr("percentile(l_quantity, 0.5)").over(w), 6)))
+        .withColumn("roll_q25",
+          when(n >= 3, round(expr("percentile(l_quantity, 0.25)").over(w), 6)))
+        .drop("l_shipdate")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // rolling corr/cov of (quantity, extendedprice) from exact windowed
+    // cross sums, window=6, minp=4 (pairwise: only rows where both sides
+    // are present count — `count(x*y)` — matching pandas pairwise frames)
+    "q_rolling_corr_cov" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+        .rowsBetween(-5, Window.currentRow)
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val n = count(x * y).over(w).cast("double")
+      val sx = sum(x.cast(dec2)).over(w).cast("double")
+      val sy = sum(y.cast(dec2)).over(w).cast("double")
+      val sxx = sum((x * x).cast(DecimalType(34, 4))).over(w).cast("double")
+      val syy = sum((y * y).cast(DecimalType(38, 4))).over(w).cast("double")
+      val sxy = sum((x * y).cast(DecimalType(38, 4))).over(w).cast("double")
+      val corr = (n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      val cov = (sxy - sx * sy / n) / (n - lit(1.0))
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          x, y, col("l_shipdate"))
+        .withColumn("roll_corr", when(n >= 4, round(corr, 6)))
+        .withColumn("roll_cov", when(n >= 4, round(cov, 4)))
+        .drop("l_shipdate")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // rolling skew/kurt with pandas bias corrections (G1/G2), window=6,
+    // minp=5, from exact windowed power sums s1..s4 (same derivation as
+    // Aggregates.q_agg_skew; kurt reference
+    // `sdc/datatypes/hpat_pandas_series_rolling_functions.py:1013`)
+    "q_rolling_skew_kurt" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+        .rowsBetween(-5, Window.currentRow)
+      val x = col("l_quantity")
+      val n = count(x).over(w).cast("double")
+      val s1 = sum(x.cast(dec2)).over(w).cast("double")
+      val s2 = sum((x * x).cast(DecimalType(34, 4))).over(w).cast("double")
+      val s3 = sum((x * x * x).cast(DecimalType(38, 6))).over(w).cast("double")
+      val s4 = sum((x * x * x * x).cast(DecimalType(38, 8))).over(w).cast("double")
+      val mean = s1 / n
+      val m2 = s2 / n - mean * mean
+      val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+      val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+        lit(6.0) * mean * mean * (s2 / n) - lit(3.0) * mean * mean * mean * mean
+      val g1 = (m3 / (m2 * sqrt(m2))) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))
+      val g2 = ((n + lit(1.0)) * (m4 / (m2 * m2) - lit(3.0)) + lit(6.0)) *
+        (n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), x,
+          col("l_shipdate"))
+        // + 0.0 normalizes IEEE −0.0 (a tiny negative skew rounds to −0.0
+        // in DuckDB but +0.0 in Spark)
+        .withColumn("roll_skew", when(n >= 5, round(g1, 6) + lit(0.0)))
+        .withColumn("roll_kurt", when(n >= 5, round(g2, 6) + lit(0.0)))
+        .drop("l_shipdate")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // rolling.apply(func): arbitrary lambda folded over the ordered frame
+    // — `collect_list` preserves frame order, `aggregate` runs the JVM
+    // lambda; here func = sum of squared deviations from the frame's
+    // first element (not expressible as a stock rolling method)
+    "q_rolling_apply" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+        .rowsBetween(-3, Window.currentRow)
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+        .withColumn("frame", collect_list(col("l_quantity")).over(w))
+        .withColumn("roll_apply", when(size(col("frame")) >= 4,
+          round(expr(
+            "aggregate(frame, 0D, (acc, v) -> acc + (v - frame[0]) * (v - frame[0]))"),
+            6)))
+        .drop("l_shipdate", "frame")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -100,6 +201,78 @@ object Rolling {
         |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  CASE WHEN n >= 4 THEN (s2 - s1*s1/n) / (n - 1.0) END AS roll_var,
         |  CASE WHEN n >= 4 THEN SQRT((s2 - s1*s1/n) / (n - 1.0)) END AS roll_std
+        |FROM t ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rolling_median_quantile" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN COUNT(l_quantity) OVER w >= 3
+        |    THEN ROUND(quantile_cont(l_quantity, 0.5) OVER w, 6) END AS roll_median,
+        |  CASE WHEN COUNT(l_quantity) OVER w >= 3
+        |    THEN ROUND(quantile_cont(l_quantity, 0.25) OVER w, 6) END AS roll_q25
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rolling_corr_cov" ->
+      """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  l_quantity, l_extendedprice,
+        |  CAST(COUNT(l_quantity*l_extendedprice) OVER w AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(34,4))) OVER w AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) OVER w AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sxy
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CASE WHEN n >= 4 THEN ROUND((n*sxy - sx*sy) /
+        |    (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 6) END AS roll_corr,
+        |  CASE WHEN n >= 4 THEN ROUND((sxy - sx*sy/n) / (n - 1.0), 4) END AS roll_cov
+        |FROM t ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rolling_skew_kurt" ->
+      """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(COUNT(l_quantity) OVER w AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) OVER w AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(34,4))) OVER w AS DOUBLE) AS s2,
+        |  CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s3,
+        |  CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s4
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *, s1/n AS mean,
+        |  s2/n - (s1/n)*(s1/n) AS m2,
+        |  s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3,
+        |  s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+        |    - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+        |FROM t)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN n >= 5 THEN ROUND(
+        |    (m3 / (m2 * SQRT(m2))) * SQRT(n*(n - 1.0)) / (n - 2.0), 6) + 0.0
+        |  END AS roll_skew,
+        |  CASE WHEN n >= 5 THEN ROUND(
+        |    ((n + 1.0) * (m4/(m2*m2) - 3.0) + 6.0)
+        |      * (n - 1.0) / ((n - 2.0) * (n - 3.0)), 6) + 0.0
+        |  END AS roll_kurt
+        |FROM m ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rolling_apply" ->
+      """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  list(l_quantity) OVER w AS frame
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN len(frame) >= 4 THEN ROUND(
+        |    list_sum(list_transform(frame,
+        |      v -> (v - frame[1]) * (v - frame[1]))), 6)
+        |  END AS roll_apply
         |FROM t ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -1,0 +1,165 @@
+package graft.queries
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** SURVEY §2.1 sources: the `read_csv` options matrix, the DataFrame
+  * constructor, and the NumPy binary-file source.
+  *
+  * Reference surface: `pd.read_csv(names/usecols/dtype/sep/skiprows/
+  * parse_dates)` (`sdc/datatypes/hpat_pandas_functions.py:101-363`,
+  * pyarrow engine `sdc/io/csv_ext.py:94-274`), `pd.DataFrame({...})`
+  * constructor (`sdc/rewrites/dataframe_constructor.py:57-279`),
+  * `np.fromfile` (`sdc/io/np_io.py:58-186`).
+  *
+  * CSV/binary fixtures are generated from the driver's parquet tables
+  * ONCE per (kind, sfDir) per JVM — never inside the timed query body
+  * (a per-call `coalesce(1).write` would be a side-effecting,
+  * non-idempotent step that also breaks bench timings).
+  */
+object Sources {
+
+  private val fixtures = new ConcurrentHashMap[String, String]()
+
+  /** Nation as a headered comma CSV (the simple read path). */
+  private def nationCsv(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"nation:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "nation")
+        .orderBy(col("n_nationkey"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      tmp
+    })
+
+  /** Orders as a '|'-separated CSV with a formatted date column and an
+    * extra column the reader will drop (exercises usecols). */
+  private def ordersCsv(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"orders:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_opt_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true").option("sep", "|").csv(tmp)
+      tmp
+    })
+
+  /** n_nationkey values as a little-endian int64 binary file — the
+    * `np.fromfile` shape. One small file here; the scale path is the
+    * same chunked byte-range split the reference's parallel reader does
+    * (`sdc/io/np_io.py:151 file_read_parallel`), which Spark's
+    * binaryFile/Parquet sources already implement for real formats. */
+  private def nationBin(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"bin:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bin_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + ".i64"
+      val keys = Tables(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"))
+        .orderBy(col("n_nationkey"))
+        .collect().map(_.getLong(0))  // 25 rows: driver-side fixture prep only
+      val buf = ByteBuffer.allocate(keys.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      keys.foreach(buf.putLong)
+      Files.write(Paths.get(tmp), buf.array())
+      tmp
+    })
+
+  val queries: Map[String, Q] = Map(
+    // read_csv with header + explicit schema (dtype)
+    "q_read_csv" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.option("header", "true").schema(schema).csv(nationCsv(s, dir))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // read_csv options matrix: sep='|', dtype (explicit schema),
+    // usecols (projection — pruned into the scan), parse_dates
+    // (to_date), skiprows=100 (positional skip = key filter here; a
+    // byte-positional skip is meaningless on a distributed scan, and the
+    // csv fixture is ordered by its dense key)
+    "q_read_csv_options" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", StringType),
+        StructField("o_orderpriority", StringType)))
+      s.read.option("header", "true").option("sep", "|").schema(schema)
+        .csv(ordersCsv(s, dir))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          to_date(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .filter(col("o_orderkey") >= 100)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // pd.DataFrame({...}) constructor: literal rows via createDataFrame,
+    // then used as the broadcast side of a real join
+    "q_create_dataframe" -> ((s, dir) => {
+      val lit5 = s.createDataFrame(
+        s.sparkContext.parallelize(Seq(
+          Row(0, "AFRICA"), Row(1, "AMERICA"), Row(2, "ASIA"),
+          Row(3, "EUROPE"), Row(4, "MIDDLE EAST"))),
+        StructType(Seq(
+          StructField("r_key", IntegerType, nullable = false),
+          StructField("r_label", StringType, nullable = false))))
+      Tables(s, dir, "nation")
+        .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n_nations"))
+        .join(broadcast(lit5), col("n_regionkey") === col("r_key"))
+        .select(col("r_key"), col("r_label"), col("n_nations"))
+        .orderBy(col("r_key"))
+    }),
+
+    // np.fromfile: binaryFile source + per-partition int64 decode
+    "q_binary_source" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val path = nationBin(s, dir)
+      s.read.format("binaryFile").load(path)
+        .select(col("content"))
+        .as[Array[Byte]]
+        .flatMap { bytes =>
+          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          Iterator.continually(bb).takeWhile(_.remaining >= 8).map(_.getLong)
+        }
+        .toDF("v")
+        .orderBy(col("v"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_read_csv" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_read_csv_options" ->
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders WHERE o_orderkey >= 100
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_create_dataframe" ->
+      """SELECT r_key, r_label, n_nations FROM (
+        |  SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY n_regionkey) t
+        |JOIN (VALUES (0,'AFRICA'),(1,'AMERICA'),(2,'ASIA'),
+        |             (3,'EUROPE'),(4,'MIDDLE EAST')) AS r(r_key, r_label)
+        |  ON n_regionkey = r_key
+        |ORDER BY r_key""".stripMargin,
+
+    "q_binary_source" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation ORDER BY v"""
+  )
+}

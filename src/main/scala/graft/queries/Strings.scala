@@ -79,6 +79,40 @@ object Strings {
           concat(upper(substring(word1, 1, 1)),
             lower(substring(word1, 2, 1000))).as("capitalized"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // remaining is* classifiers (`hpat_pandas_stringmethods_functions
+    // .py:727-844`): isalnum/isnumeric/isdecimal/isspace/istitle — all
+    // anchored regexes, codegen'd, ASCII domain (the reference's
+    // StringArray kernels are ASCII-table-driven too)
+    "q_str_classify_full" -> ((s, dir) => {
+      val word1 = split(col("p_name"), " ").getItem(0)
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          word1.rlike("^[A-Za-z0-9]+$").as("isalnum"),
+          word1.rlike("^[0-9]+$").as("isnumeric"),
+          word1.rlike("^[0-9]+$").as("isdecimal"),
+          word1.rlike("^\\s+$").as("isspace"),
+          col("p_name").rlike("^([A-Z][a-z]*)( [A-Z][a-z]*)*$").as("istitle"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // strip family + case family (`:860-1050`): lstrip/rstrip/strip,
+    // title/swapcase/casefold. swapcase is a per-char case flip —
+    // translate() with mirrored ASCII alphabets stays in codegen;
+    // casefold ≡ lower for the ASCII domain.
+    "q_str_strip_case" -> ((s, dir) => {
+      val lo = "abcdefghijklmnopqrstuvwxyz"
+      val up = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      val padded = concat(lit("  "), col("p_name"), lit("  "))
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_replace(padded, "^\\s+", "").as("lstripped"),
+          regexp_replace(padded, "\\s+$", "").as("rstripped"),
+          initcap(col("p_name")).as("titled"),
+          translate(col("p_brand"), lo + up, up + lo).as("swapped"),
+          lower(col("p_type")).as("casefolded"))
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -126,6 +160,27 @@ object Strings {
         |  TRIM(p_name) AS stripped,
         |  UPPER(SUBSTRING(split_part(p_name, ' ', 1), 1, 1)) ||
         |    LOWER(SUBSTRING(split_part(p_name, ' ', 1), 2, 1000)) AS capitalized
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_classify_full" ->
+      """SELECT p_partkey,
+        |  regexp_matches(split_part(p_name, ' ', 1), '^[A-Za-z0-9]+$') AS isalnum,
+        |  regexp_matches(split_part(p_name, ' ', 1), '^[0-9]+$') AS isnumeric,
+        |  regexp_matches(split_part(p_name, ' ', 1), '^[0-9]+$') AS isdecimal,
+        |  regexp_matches(split_part(p_name, ' ', 1), '^\s+$') AS isspace,
+        |  regexp_matches(p_name, '^([A-Z][a-z]*)( [A-Z][a-z]*)*$') AS istitle
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_strip_case" ->
+      """SELECT p_partkey,
+        |  regexp_replace('  ' || p_name || '  ', '^\s+', '') AS lstripped,
+        |  regexp_replace('  ' || p_name || '  ', '\s+$', '') AS rstripped,
+        |  array_to_string(list_transform(regexp_split_to_array(p_name, ' '),
+        |    w -> UPPER(w[1]) || LOWER(w[2:])), ' ') AS titled,
+        |  translate(p_brand,
+        |    'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped,
+        |  LOWER(p_type) AS casefolded
         |FROM part ORDER BY p_partkey""".stripMargin
   )
 }
