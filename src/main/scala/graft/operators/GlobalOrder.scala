@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-safe positional-index operators.
+  *
+  * The reference emulates pandas' global positional index; a naive Spark
+  * translation is `Window.orderBy(key)` with no partitioning — a
+  * single-partition sort that funnels the whole table through one task.
+  * Invisible at sf0.1, fatal at 100 TB.
+  *
+  * The scale-safe shape is the classic two-pass prefix composition
+  * (the same decomposition the reference's legacy distributed layer used
+  * for cumsums — MPI exscan, `sdc/distributed_api.py:520-545`):
+  *
+  *   1. `repartitionByRange` on the order keys — Spark's range
+  *      partitioner samples the keys, so partitions are balanced and
+  *      ordered BETWEEN partitions;
+  *   2. compute the quantity (row_number / running sum / lag) WITHIN
+  *      each partition — parallel, partition-local window;
+  *   3. aggregate one row per partition (count / total / last value) —
+  *      a metadata-sized frame (numPartitions rows) — prefix-compose it
+  *      with a window over that tiny frame, and broadcast-join the
+  *      offsets back.
+  *
+  * No stage ever sorts or windows more than one partition's rows; the
+  * only single-partition window runs over `numPartitions` rows.
+  * All offset composition is exact (longs / decimals), so results are
+  * bit-identical to the single-partition plan on any partitioning.
+  *
+  * Order keys must be a total order (unique tuples) for the result to be
+  * well-defined — same contract as pandas' positional index.
+  */
+object GlobalOrder {
+
+  private val PID = "__go_pid"
+  private val LOCAL = "__go_local"
+  private val OFF = "__go_off"
+
+  /** Range-partition df by `order` and tag each row with its partition id. */
+  private def ranged(df: DataFrame, order: Seq[Column], parts: Int): DataFrame = {
+    val n = if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartitionByRange(n, order: _*).withColumn(PID, spark_partition_id())
+  }
+
+  /** Per-partition summary → exclusive prefix over the tiny frame. */
+  private def exclusivePrefix(perPart: DataFrame, valueCol: String, zero: Column): DataFrame = {
+    val w = Window.orderBy(col(PID)).rowsBetween(Window.unboundedPreceding, -1)
+    perPart.withColumn(OFF, coalesce(sum(col(valueCol)).over(w), zero))
+      .drop(valueCol)
+  }
+
+  /** Global 1-based row_number over `order`, as column `name`. */
+  def withRowNumber(df: DataFrame, order: Seq[Column], name: String,
+                    parts: Int = 0): DataFrame = {
+    val r = ranged(df, order, parts)
+    val local = r.withColumn(LOCAL,
+      row_number().over(Window.partitionBy(col(PID)).orderBy(order: _*)))
+    val counts = local.groupBy(col(PID)).agg(count(lit(1)).as("__cnt"))
+    val offsets = exclusivePrefix(counts, "__cnt", lit(0L))
+    local.join(broadcast(offsets), PID)
+      .withColumn(name, (col(LOCAL) + col(OFF)).cast("int"))
+      .drop(PID, LOCAL, OFF)
+  }
+
+  /** Global running decimal sum of `value` over `order`, as double
+    * column `name` (exact ⇒ identical to a single-pass cumsum). */
+  def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                     name: String, scale: Int = 2, parts: Int = 0): DataFrame = {
+    val dec = DecimalType(30, scale)
+    val r = ranged(df, order, parts)
+    val wLocal = Window.partitionBy(col(PID)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = r.withColumn(LOCAL, sum(value.cast(dec)).over(wLocal))
+    val totals = local.groupBy(col(PID)).agg(sum(value.cast(dec)).as("__tot"))
+    val offsets = exclusivePrefix(totals, "__tot", lit(0).cast(dec))
+    local.join(broadcast(offsets), PID)
+      .withColumn(name, (col(LOCAL) + col(OFF)).cast("double"))
+      .drop(PID, LOCAL, OFF)
+  }
+
+  /** Global lag(value, 1) over `order`, as column `name`: partition-local
+    * lag, with each partition's first row patched from the previous
+    * partition's last value (carried via the broadcast summary frame). */
+  def withLag(df: DataFrame, order: Seq[Column], value: Column,
+              name: String, parts: Int = 0): DataFrame = {
+    val r = ranged(df, order, parts)
+    val wLocal = Window.partitionBy(col(PID)).orderBy(order: _*)
+    val local = r
+      .withColumn(LOCAL, row_number().over(wLocal))
+      .withColumn(name, lag(value, 1).over(wLocal))
+    val lasts = local.groupBy(col(PID))
+      .agg(max_by(value, col(LOCAL)).as("__last"))
+      .select((col(PID) + 1).as(PID), col("__last"))
+    local.join(broadcast(lasts), Seq(PID), "left")
+      .withColumn(name, when(col(LOCAL) === 1, col("__last")).otherwise(col(name)))
+      .drop(PID, LOCAL, "__last")
+  }
+}

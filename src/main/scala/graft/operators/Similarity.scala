@@ -56,35 +56,60 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN top-k via LSH: restrict the exact cosine scan to rows whose
-    * bucket signature is Hamming-close (≤ maxHammingDist) to the query's.
-    * Recall is tunable via planes/maxHammingDist; candidates shrink
-    * ~2^-planes per extra plane. */
-  def lshTopK(df: DataFrame, idCol: String, embCol: String,
-              query: Seq[Double], k: Int, planes: Int = 12,
-              maxHammingDist: Int = 2): DataFrame = {
-    val dim = query.length
-    val qSig: Long = {
-      (0 until planes).map { p =>
-        val dot = (0 until dim).map(d => query(d) * planeComponent(p, d)).sum
-        if (dot >= 0) 1L << p else 0L
-      }.reduce(_ | _)
-    }
+  /** Index build: embeddings + their materialized LSH signature. At
+    * 100 TB this frame is written ONCE, bucketed/partitioned by `__sig`
+    * (e.g. `df.write.bucketBy(4096, "__sig")`), so each query's Hamming
+    * ball prunes to matching buckets at scan time instead of re-hashing
+    * the whole table per query. */
+  def buildIndex(df: DataFrame, idCol: String, embCol: String,
+                 dim: Int, planes: Int = 12): DataFrame =
     df.withColumn("__sig", hyperplaneSig(col(embCol), dim, planes))
-      .filter(bit_count(col("__sig").bitwiseXOR(lit(qSig))) <= maxHammingDist)
+
+  /** Signature of a literal query vector (same planes as buildIndex). */
+  def querySig(query: Seq[Double], planes: Int = 12): Long =
+    (0 until planes).map { p =>
+      val dot = query.indices.map(d => query(d) * planeComponent(p, d)).sum
+      if (dot >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+
+  /** Query stage against a built index: Hamming-ball filter on the
+    * materialized signature, exact cosine only on survivors. */
+  def queryIndex(index: DataFrame, idCol: String, embCol: String,
+                 query: Seq[Double], k: Int, planes: Int = 12,
+                 maxHammingDist: Int = 2): DataFrame =
+    index
+      .filter(bit_count(col("__sig").bitwiseXOR(lit(querySig(query, planes))))
+        <= maxHammingDist)
       .select(col(idCol), cosineToQuery(col(embCol), query).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
-  }
+
+  /** ANN top-k via LSH: build + query in one shot (the one-off path;
+    * recall is tunable via planes/maxHammingDist — candidates shrink
+    * ~2^-planes per extra plane). */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+              query: Seq[Double], k: Int, planes: Int = 12,
+              maxHammingDist: Int = 2): DataFrame =
+    queryIndex(buildIndex(df, idCol, embCol, query.length, planes),
+      idCol, embCol, query, k, planes, maxHammingDist)
 
   /** All-pairs near-duplicate detection by embedding cosine within LSH
-    * buckets (bucket equi-join, verified exactly). */
+    * buckets (bucket equi-join, verified exactly). `maxBucket` caps
+    * per-bucket membership — one degenerate bucket (e.g. the all-zeros
+    * region) would otherwise go quadratic at scale; capped buckets are
+    * dropped, trading recall for a bounded candidate count (same policy
+    * as Dedup.minhashPairs). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                          dim: Int, planes: Int = 12,
-                         threshold: Double = 0.95): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
+                         threshold: Double = 0.95,
+                         maxBucket: Int = 1000): DataFrame = {
+    val sigAll = df.select(col(idCol).as("id"),
       transform(col(embCol), x => x.cast("double")).as("e"),
       hyperplaneSig(col(embCol), dim, planes).as("sig"))
+    val small = sigAll.groupBy(col("sig"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select(col("sig"))
+    val sig = sigAll.join(broadcast(small), Seq("sig"))
     val a = sig.select(col("sig"), col("id").as("id_a"), col("e").as("e_a"))
     val b = sig.select(col("sig"), col("id").as("id_b"), col("e").as("e_b"))
     val dot = aggregate(zip_with(col("e_a"), col("e_b"), (x, y) => x * y),

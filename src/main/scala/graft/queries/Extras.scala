@@ -91,13 +91,27 @@ object Extras {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only — recall-dependent)
+    // LSH-bucketed ANN (scale path; rows-only — recall-dependent).
+    // buildIndex materializes the signature column the way a 100 TB
+    // deployment would persist it (bucketed by __sig); queryIndex then
+    // only Hamming-filters + exact-scores survivors.
     "q_ann_lsh" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      Similarity.lshTopK(emb, "vec_id", "embedding", embQuery(s, dir),
+      val index = Similarity.buildIndex(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, planes = 12)
+      Similarity.queryIndex(index, "vec_id", "embedding", embQuery(s, dir),
           k = 20, planes = 12, maxHammingDist = 4)
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // embedding-cosine near-dup pairs in LSH buckets (rows-only —
+    // bucket recall is probabilistic by design; the synthetic embeddings
+    // are near-orthogonal, so the threshold is low to keep the candidate
+    // set non-empty)
+    "q_emb_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, planes = 6, threshold = 0.30)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ——— streaming shape (batch-equivalent of the windowed agg) ———
