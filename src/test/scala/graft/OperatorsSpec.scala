@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity operators on small literal frames. */
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again now"),
+    (3L, "completely different content about spark query engines and scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content hash") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("minhash LSH pairs the near-duplicates, not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical docs always collide
+    assert(pairs.forall { case (a, b) => a != 3L && b != 3L })
+  }
+
+  test("simhash is deterministic and equal for equal text") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks the identical vector first") {
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        Seq(1.0, 0.0, 0.0, 0.0), k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("lsh index query finds the same top hit as brute force") {
+    val got = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        Seq(1.0, 0.0, 0.0, 0.0), k = 1, planes = 8, maxHammingDist = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("near-dup pairs finds the close pair above threshold only") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 4, planes = 4, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(Set((1L, 2L)))) // cos(1,2)≈0.994; recall is probabilistic
+    val none = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 4, planes = 4, threshold = 0.999)
+      .count()
+    assert(none == 0)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Sources
+
+/** Source paths: CSV option matrix, constructor, binary decode. */
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("read_csv round-trips nation through header+schema") {
+    val got = Sources.queries("q_read_csv")(spark, sf)
+    assert(got.count() == 25)
+    assert(got.schema.map(_.dataType.typeName).toSeq ==
+      Seq("integer", "string", "integer"))
+  }
+
+  test("read_csv options: sep, usecols, parse_dates, skiprows") {
+    val got = Sources.queries("q_read_csv_options")(spark, sf)
+    assert(got.columns.toSeq == Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+    assert(got.schema("o_orderdate").dataType.typeName == "date")
+    // skiprows=100 on dense 0-based keys drops exactly 100 rows
+    val total = Tables(spark, sf, "orders").count()
+    assert(got.count() == total - 100)
+  }
+
+  test("createDataFrame literal joins against a real table") {
+    val got = Sources.queries("q_create_dataframe")(spark, sf)
+      .select("r_key", "n_nations").as[(Int, Long)].collect().toMap
+    assert(got.keySet == Set(0, 1, 2, 3, 4))
+    assert(got.values.sum == 25) // 25 nations across 5 regions
+  }
+
+  test("binary source decodes the int64 file back to the nation keys") {
+    val got = Sources.queries("q_binary_source")(spark, sf)
+      .as[Long].collect().toSeq
+    val want = Tables(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").as[Long].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+}
