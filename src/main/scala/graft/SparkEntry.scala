@@ -30,6 +30,7 @@ object SparkEntry {
     (Datetime.queries, Datetime.oracle),
     (NullOps.queries, NullOps.oracle),
     (Sources.queries, Sources.oracle),
+    (StreamsQ.queries, StreamsQ.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extras.queries, Extras.oracle))
 
@@ -46,7 +47,9 @@ object SparkEntry {
   /** Headline queries benchmarked by Bench (one per subsystem). */
   val benchQueries: Seq[String] = Seq(
     "q_tpch_q1", "q_groupby_agg", "q_join_inner", "q_join_multi_key",
-    "q_merge_asof", "q_rolling_basic", "q_sort_values", "q_value_counts",
-    "q_str_classify", "q_dt_trunc_month", "q_dedup_exact", "q_dedup_minhash",
-    "q_ann_brute", "q_text_stats")
+    "q_merge_asof", "q_rolling_basic", "q_rolling_skew_kurt",
+    "q_sort_values", "q_value_counts", "q_str_classify",
+    "q_dt_trunc_month", "q_dedup_exact", "q_dedup_minhash",
+    "q_ann_brute", "q_text_stats", "q_apply_lambda", "q_cumsum",
+    "q_media_decode", "q_emb_neardup", "q_events_stream", "q_sessionize")
 }

