@@ -30,7 +30,26 @@ object Dedup {
         i => concat_ws(" ", slice(ws, i + 1, lit(w)))))
   }
 
-  /** k 64-bit MinHash values of the shingle set (seeded xxhash64).
+  /** MinHash permutation family: mh_s(h) = (a_s·h + b_s) mod P over a
+    * 32-bit base hash h — the textbook affine construction, so each
+    * shingle costs ONE md5 plus k multiply-adds (not k hashes). P is the
+    * Mersenne prime 2^61−1; a_s < 2^30 keeps a_s·h < 2^62, so everything
+    * stays in exact signed-64 arithmetic in both this engine and the
+    * DuckDB oracle. Coefficients come from a fixed-seed LCG (JVM-spec
+    * deterministic) and are baked as literals into both plans. */
+  val MinhashP: Long = (1L << 61) - 1
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42L)
+    Seq.fill(k)((rnd.nextInt((1 << 30) - 1).toLong + 1,
+      math.floorMod(rnd.nextLong(), MinhashP)))
+  }
+
+  /** 32-bit base hash of a shingle string: first 8 hex chars of its md5 —
+    * the one hash this engine and the DuckDB oracle share. */
+  private def shingleBaseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** k MinHash values of the shingle set as an array<long>.
     *
     * NOTE: `text` should be a plain (already materialized) column, not a
     * derived expression — Catalyst's projection collapse would otherwise
@@ -39,8 +58,9 @@ object Dedup {
     * shuffle barrier for exactly this reason. */
   def minhashSig(text: Column, k: Int = 16, w: Int = 3): Column = {
     val sh = array_distinct(shingles(text, w))
-    array((0 until k).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    val hs = transform(sh, s => shingleBaseHash(s))
+    array(minhashCoeffs(k).map { case (a, b) =>
+      array_min(transform(hs, h => pmod(lit(a) * h + lit(b), lit(MinhashP))))
     }: _*)
   }
 
@@ -88,23 +108,32 @@ object Dedup {
 
     // Stage 1: (id, word, pos) token rows; shingle start positions are
     // pos ≤ n−w, plus pos = 0 for short docs (whole doc as one shingle,
-    // mirroring `shingles`; xxhash64 skips the null tail words). Every
+    // mirroring `shingles`; `get` is null past the end and concat_ws
+    // skips nulls, so the short-doc shingle is the whole doc). Every
     // doc yields ≥1 row (split of "" is [""]), so no id is lost.
+    // The shingle hash is md5 of the joined shingle string (the same
+    // value [[minhashSig]] computes and the DuckDB oracle replays);
+    // the k minhashes are affine permutations of that one hash.
     val toks = df
       .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
       .select(col("id"), col("ws"), posexplode(col("ws")))
       .filter(col("pos") + w <= size(col("ws")) ||
         (size(col("ws")) < w && col("pos") === 0))
-    def shingleHash(seed: Int): Column =
-      xxhash64(Seq(lit(seed), col("col")) ++
-        (1 until w).map(j => element_at(col("ws"), col("pos") + j + 1)): _*)
+      .select(col("id"), shingleBaseHash(concat_ws(" ",
+        Seq(col("col")) ++ (1 until w).map(j => get(col("ws"), col("pos") + j)): _*))
+        .as("__h"))
+    val coeffs = minhashCoeffs(k)
     val sig = toks.groupBy(col("id")).agg(
-      min(shingleHash(0)).as("mh0"),
-      (1 until k).map(seed => min(shingleHash(seed)).as(s"mh$seed")): _*)
+      min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2), lit(MinhashP))).as("mh0"),
+      (1 until k).map { s =>
+        val (a, b) = coeffs(s)
+        min(pmod(lit(a) * col("__h") + lit(b), lit(MinhashP))).as(s"mh$s")
+      }: _*)
 
     // Stage 2: one row per (id, band, bandHash); ids only from here on.
     val bandHashes = array((0 until bands).map { b =>
-      xxhash64((b * r until (b + 1) * r).map(s => col(s"mh$s")): _*)
+      md5(concat_ws("|",
+        (b * r until (b + 1) * r).map(s => col(s"mh$s").cast("string")): _*))
     }: _*)
     val banded = sig.select(col("id"), posexplode(bandHashes))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
@@ -141,23 +170,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Token hash for SimHash: the first 16 hex chars of md5(token) as two
+    * unsigned 32-bit halves (single 64-bit parse would overflow a signed
+    * long under ANSI). md5 — not xxhash64 — so the DuckDB oracle can
+    * recompute the identical signature (both engines emit the same
+    * lowercase hex digest; hex-nibble folding is engine-agnostic). */
+  private def md5Halves(token: Column): (Column, Column) = {
+    val hex = md5(token)
+    (conv(substring(hex, 1, 8), 16, 10).cast("long"),
+      conv(substring(hex, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** Bit b (0 = LSB) of the 64-bit value (hi << 32 | lo). `b` is a Scala
+    * constant, so this stays on the shiftright(Column, Int) overload. */
+  private def hashBit(hi: Column, lo: Column, b: Int): Column =
+    shiftright(if (b < 32) lo else hi, b % 32).bitwiseAND(lit(1L))
+
   /** 64-bit SimHash of the word multiset: per bit, sign of Σ±1 over token
     * hashes. Hamming-close simhashes ⇒ near-duplicate texts.
     *
     * Single pass over the token array: the per-bit counters live in one
     * accumulator array folded by `aggregate`, so the (regexp-heavy) word
-    * split and the token hashes are evaluated once per row — not once per
+    * split and the token md5s are evaluated once per row — not once per
     * bit, which is what a naive per-bit reduce would cost after Catalyst
-    * inlines the argument tree into all 64 bit expressions. */
+    * inlines the argument tree into all 64 bit expressions. Composable
+    * Column form; the hot-path table version is [[simhashDF]]. */
   def simhash64(text: Column, bits: Int = 64): Column = {
-    val hs = transform(words(text), wd => xxhash64(wd))
     val masks = array((0 until bits).map(b => lit(1L << b)): _*)
-    val sums = aggregate(hs, array_repeat(lit(0), bits),
-      (acc, h) => zip_with(acc, masks, (a, m) =>
-        a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    val sums = aggregate(words(text), array_repeat(lit(0), bits),
+      (acc, w) => {
+        val (hi, lo) = md5Halves(w)
+        val bitArr = array((0 until bits).map(b => hashBit(hi, lo, b)): _*)
+        zip_with(acc, bitArr, (a, bit) => a + (bit * 2 - 1).cast("int"))
+      })
     aggregate(
       zip_with(sums, masks, (s, m) => when(s > 0, m).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** SimHash over a table: explode words → 64 conditional-sum hash
+    * aggregates → one bit-fold projection. Unlike the Column form (whose
+    * `aggregate` lambda is CodegenFallback), every stage here is
+    * whole-stage-codegen, and map-side partial aggregation means the
+    * shuffle carries (id, 64 ints) per doc. Returns (idCol, simhash). */
+  def simhashDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("__hex"))
+      .select(col(idCol),
+        conv(substring(col("__hex"), 1, 8), 16, 10).cast("long").as("__hi"),
+        conv(substring(col("__hex"), 9, 8), 16, 10).cast("long").as("__lo"))
+    val sums = (0 until 64).map { b =>
+      sum((hashBit(col("__hi"), col("__lo"), b) * 2 - 1).cast("int")).as(s"__s$b")
+    }
+    val simhash = (0 until 64)
+      .map(b => when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), simhash.as("simhash"))
   }
 
   /** n-gram Jaccard dedup without LSH: blocks by (lang, length bucket) and

@@ -38,10 +38,17 @@ object Similarity {
       .limit(k)
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * a hash mapped to [-1, 1]. Data-independent, reproducible everywhere. */
-  private def planeComponent(p: Int, d: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((p, d))
-    (h.toDouble / Int.MaxValue)
+    * the first 4 bytes of md5("p:d") as a uint32, mapped affinely to
+    * [-1, 1). md5 — not a JVM hash — so the DuckDB oracle can regenerate
+    * the identical planes; the mapping is exact in double arithmetic
+    * (32-bit integer scaled by powers of two), so both engines hold
+    * bit-identical components. */
+  private[graft] def planeComponent(p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+    v.toDouble / 4294967296.0 * 2 - 1
   }
 
   /** LSH bucket signature: `planes` sign bits packed into a long. */

@@ -57,17 +57,18 @@ object Extras {
         .orderBy(col("keep_id"))
     }),
 
-    // MinHash-LSH near-dup pairs (signature-based → rows-only check)
+    // MinHash-LSH near-dup pairs — affine-permutation minhash over an
+    // md5 base hash, fully replayed by the DuckDB oracle below
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
           k = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash signatures (rows-only)
+    // SimHash signatures (md5-derived bits — hash-checked against the
+    // DuckDB replica below)
     "q_simhash" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      Dedup.simhashDF(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -133,6 +134,28 @@ object Extras {
 
   private val dot64 = "list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
 
+  /** DuckDB fragment: first 8 hex chars of md5(`x`) folded to a BIGINT. */
+  private def hex8(x: String): String =
+    s"list_reduce(list_transform(string_split(substr(md5($x),1,8),''), " +
+      "c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)"
+
+  /** DuckDB fragment: the hyperplane table (p, pl: DOUBLE[64]) for
+    * `planes` planes — exact replica of Similarity.planeComponent. */
+  private def planesCte(planes: Int): String =
+    s"""planes AS (SELECT p, list_transform(generate_series(0, 63), d ->
+       |    (CAST(${hex8("p::VARCHAR || ':' || d::VARCHAR")} AS DOUBLE)
+       |     / 4294967296.0) * 2 - 1) AS pl
+       |  FROM generate_series(0, ${planes - 1}) t(p))""".stripMargin
+
+  /** DuckDB fragment: ordered left-fold dot product of two 64-dim list
+    * expressions — the same fold order as Spark's `aggregate`, so the
+    * doubles are bit-identical and sign/threshold comparisons agree. */
+  private def foldDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+
+  private val qvList = "[" + Seq.fill(64)("0.1").mkString(", ") + "]::DOUBLE[]"
+
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       """SELECT doc_id,
@@ -182,6 +205,118 @@ object Extras {
         |  COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
+    // langId replica: same marker lists, same (−score, code) struct sort —
+    // DuckDB sorts structs lexicographically by field order, like Spark's
+    // array_sort on structs.
+    "q_lang_id" -> {
+      val markers = TextOps.langMarkers.toSeq.sortBy(_._1).map { case (code, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(",")
+        s"{'neg': -len(list_filter(toks, x -> x IN ($inList))), 'code': '$code'}"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT lang,
+        |  regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks FROM documents),
+        |s AS (SELECT lang, list_sort([
+        |  $markers
+        |  ])[1].code AS pred FROM t)
+        |SELECT lang, pred, COUNT(*) AS n FROM s
+        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+    },
+
+    // simhashDF replica: same md5-nibble token hash, same per-bit ±1 sums,
+    // same signed bit-63 composition (1L<<63 is −2^63, so the signed value
+    // is a plain BIGINT sum of per-bit terms). 64 terms generated.
+    "q_simhash" -> {
+      def nib(from: Int) =
+        s"list_reduce(list_transform(string_split(substr(md5(w),$from,8),''), " +
+          "c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)"
+      val sums = (0 until 64).map { b =>
+        val half = if (b < 32) "lo" else "hi"
+        s"SUM(CASE WHEN ($half >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n  ")
+      val terms = (0 until 64).map { b =>
+        s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+      }.mkString(" +\n  ")
+      s"""WITH t AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, ${nib(1)} AS hi, ${nib(9)} AS lo FROM t),
+        |s AS (SELECT doc_id,
+        |  $sums
+        |FROM h GROUP BY doc_id)
+        |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+        |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // minhashPairs replica: every stage of the LSH pipeline — shingle
+    // construction, md5-nibble base hash, the same k affine permutations
+    // (coefficients interpolated from Dedup.minhashCoeffs), banding,
+    // the [2, maxBucket] bucket filter, candidate pairs, and exact
+    // shingle-Jaccard verification at the same threshold.
+    "q_dedup_minhash" -> {
+      val coeffs = Dedup.minhashCoeffs(16)
+      val P = Dedup.MinhashP
+      val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
+        s"list_min(list_transform(hl, h -> ($a*h + $b) % $P)) AS mh$s"
+      }.mkString(",\n  ")
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (b * 4 until (b + 1) * 4)
+          .map(s => s"mh$s::VARCHAR").mkString(" || '|' || ")
+        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH base AS (
+        |  SELECT doc_id AS id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ws)-2),
+        |                i -> array_to_string(ws[i:i+2], ' '))
+        |    END) AS sh
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS ws
+        |    FROM documents)),
+        |hs AS (SELECT id, sh, list_transform(sh, s ->
+        |  list_reduce(list_transform(string_split(substr(md5(s),1,8),''),
+        |    c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)) AS hl
+        |  FROM base),
+        |sig AS (SELECT id,
+        |  $mhs
+        |FROM hs),
+        |banded AS (
+        |  $bandSelects),
+        |ok AS (SELECT band, bh FROM banded GROUP BY band, bh
+        |  HAVING COUNT(*) BETWEEN 2 AND 200),
+        |member AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM member a JOIN member b USING (band, bh) WHERE a.id < b.id),
+        |pairs AS (SELECT id_a, id_b,
+        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+        |  FROM cand JOIN base sa ON sa.id = cand.id_a
+        |            JOIN base sb ON sb.id = cand.id_b)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // ngramJaccardPairs replica: same normalization, 3-word shingles,
+    // (lang, len/100) blocking, exact set Jaccard ≥ 0.2.
+    "q_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, lang,
+        |    CAST(LENGTH(text)/100.0 AS INT) AS lenb,
+        |    list_distinct(
+        |      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |           ELSE list_transform(generate_series(1, len(ws)-2),
+        |                  i -> array_to_string(ws[i:i+2], ' '))
+        |      END) AS sh
+        |  FROM (SELECT doc_id, lang, text,
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g')), '\s+') AS ws
+        |    FROM documents))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM base a JOIN base b ON a.lang = b.lang AND a.lenb = b.lenb AND a.id < b.id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_ann_brute" ->
       s"""WITH q AS (SELECT [0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1,
         |  0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1,
@@ -203,6 +338,59 @@ object Extras {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // queryIndex replica: identical md5-derived planes, identical fold
+    // order (⇒ bit-identical signatures), same Hamming-ball filter, exact
+    // cosine on survivors.
+    "q_ann_lsh" ->
+      s"""WITH ${planesCte(12)},
+        |q AS (SELECT $qvList AS qv),
+        |dots AS (SELECT vec_id, p,
+        |  ${foldDot("embedding", "pl")} AS dot
+        |  FROM embeddings, planes),
+        |sigs AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |qdots AS (SELECT p, ${foldDot("qv", "pl")} AS dot FROM planes, q),
+        |qsig AS (SELECT CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS qs
+        |  FROM qdots),
+        |surv AS (SELECT s.vec_id FROM sigs s, qsig
+        |  WHERE bit_count(xor(s.sig, qsig.qs)) <= 4),
+        |sims AS (SELECT e.vec_id,
+        |  ${foldDot("e.embedding", "qv")} /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, 64),
+        |     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, 64),
+        |     i -> qv[i] * qv[i]), (x,y) -> x+y))) AS cs
+        |  FROM embeddings e JOIN surv USING (vec_id), q)
+        |SELECT vec_id, ROUND(cs, 6) AS cos_sim FROM sims
+        |ORDER BY cs DESC, vec_id LIMIT 20""".stripMargin,
+
+    // cosineNearDupPairs replica: 6-plane signatures, ≤1000 bucket cap,
+    // in-bucket pairs, exact cosine ≥ 0.30 (unrounded filter, rounded
+    // output — same as the Spark plan).
+    "q_emb_neardup" ->
+      s"""WITH ${planesCte(6)},
+        |dots AS (SELECT vec_id, p,
+        |  ${foldDot("embedding", "pl")} AS dot
+        |  FROM embeddings, planes),
+        |sigs AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |small AS (SELECT sig FROM sigs GROUP BY sig HAVING COUNT(*) <= 1000),
+        |member AS (SELECT s.vec_id, s.sig FROM sigs s JOIN small USING (sig)),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM member a JOIN member b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b,
+        |  ${foldDot("ea.embedding", "eb.embedding")} /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, 64),
+        |     i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, 64),
+        |     i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cs
+        |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+        |            JOIN embeddings eb ON eb.vec_id = cand.id_b)
+        |SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim FROM pairs
+        |WHERE cs >= 0.30 ORDER BY id_a, id_b""".stripMargin
   )
 }
