@@ -64,6 +64,23 @@ object Dedup {
     }: _*)
   }
 
+  /** One row per (id, w-shingle string), entirely whole-stage-codegen
+    * (split/posexplode/concat_ws/get — no higher-order functions): the
+    * word array is exploded with position; start positions are
+    * pos ≤ n−w, plus pos = 0 for short docs, where `get` past the end is
+    * null and concat_ws skips nulls, so the short-doc shingle is the
+    * whole doc — exactly [[shingles]]' semantics. Every doc yields ≥1
+    * row (split of "" is [""]), so no id is lost. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame =
+    df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .select(col("id"), col("ws"), posexplode(col("ws")))
+      .filter(col("pos") + w <= size(col("ws")) ||
+        (size(col("ws")) < w && col("pos") === 0))
+      .select(col("id"), concat_ws(" ",
+        Seq(col("col")) ++ (1 until w).map(j => get(col("ws"), col("pos") + j)): _*)
+        .as("shingle"))
+
   /** Exact dedup: keep the lowest-id row per exact content digest.
     * Returns (keyCol, kept id, duplicate count). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -77,13 +94,14 @@ object Dedup {
     * `transform`/`slice`/`array_min` are CodegenFallback in Spark and an
     * interpreted shingle tree measured 330s at sf0.1 vs ~3s for this plan):
     *  1. the word array (plain codegen `split`) is exploded with position;
-    *     a w-shingle is identified by the codegen tuple-hash
-    *     xxhash64(seed, word_i, …, word_{i+w-1}) — banding only needs a
-    *     deterministic hash of the shingle, never the joined string;
+    *     a w-shingle is identified by ONE codegen md5 of the joined
+    *     shingle (first 8 hex chars → 32-bit base hash), from which the
+    *     k minhashes are affine permutations — k multiply-adds, not k
+    *     hashes;
     *  2. the k minhashes are k `min(...)` hash aggregates over the token
     *     rows — whole-stage codegen, and map-side partial aggregation
     *     means the only shuffle carries (id, k longs) per doc;
-    *  3. band hash = xxhash64 of the band's r minhash columns — a plain
+    *  3. band hash = md5 of the band's r minhash columns — a plain
     *     projection; candidate generation self-joins (band, bandHash, id)
     *     rows ONLY and dedups on the (id_a, id_b) pair;
     *  4. degenerate buckets (empty/boilerplate docs hashing together) are
@@ -114,21 +132,24 @@ object Dedup {
     // The shingle hash is md5 of the joined shingle string (the same
     // value [[minhashSig]] computes and the DuckDB oracle replays);
     // the k minhashes are affine permutations of that one hash.
-    val toks = df
-      .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
-      .select(col("id"), col("ws"), posexplode(col("ws")))
-      .filter(col("pos") + w <= size(col("ws")) ||
-        (size(col("ws")) < w && col("pos") === 0))
-      .select(col("id"), shingleBaseHash(concat_ws(" ",
-        Seq(col("col")) ++ (1 until w).map(j => get(col("ws"), col("pos") + j)): _*))
-        .as("__h"))
+    val toks = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
+      .select(col("id"), shingleBaseHash(col("shingle")).as("__h"))
     val coeffs = minhashCoeffs(k)
+    // The signature frame is consumed by FOUR downstream branches (bucket
+    // counts, both self-join sides, verification ids); without a
+    // materialization each branch would re-run the token scan — the
+    // single most expensive stage. It is |docs| rows × (id + k longs),
+    // i.e. orders of magnitude smaller than the corpus; at full scale
+    // this is the frame a deployment writes to storage once
+    // (`.write.bucketBy(..., "id")`), and in-session MEMORY_AND_DISK
+    // persistence is the same tradeoff.
     val sig = toks.groupBy(col("id")).agg(
       min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2), lit(MinhashP))).as("mh0"),
       (1 until k).map { s =>
         val (a, b) = coeffs(s)
         min(pmod(lit(a) * col("__h") + lit(b), lit(MinhashP))).as(s"mh$s")
       }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Stage 2: one row per (id, band, bandHash); ids only from here on.
     val bandHashes = array((0 until bands).map { b =>
@@ -144,22 +165,34 @@ object Dedup {
       .filter(col("bucket_n").between(2, maxBucket))
       .select(col("band"), col("bh"))
     val member = banded.join(okBuckets, Seq("band", "bh"))
+    // Candidate pairs are consumed twice (verification join + the id
+    // semi-join); they number at most Σ bucket_n² ≪ |docs| — persist.
     val cand = member.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(member.select(col("band"), col("bh"), col("id").as("id_b")),
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Stage 5: exact string-shingle Jaccard, but only for docs that made
     // it into a candidate pair — the (interpreted) shingle-array tree is
     // evaluated on the semi-joined subset, not the full corpus.
     val candIds = cand.select(col("id_a").as("cid"))
       .union(cand.select(col("id_b").as("cid"))).distinct()
-    val candSh = df
-      .join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
-      .select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), w)).as("sh"))
+    // Candidates are bounded by the bucket cap, so the repartition is a
+    // tiny shuffle that buys full parallelism for the shingle rebuild
+    // (on a small file the semi-join output would otherwise sit in ONE
+    // scan partition and serialize it). The shingle sets are built by
+    // the same codegen explode path as stage 1 + a collect_set — the
+    // interpreted `shingles()` HOF tree measured ~100× slower here.
+    // Persisted because the verification joins consume both pair sides.
+    val candSh = shingleRows(
+        df.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+          .repartition(df.sparkSession.sparkContext.defaultParallelism),
+        idCol, textCol, w)
+      .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = cand
       .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -214,7 +247,7 @@ object Dedup {
     * whole-stage-codegen, and map-side partial aggregation means the
     * shuffle carries (id, 64 ints) per doc. Returns (idCol, simhash). */
   def simhashDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
+    val toks = Parallelism.fanOut(df)
       .select(col(idCol), explode(words(col(textCol))).as("__w"))
       .select(col(idCol), md5(col("__w")).as("__hex"))
       .select(col(idCol),
@@ -236,7 +269,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         langCol: String, w: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+    val base = Parallelism.fanOut(df)
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
       (length(col(textCol)) / 100).cast("int").as("lenb"),
       array_distinct(shingles(col(textCol), w)).as("sh"))
     val a = base.select(col("lang"), col("lenb"), col("id").as("id_a"),

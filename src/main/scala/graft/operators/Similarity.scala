@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between an embedding column and a broadcast-literal
-    * query vector, as a pure expression (float inputs widened to double). */
+    * query vector (float inputs widened to double). A compact
+    * higher-order-function tree: interpreted, but evaluated only on
+    * candidate/top-k paths — a flat per-element codegen chain was tried
+    * and overflows Janino's 64 KB method limit at dim 64, which silently
+    * falls the whole stage back to interpretation anyway. */
   def cosineToQuery(emb: Column, query: Seq[Double]): Column = {
     val q = array(query.map(lit): _*)
     val e = transform(emb, x => x.cast("double"))
@@ -27,6 +31,17 @@ object Similarity {
     val ne = sqrt(aggregate(transform(e, x => x * x), lit(0.0), _ + _))
     val nq = lit(math.sqrt(query.map(x => x * x).sum))
     dot / (ne * nq)
+  }
+
+  /** Pairwise cosine between two embedding columns (same fold order as
+    * [[cosineToQuery]]; evaluated on in-bucket candidate pairs only). */
+  def cosinePair(a: Column, b: Column, dim: Int): Column = {
+    val ea = transform(a, x => x.cast("double"))
+    val eb = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ea, eb, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(ea, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(eb, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
   }
 
   /** Exact brute-force top-k by cosine similarity (TakeOrderedAndProject —
@@ -51,7 +66,10 @@ object Similarity {
     v.toDouble / 4294967296.0 * 2 - 1
   }
 
-  /** LSH bucket signature: `planes` sign bits packed into a long. */
+  /** LSH bucket signature: `planes` sign bits packed into a long.
+    * Composable Column form (interpreted lambda folds); the full-table
+    * scale path is [[withHyperplaneSig]], whose explode→aggregate plan
+    * is whole-stage codegen. */
   def hyperplaneSig(emb: Column, dim: Int, planes: Int = 16): Column = {
     val bits = (0 until planes).map { p =>
       val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
@@ -63,6 +81,36 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Signature over a whole table, the 100 TB path: posexplode each
+    * embedding to (id, d, x) rows, compute every plane's dot product as
+    * a conditional-sum hash aggregate (small codegen expressions — a
+    * flat multiply-add chain overflows Janino's 64 KB method limit and
+    * de-codegens the stage), then fold sign bits in one projection.
+    * A document's element rows stay contiguous in one scan partition,
+    * so each sum accumulates in ascending-d order in a single partial —
+    * the identical FP order to [[hyperplaneSig]] and the DuckDB oracle.
+    * Returns (id, e = original embedding, sig). */
+  def withHyperplaneSig(df: DataFrame, idCol: String, embCol: String,
+                        dim: Int, planes: Int): DataFrame = {
+    val dims = Parallelism.fanOut(df)
+      .select(col(idCol).as("id"), col(embCol).as("e"), posexplode(col(embCol)))
+    val dots = (0 until planes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      sum(col("col").cast("double") * element_at(plane, col("pos") + 1))
+        .as(s"__dot$p")
+    }
+    val sig = (0 until planes)
+      .map(p => when(col(s"__dot$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    // The L2 norm rides along in the same aggregate (identical ascending-d
+    // accumulation order as an ordered fold), so downstream pair scoring
+    // pays one dot product per pair instead of re-deriving two norms.
+    val nrm = sqrt(sum(col("col").cast("double") * col("col").cast("double")))
+    dims.groupBy(col("id"))
+      .agg(first(col("e")).as("e"), dots :+ nrm.as("nrm"): _*)
+      .select(col("id"), col("e"), col("nrm"), sig.as("sig"))
+  }
+
   /** Index build: embeddings + their materialized LSH signature. At
     * 100 TB this frame is written ONCE, bucketed/partitioned by `__sig`
     * (e.g. `df.write.bucketBy(4096, "__sig")`), so each query's Hamming
@@ -70,7 +118,8 @@ object Similarity {
     * the whole table per query. */
   def buildIndex(df: DataFrame, idCol: String, embCol: String,
                  dim: Int, planes: Int = 12): DataFrame =
-    df.withColumn("__sig", hyperplaneSig(col(embCol), dim, planes))
+    withHyperplaneSig(df, idCol, embCol, dim, planes)
+      .select(col("id").as(idCol), col("e").as(embCol), col("sig").as("__sig"))
 
   /** Signature of a literal query vector (same planes as buildIndex). */
   def querySig(query: Seq[Double], planes: Int = 12): Long =
@@ -110,21 +159,29 @@ object Similarity {
                          dim: Int, planes: Int = 12,
                          threshold: Double = 0.95,
                          maxBucket: Int = 1000): DataFrame = {
-    val sigAll = df.select(col(idCol).as("id"),
-      transform(col(embCol), x => x.cast("double")).as("e"),
-      hyperplaneSig(col(embCol), dim, planes).as("sig"))
+    val sigAll = withHyperplaneSig(df, idCol, embCol, dim, planes)
     val small = sigAll.groupBy(col("sig"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
       .select(col("sig"))
     val sig = sigAll.join(broadcast(small), Seq("sig"))
-    val a = sig.select(col("sig"), col("id").as("id_a"), col("e").as("e_a"))
-    val b = sig.select(col("sig"), col("id").as("id_b"), col("e").as("e_b"))
-    val dot = aggregate(zip_with(col("e_a"), col("e_b"), (x, y) => x * y),
-      lit(0.0), _ + _)
-    val na = sqrt(aggregate(transform(col("e_a"), x => x * x), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(transform(col("e_b"), x => x * x), lit(0.0), _ + _))
-    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", dot / (na * nb))
+    val a = sig.select(col("sig"), col("id").as("id_a"), col("e").as("e_a"),
+      col("nrm").as("nrm_a"))
+    val b = sig.select(col("sig"), col("id").as("id_b"), col("e").as("e_b"),
+      col("nrm").as("nrm_b"))
+    // Per-pair scoring, whole-stage codegen: zip the two embeddings,
+    // explode to (pair, d, x_a, x_b) rows, and hash-aggregate the dot
+    // product. A pair's element rows are contiguous in one partition,
+    // so each sum accumulates in ascending-d order in a single partial —
+    // the same FP order as an ordered fold (and the DuckDB oracle).
+    // The norms were aggregated once per vector in the signature pass.
+    val pairs = a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("nrm_a"), col("nrm_b"),
+        posexplode(arrays_zip(col("e_a"), col("e_b"))))
+    pairs
+      .groupBy(col("id_a"), col("id_b"), col("nrm_a"), col("nrm_b"))
+      .agg(sum(col("col.e_a").cast("double") * col("col.e_b").cast("double"))
+        .as("__dot"))
+      .withColumn("cos_sim", col("__dot") / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
