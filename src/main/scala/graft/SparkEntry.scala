@@ -7,9 +7,10 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The operator inventory (SURVEY §2) is split across modules under
-  * `graft.queries`; each query has a DuckDB oracle unless it is
-  * signature-based (MinHash/SimHash/LSH use Spark hash functions) —
-  * those get the driver's rows-only check.
+  * `graft.queries`; EVERY query has a DuckDB oracle — including the
+  * signature-based ops (MinHash/SimHash/hyperplane LSH), which are
+  * built on md5-derived hashes and exact-FP-order folds precisely so
+  * both engines compute bit-identical signatures.
   */
 object SparkEntry {
 
@@ -39,8 +40,7 @@ object SparkEntry {
     modules.iterator.flatMap(_._1).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for signature-based ops → driver
-    * records a rows-only check. */
+    * the same parquet tables (complete — no rows-only fallbacks). */
   def oracleSql: Map[String, String] =
     modules.iterator.flatMap(_._2).toMap
 
