@@ -129,6 +129,19 @@ object Aggregates {
         max(x).as("max_v"))
     }),
 
+    // describe() string flavor (`hpat_pandas_series_functions.py:4351`,
+    // object dtype branch): count / unique / top / freq; pandas breaks
+    // top ties arbitrarily — here deterministically by value asc
+    "q_describe_str" -> ((s, dir) => {
+      val d = Tables(s, dir, "orders").select(col("o_orderpriority").as("x"))
+      val top = d.groupBy(col("x")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("x")).limit(1)
+        .select(col("x").as("top"), col("n").as("freq"))
+      d.agg(count(col("x")).as("cnt"),
+          countDistinct(col("x")).as("uniq"))
+        .crossJoin(top)
+    }),
+
     // corr / cov between two series, from exact cross sums
     "q_corr_cov" -> ((s, dir) => {
       val x = col("l_quantity")
@@ -234,6 +247,16 @@ object Aggregates {
         |  ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75,
         |  MAX(c_acctbal) AS max_v
         |FROM customer""".stripMargin,
+
+    "q_describe_str" ->
+      """WITH c AS (SELECT o_orderpriority AS x, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT x AS top, n AS freq FROM c ORDER BY n DESC, x LIMIT 1)
+        |SELECT
+        |  (SELECT COUNT(o_orderpriority) FROM orders) AS cnt,
+        |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders) AS uniq,
+        |  top, freq
+        |FROM t""".stripMargin,
 
     "q_corr_cov" ->
       """WITH s AS (SELECT
