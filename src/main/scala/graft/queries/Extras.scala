@@ -297,10 +297,13 @@ object Extras {
 
     // ngramJaccardPairs replica: same normalization, 3-word shingles,
     // (lang, len/100) blocking, exact set Jaccard ≥ 0.2.
+    // NOTE: FLOOR before the INT cast — DuckDB CAST(4.51 AS INT) ROUNDS
+    // to 5, Spark's .cast("int") truncates to 4 (the pandas `len//100`
+    // semantics). Bit at sf0.1 where doc lengths straddle a +50 boundary.
     "q_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id AS id, lang,
-        |    CAST(LENGTH(text)/100.0 AS INT) AS lenb,
+        |    CAST(FLOOR(LENGTH(text)/100.0) AS INT) AS lenb,
         |    list_distinct(
         |      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
         |           ELSE list_transform(generate_series(1, len(ws)-2),

@@ -22,6 +22,13 @@ import graft.Tables
   * per-partition after one shuffle — no global single-partition window in
   * the hot path. Running sums use decimal accumulation (exact ⇒
   * partitioning-independent).
+  *
+  * Window order MUST be a total order: (l_orderkey, l_linenumber) is NOT
+  * unique in the driver's lineitem (456,861 distinct of 600,000 rows at
+  * sf0.1), and a tied window order makes every frame engine-order-
+  * dependent — each engine picks its own tie order and the rolling values
+  * diverge. (l_orderkey, l_linenumber, l_partkey, l_suppkey) IS unique,
+  * so l_partkey completes the order under the suppkey partition.
   */
 object Rolling {
 
@@ -30,26 +37,28 @@ object Rolling {
   val queries: Map[String, Q] = Map(
     // rolling sum/mean/min/max/count, window=5, min_periods=3
     "q_rolling_basic" -> ((s, dir) => {
-      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
         .rowsBetween(-4, Window.currentRow)
       val cnt = count(col("l_extendedprice")).over(w)
       val rsum = sum(col("l_extendedprice").cast(dec2)).over(w).cast("double")
       Tables(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_extendedprice"), col("l_shipdate"))
         .withColumn("roll_cnt", cnt)
         .withColumn("roll_sum", when(cnt >= 3, rsum))
         .withColumn("roll_mean", when(cnt >= 3, rsum / cnt))
         .withColumn("roll_min", when(cnt >= 3, min(col("l_extendedprice")).over(w)))
         .withColumn("roll_max", when(cnt >= 3, max(col("l_extendedprice")).over(w)))
-        .drop("l_shipdate")
+        .drop("l_shipdate", "l_partkey")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
     // rolling var/std from exact windowed power sums, window=4, minp=4
     "q_rolling_var_std" -> ((s, dir) => {
-      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
         .rowsBetween(-3, Window.currentRow)
       val x = col("l_quantity")
@@ -58,11 +67,11 @@ object Rolling {
       val s2 = sum((x * x).cast(DecimalType(34, 4))).over(w).cast("double")
       val variance = (s2 - s1 * s1 / n) / (n - lit(1.0))
       Tables(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), x,
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"), x,
           col("l_shipdate"))
         .withColumn("roll_var", when(n >= 4, variance))
         .withColumn("roll_std", when(n >= 4, sqrt(variance)))
-        .drop("l_shipdate")
+        .drop("l_shipdate", "l_partkey")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -71,19 +80,20 @@ object Rolling {
     // over a window frame; rounded to 6dp because the two engines
     // interpolate with differently-associated (equal-valued) formulas.
     "q_rolling_median_quantile" -> ((s, dir) => {
-      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
         .rowsBetween(-4, Window.currentRow)
       val x = col("l_quantity")
       val n = count(x).over(w)
       Tables(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), x,
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"), x,
           col("l_shipdate"))
         .withColumn("roll_median",
           when(n >= 3, round(expr("percentile(l_quantity, 0.5)").over(w), 6)))
         .withColumn("roll_q25",
           when(n >= 3, round(expr("percentile(l_quantity, 0.25)").over(w), 6)))
-        .drop("l_shipdate")
+        .drop("l_shipdate", "l_partkey")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -91,7 +101,8 @@ object Rolling {
     // cross sums, window=6, minp=4 (pairwise: only rows where both sides
     // are present count — `count(x*y)` — matching pandas pairwise frames)
     "q_rolling_corr_cov" -> ((s, dir) => {
-      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
         .rowsBetween(-5, Window.currentRow)
       val x = col("l_quantity")
@@ -106,11 +117,11 @@ object Rolling {
         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
       val cov = (sxy - sx * sy / n) / (n - lit(1.0))
       Tables(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           x, y, col("l_shipdate"))
         .withColumn("roll_corr", when(n >= 4, round(corr, 6)))
         .withColumn("roll_cov", when(n >= 4, round(cov, 4)))
-        .drop("l_shipdate")
+        .drop("l_shipdate", "l_partkey")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -119,7 +130,8 @@ object Rolling {
     // Aggregates.q_agg_skew; kurt reference
     // `sdc/datatypes/hpat_pandas_series_rolling_functions.py:1013`)
     "q_rolling_skew_kurt" -> ((s, dir) => {
-      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
         .rowsBetween(-5, Window.currentRow)
       val x = col("l_quantity")
@@ -137,13 +149,20 @@ object Rolling {
       val g2 = ((n + lit(1.0)) * (m4 / (m2 * m2) - lit(3.0)) + lit(6.0)) *
         (n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))
       Tables(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), x,
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"), x,
           col("l_shipdate"))
+        // floor(x·1e6 + 0.5)/1e6 — NOT round(): skew/kurt suffer
+        // catastrophic cancellation, and on a half-boundary value Spark's
+        // exact-decimal HALF_UP and DuckDB's float-multiply ROUND disagree
+        // by one last digit. Explicit floor arithmetic is the identical
+        // IEEE op sequence on both engines (oracle mirrors it verbatim).
         // + 0.0 normalizes IEEE −0.0 (a tiny negative skew rounds to −0.0
-        // in DuckDB but +0.0 in Spark)
-        .withColumn("roll_skew", when(n >= 5, round(g1, 6) + lit(0.0)))
-        .withColumn("roll_kurt", when(n >= 5, round(g2, 6) + lit(0.0)))
-        .drop("l_shipdate")
+        // in DuckDB but +0.0 in Spark).
+        .withColumn("roll_skew",
+          when(n >= 5, floor(g1 * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)))
+        .withColumn("roll_kurt",
+          when(n >= 5, floor(g2 * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)))
+        .drop("l_shipdate", "l_partkey")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -152,18 +171,19 @@ object Rolling {
     // lambda; here func = sum of squared deviations from the frame's
     // first element (not expressible as a stock rolling method)
     "q_rolling_apply" -> ((s, dir) => {
-      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
         .rowsBetween(-3, Window.currentRow)
       Tables(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"), col("l_shipdate"))
         .withColumn("frame", collect_list(col("l_quantity")).over(w))
         .withColumn("roll_apply", when(size(col("frame")) >= 4,
           round(expr(
             "aggregate(frame, 0D, (acc, v) -> acc + (v - frame[0]) * (v - frame[0]))"),
             6)))
-        .drop("l_shipdate", "frame")
+        .drop("l_shipdate", "l_partkey", "frame")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     })
   )
@@ -185,7 +205,7 @@ object Rolling {
         |    THEN MAX(l_extendedprice) OVER w END AS roll_max
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
@@ -196,7 +216,7 @@ object Rolling {
         |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(34,4))) OVER w AS DOUBLE) AS s2
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
         |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  CASE WHEN n >= 4 THEN (s2 - s1*s1/n) / (n - 1.0) END AS roll_var,
@@ -211,7 +231,7 @@ object Rolling {
         |    THEN ROUND(quantile_cont(l_quantity, 0.25) OVER w, 6) END AS roll_q25
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
@@ -226,7 +246,7 @@ object Rolling {
         |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sxy
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
         |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  CASE WHEN n >= 4 THEN ROUND((n*sxy - sx*sy) /
@@ -243,7 +263,7 @@ object Rolling {
         |  CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s4
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
         |m AS (SELECT *, s1/n AS mean,
         |  s2/n - (s1/n)*(s1/n) AS m2,
@@ -252,12 +272,13 @@ object Rolling {
         |    - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
         |FROM t)
         |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-        |  CASE WHEN n >= 5 THEN ROUND(
-        |    (m3 / (m2 * SQRT(m2))) * SQRT(n*(n - 1.0)) / (n - 2.0), 6) + 0.0
+        |  CASE WHEN n >= 5 THEN FLOOR(
+        |    (m3 / (m2 * SQRT(m2))) * SQRT(n*(n - 1.0)) / (n - 2.0)
+        |      * 1e6 + 0.5) / 1e6 + 0.0
         |  END AS roll_skew,
-        |  CASE WHEN n >= 5 THEN ROUND(
+        |  CASE WHEN n >= 5 THEN FLOOR(
         |    ((n + 1.0) * (m4/(m2*m2) - 3.0) + 6.0)
-        |      * (n - 1.0) / ((n - 2.0) * (n - 3.0)), 6) + 0.0
+        |      * (n - 1.0) / ((n - 2.0) * (n - 3.0)) * 1e6 + 0.5) / 1e6 + 0.0
         |  END AS roll_kurt
         |FROM m ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
@@ -266,7 +287,7 @@ object Rolling {
         |  list(l_quantity) OVER w AS frame
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
         |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  CASE WHEN len(frame) >= 4 THEN ROUND(
