@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Similarity
+
+/** ANN recall measurement (the LSH path trades recall for pruning; this
+  * pins the tradeoff so a regression in the signature math shows up).
+  *
+  * The synthetic embeddings are near-isotropic, the hardest case for
+  * hyperplane LSH (query dot products sit near zero, so sign bits are
+  * noisy): recall@20 must still clear the floor at the query's Hamming
+  * radius and grow monotonically as the ball widens. Production recall
+  * tuning is OR-amplification (multiple tables), not a wider ball —
+  * a radius-6 ball over 12 planes already admits ~61% of buckets. */
+class RecallSpec extends SparkSpecBase {
+
+  test("LSH recall@20 clears the floor and grows with the Hamming radius") {
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = Seq.fill(64)(0.1)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recalls = Seq(2, 4, 6).map { h =>
+      val lsh = Similarity
+        .lshTopK(emb, "vec_id", "embedding", q, 20, planes = 12, maxHammingDist = h)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (brute & lsh).size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in radius: $recalls")
+    assert(recalls(1) >= 5, s"recall@20 at h=4 collapsed: ${recalls(1)}/20")
+    assert(recalls(2) >= 10, s"recall@20 at h=6 collapsed: ${recalls(2)}/20")
+  }
+}
