@@ -121,6 +121,63 @@ object Similarity {
     withHyperplaneSig(df, idCol, embCol, dim, planes)
       .select(col("id").as(idCol), col("e").as(embCol), col("sig").as("__sig"))
 
+  /** Multi-table signatures over a whole table — OR-amplification, the
+    * standard fix for single-table hyperplane recall on isotropic data
+    * (a wider Hamming ball admits most buckets; more independent tables
+    * don't). Table t uses global plane indices t·planes+p, so every
+    * table hashes with distinct planes, and ALL tables' dot products run
+    * in the ONE explode aggregate (same pass, same FP-order guarantees
+    * as [[withHyperplaneSig]]). Returns (id, e, nrm, sig0..sig{T-1}). */
+  def withHyperplaneSigs(df: DataFrame, idCol: String, embCol: String,
+                         dim: Int, planes: Int, tables: Int): DataFrame = {
+    val dims = Parallelism.fanOut(df)
+      .select(col(idCol).as("id"), col(embCol).as("e"), posexplode(col(embCol)))
+    val dots = (0 until tables * planes).map { gp =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(gp, d))): _*)
+      sum(col("col").cast("double") * element_at(plane, col("pos") + 1))
+        .as(s"__dot$gp")
+    }
+    val nrm = sqrt(sum(col("col").cast("double") * col("col").cast("double")))
+    val sigs = (0 until tables).map { t =>
+      (0 until planes)
+        .map(p => when(col(s"__dot${t * planes + p}") >= 0, lit(1L << p))
+          .otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as(s"sig$t")
+    }
+    dims.groupBy(col("id"))
+      .agg(first(col("e")).as("e"), dots :+ nrm.as("nrm"): _*)
+      .select(Seq(col("id"), col("e"), col("nrm")) ++ sigs: _*)
+  }
+
+  /** Per-table signatures of a literal query vector. */
+  def querySigs(query: Seq[Double], planes: Int, tables: Int): Seq[Long] =
+    (0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val dot = query.indices
+          .map(d => query(d) * planeComponent(t * planes + p, d)).sum
+        if (dot >= 0) 1L << p else 0L
+      }.reduce(_ | _)
+    }
+
+  /** Multi-table ANN top-k: a row is a candidate when ANY table's
+    * signature exactly matches the query's (classic OR-amplified LSH —
+    * each table prunes to one bucket of ~2^-planes of the data); exact
+    * cosine reranks candidates only. */
+  def multiTableTopK(df: DataFrame, idCol: String, embCol: String,
+                     query: Seq[Double], k: Int,
+                     planes: Int = 8, tables: Int = 4): DataFrame = {
+    val sigs = withHyperplaneSigs(df, idCol, embCol, query.length, planes, tables)
+    val qs = querySigs(query, planes, tables)
+    val anyMatch = (0 until tables)
+      .map(t => col(s"sig$t") === lit(qs(t)))
+      .reduce(_ || _)
+    sigs.filter(anyMatch)
+      .select(col("id").as(idCol),
+        cosineToQuery(col("e"), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Signature of a literal query vector (same planes as buildIndex). */
   def querySig(query: Seq[Double], planes: Int = 12): Long =
     (0 until planes).map { p =>
