@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental streaming: the same windowed aggregate fed one file per
+  * micro-batch (maxFilesPerTrigger=1) must merge state across batches
+  * to the exact batch answer — the property the single-file AvailableNow
+  * runs never exercise. */
+class StreamsIncrementalSpec extends SparkSpecBase {
+
+  test("windowed agg over 3 micro-batches equals the one-shot batch agg") {
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_stream_inc").toString
+    // three files → three micro-batches, split by user bucket so windows
+    // overlap across batches and state genuinely merges
+    events.withColumn("__b", pmod(col("user_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value"), 3).cast(DecimalType(30, 3)))
+          .cast("double").as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("inc_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >=3 micro-batches, got ${q.recentProgress.length}")
+
+    val streamed = spark.table("inc_sink")
+    val direct = SparkEntry.queries("q_events_window")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
+}
