@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *    (band, bandHash) — the only shuffle key — so cost is driven by
   *    bucket sizes, not |D|²;
   *  - candidate verification re-checks true Jaccard only inside buckets.
-  * All signature computation is a pure projection over the scan
-  * (higher-order functions, no UDFs, no driver-side loops).
+  * Hot-path signature computation is explode + whole-stage-codegen
+  * expressions + hash aggregation (no UDFs, no interpreted higher-order
+  * functions, no driver-side loops); the Column-form helpers keep the
+  * composable HOF shape for small/derived frames.
   */
 object Dedup {
 
