@@ -21,22 +21,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // Evaluate via the noop sink, NOT count(): count() lets Catalyst prune
+    // every projected column, so a projection-heavy query would bench as
+    // a bare scan. noop forces full evaluation of every output column.
+    def run(name: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save(); true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        false
+      }
     // Warm-up: JIT + codegen + file-footer caches. Failures logged loudly —
     // a broken query must never silently bench as a no-op.
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $n FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      }
-    }
+    names.foreach(run)
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          false
-        }
+      val ok = run(name)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

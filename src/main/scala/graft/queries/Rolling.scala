@@ -132,14 +132,32 @@ object Rolling {
     "q_rolling_skew_kurt" -> ((s, dir) => {
       val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"))
-      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
-        .rowsBetween(-5, Window.currentRow)
+      // Sliding frames make Spark recompute every frame from scratch
+      // (SlidingWindowFunctionFrame is O(w) decimal adds per row — four
+      // power sums measured 5.5s at sf0.1). The sums are EXACT decimals,
+      // so the O(1)-per-row cumulative-difference S_i − S_{i−w} over the
+      // running (unbounded-preceding) frame yields bit-identical window
+      // sums; the running frame uses Spark's streaming accumulation and
+      // lag() is a single buffered-row lookup.
+      val wPart = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      val wRun = wPart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val x = col("l_quantity")
-      val n = count(x).over(w).cast("double")
-      val s1 = sum(x.cast(dec2)).over(w).cast("double")
-      val s2 = sum((x * x).cast(DecimalType(34, 4))).over(w).cast("double")
-      val s3 = sum((x * x * x).cast(DecimalType(38, 6))).over(w).cast("double")
-      val s4 = sum((x * x * x * x).cast(DecimalType(38, 8))).over(w).cast("double")
+      val win = 6
+      val cums = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), x, col("l_shipdate"))
+        .withColumn("__rn", row_number().over(wPart))
+        .withColumn("__c1", sum(x.cast(dec2)).over(wRun))
+        .withColumn("__c2", sum((x * x).cast(DecimalType(34, 4))).over(wRun))
+        .withColumn("__c3", sum((x * x * x).cast(DecimalType(38, 6))).over(wRun))
+        .withColumn("__c4", sum((x * x * x * x).cast(DecimalType(38, 8))).over(wRun))
+      def winSum(c: String) =
+        (col(c) - coalesce(lag(col(c), win).over(wPart), lit(0))).cast("double")
+      val n = least(col("__rn"), lit(win)).cast("double")
+      val s1 = winSum("__c1")
+      val s2 = winSum("__c2")
+      val s3 = winSum("__c3")
+      val s4 = winSum("__c4")
       val mean = s1 / n
       val m2 = s2 / n - mean * mean
       val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
@@ -148,9 +166,7 @@ object Rolling {
       val g1 = (m3 / (m2 * sqrt(m2))) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))
       val g2 = ((n + lit(1.0)) * (m4 / (m2 * m2) - lit(3.0)) + lit(6.0)) *
         (n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))
-      Tables(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"), x,
-          col("l_shipdate"))
+      cums
         // floor(x·1e6 + 0.5)/1e6 — NOT round(): skew/kurt suffer
         // catastrophic cancellation, and on a half-boundary value Spark's
         // exact-decimal HALF_UP and DuckDB's float-multiply ROUND disagree
@@ -162,7 +178,7 @@ object Rolling {
           when(n >= 5, floor(g1 * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)))
         .withColumn("roll_kurt",
           when(n >= 5, floor(g2 * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)))
-        .drop("l_shipdate", "l_partkey")
+        .drop("l_shipdate", "l_partkey", "__rn", "__c1", "__c2", "__c3", "__c4")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
