@@ -35,23 +35,31 @@ object Rolling {
   private val dec2 = DecimalType(30, 2)
 
   val queries: Map[String, Q] = Map(
-    // rolling sum/mean/min/max/count, window=5, min_periods=3
+    // rolling sum/mean/min/max/count, window=5, min_periods=3.
+    // The decimal sum uses the O(1)-per-row cumulative difference (see
+    // q_rolling_skew_kurt — exact, bit-identical); min/max are not
+    // invertible, so they keep the sliding frame (cheap long compares).
     "q_rolling_basic" -> ((s, dir) => {
       val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"))
-      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
-        .rowsBetween(-4, Window.currentRow)
-      val cnt = count(col("l_extendedprice")).over(w)
-      val rsum = sum(col("l_extendedprice").cast(dec2)).over(w).cast("double")
-      Tables(s, dir, "lineitem")
+      val wPart = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      val w = wPart.rowsBetween(-4, Window.currentRow)
+      val wRun = wPart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = Tables(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_extendedprice"), col("l_shipdate"))
-        .withColumn("roll_cnt", cnt)
+        .withColumn("__rn", row_number().over(wPart))
+        .withColumn("__c1", sum(col("l_extendedprice").cast(dec2)).over(wRun))
+      val cnt = least(col("__rn"), lit(5))
+      val rsum = (col("__c1") - coalesce(lag(col("__c1"), 5).over(wPart), lit(0)))
+        .cast("double")
+      cums
+        .withColumn("roll_cnt", cnt.cast("long"))
         .withColumn("roll_sum", when(cnt >= 3, rsum))
         .withColumn("roll_mean", when(cnt >= 3, rsum / cnt))
         .withColumn("roll_min", when(cnt >= 3, min(col("l_extendedprice")).over(w)))
         .withColumn("roll_max", when(cnt >= 3, max(col("l_extendedprice")).over(w)))
-        .drop("l_shipdate", "l_partkey")
+        .drop("l_shipdate", "l_partkey", "__rn", "__c1")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
