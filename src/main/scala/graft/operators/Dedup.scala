@@ -200,9 +200,20 @@ object Dedup {
       .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    verified.withColumn("jaccard", inter / union)
+    val result = verified.withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // Eagerly materialize the (tiny) verified-pair result, then release
+      // the three intermediate caches — without this every invocation
+      // leaks MEMORY_AND_DISK blocks for the JVM lifetime (Bench alone
+      // calls this twice). localCheckpoint blocks are RDD-level and
+      // reclaimed by the ContextCleaner once the returned frame is
+      // unreferenced, unlike CacheManager entries.
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    cand.unpersist(false)
+    candSh.unpersist(false)
+    result
   }
 
   /** Token hash for SimHash: the first 16 hex chars of md5(token) as two

@@ -27,8 +27,11 @@ object Parallelism {
     val under =
       if (files.length >= target) false
       else if (files.nonEmpty) {
-        val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-          .stripSuffix("b").toLong
+        // byteStringAsBytes handles every conf spelling ("128m",
+        // "134217728b", plain digits); manual suffix-stripping threw on
+        // anything but the canonical "…b" form.
+        val mpb = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         val fs = new org.apache.hadoop.fs.Path(files.head)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val splits = files.map { f =>

@@ -89,7 +89,19 @@ object Similarity {
     * A document's element rows stay contiguous in one scan partition,
     * so each sum accumulates in ascending-d order in a single partial —
     * the identical FP order to [[hyperplaneSig]] and the DuckDB oracle.
-    * Returns (id, e = original embedding, sig). */
+    *
+    * CAVEAT (spill): the single-partial guarantee holds while the hash
+    * aggregate keeps a group's accumulator resident. Under memory
+    * pressure HashAggregateExec falls back to sort-based aggregation,
+    * which can split one group across two partials whose merge
+    * re-associates the FP sum — a last-ulp divergence from the ordered
+    * fold. Sign bits flip only when a dot product sits within an ulp of
+    * 0, so bucket assignment is stable in practice; deployments that
+    * need bit-exactness under spill should size
+    * `spark.sql.shuffle.partitions` so per-task group state fits (dim
+    * doubles per in-flight doc), or collect the elements and fold in
+    * order as the pair-verification stage does on its small candidate
+    * set. Returns (id, e = original embedding, sig). */
   def withHyperplaneSig(df: DataFrame, idCol: String, embCol: String,
                         dim: Int, planes: Int): DataFrame = {
     val dims = Parallelism.fanOut(df)
@@ -231,6 +243,9 @@ object Similarity {
     // so each sum accumulates in ascending-d order in a single partial —
     // the same FP order as an ordered fold (and the DuckDB oracle).
     // The norms were aggregated once per vector in the signature pass.
+    // Same spill caveat as withHyperplaneSig: a sort-agg fallback could
+    // re-associate a pair's sum; the candidate set is bucket-capped
+    // (≤ maxBucket² pairs × dim rows per task), so partials fit.
     val pairs = a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("nrm_a"), col("nrm_b"),
         posexplode(arrays_zip(col("e_a"), col("e_b"))))

@@ -45,21 +45,25 @@ object Rolling {
       val wPart = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
       val w = wPart.rowsBetween(-4, Window.currentRow)
       val wRun = wPart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // roll_cnt is pandas' min_periods gate: COUNT of NON-NULL values in
+      // the frame — not the row count (least(row_number, w) would diverge
+      // on any null-bearing value column). The sliding count is cheap long
+      // increments, like min/max; only the decimal sum uses the O(1)
+      // cumulative-difference trick.
       val cums = Tables(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_extendedprice"), col("l_shipdate"))
-        .withColumn("__rn", row_number().over(wPart))
         .withColumn("__c1", sum(col("l_extendedprice").cast(dec2)).over(wRun))
-      val cnt = least(col("__rn"), lit(5))
+      val cnt = count(col("l_extendedprice")).over(w)
       val rsum = (col("__c1") - coalesce(lag(col("__c1"), 5).over(wPart), lit(0)))
         .cast("double")
       cums
-        .withColumn("roll_cnt", cnt.cast("long"))
+        .withColumn("roll_cnt", cnt)
         .withColumn("roll_sum", when(cnt >= 3, rsum))
         .withColumn("roll_mean", when(cnt >= 3, rsum / cnt))
         .withColumn("roll_min", when(cnt >= 3, min(col("l_extendedprice")).over(w)))
         .withColumn("roll_max", when(cnt >= 3, max(col("l_extendedprice")).over(w)))
-        .drop("l_shipdate", "l_partkey", "__rn", "__c1")
+        .drop("l_shipdate", "l_partkey", "__c1")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 

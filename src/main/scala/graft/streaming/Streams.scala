@@ -135,10 +135,65 @@ object Streams {
     }
   }
 
-  /** Streaming sessionization via flatMapGroupsWithState. On a finite
-    * log the single AvailableNow batch carries every event, so emitting
-    * closed sessions per invocation matches the batch twin exactly; on
-    * an unbounded stream the state timeout would flush idle users. */
+  /** A gap-contiguous run of one user's events inside one micro-batch:
+    * the unit the stream emits; [[mergeFragments]] stitches runs that
+    * batching split apart. */
+  case class Fragment(user_id: Long, frag_start: java.sql.Timestamp,
+                      frag_end: java.sql.Timestamp, n_events: Long)
+
+  /** Fold one batch's events for one user into gap-separated fragments
+    * (same walk as [[foldSessions]], but keeping the interval end). */
+  private[graft] def foldFragments(userId: Long, events: Iterator[Event]): Iterator[Fragment] = {
+    val sorted = events.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Seq.newBuilder[Fragment]
+      var start = sorted.head.ts
+      var last = sorted.head.ts
+      var n = 0L
+      for (e <- sorted) {
+        if (tsMicros(e.ts) - tsMicros(last) > GapMicros) {
+          out += Fragment(userId, start, last, n)
+          start = e.ts; n = 0L
+        }
+        n += 1; last = e.ts
+      }
+      out += Fragment(userId, start, last, n)
+      out.result().iterator
+    }
+  }
+
+  /** Gap-tolerant interval union of session fragments → final sessions.
+    *
+    * Exact for ANY split of the log into fragments (and any arrival
+    * order), because gap-merging is monotone: two events that fall in
+    * one session over a subset of the log still do over the whole log.
+    * A fragment joins the running session iff its start is within
+    * GapMicros of the running max fragment-end; counts add because each
+    * event is counted in exactly one fragment of exactly one batch. */
+  private[graft] def mergeFragments(frags: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("frag_start"), col("frag_end"))
+    val prevEnd = max(unix_micros(col("frag_end")))
+      .over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    val newSession = when(prevEnd.isNull ||
+      unix_micros(col("frag_start")) - prevEnd > GapMicros, 1).otherwise(0)
+    val sid = sum(newSession).over(
+      byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    frags.withColumn("session_id", sid.cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("frag_start")).as("session_start"),
+        sum(col("n_events")).as("n_events"))
+  }
+
+  /** Streaming sessionization: each micro-batch emits its users' session
+    * FRAGMENTS statelessly (append-safe — an event contributes to exactly
+    * one fragment of exactly one batch), and a finishing batch pass
+    * gap-merges fragments into sessions. Unlike emit-and-clear state
+    * logic, this is exact when events arrive across many micro-batches,
+    * out of order, or interleaved (see [[mergeFragments]]); the per-batch
+    * work is one shuffle on user_id and the finish pass runs over
+    * |fragments| ≈ |sessions| rows, not events. */
   def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -146,17 +201,22 @@ object Streams {
       spark.readStream.schema(schema).parquet(eventsDir(sfDir)))
       .select(col("user_id"), col("event_id"), col("ts"))
       .as[Event]
-    val sessions = events
+    sessionizeEventStream(spark, events)
+  }
+
+  /** Source-agnostic core of [[sessionizeStream]] — also driven by the
+    * multi-batch incremental spec with a maxFilesPerTrigger=1 source. */
+  private[graft] def sessionizeEventStream(spark: SparkSession,
+                                           events: Dataset[Event]): DataFrame = {
+    import spark.implicits._
+    val frags = events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[Event], Session](
+      .flatMapGroupsWithState[Int, Fragment](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, batch: Iterator[Event], state: GroupState[Seq[Event]]) =>
-          // finite-log path: one batch per group; state kept for shape
-          val all = state.getOption.getOrElse(Seq.empty[Event]) ++ batch
-          state.update(Seq.empty)
-          foldSessions(user, all.iterator)
+        (user: Long, batch: Iterator[Event], _: GroupState[Int]) =>
+          foldFragments(user, batch)
       }
-    runToTable(spark, sessions.toDF(), OutputMode.Append())
+    mergeFragments(runToTable(spark, frags.toDF(), OutputMode.Append()))
       .orderBy(col("user_id"), col("session_id"))
   }
 }

@@ -43,4 +43,29 @@ class StreamsIncrementalSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
+
+  test("sessionization over >=3 micro-batches equals the batch twin") {
+    import graft.streaming.Streams
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_sess_inc").toString
+    // split each user's events ACROSS files by event_id, so sessions are
+    // genuinely fragmented between micro-batches and the merge pass has
+    // real stitching to do (a per-user split would leave it trivial)
+    events.select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("__b", pmod(col("event_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[Streams.Event]
+    val streamed = Streams.sessionizeEventStream(spark, stream)
+    val direct = Streams.sessionizeBatch(events)
+      .orderBy(col("user_id"), col("session_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
 }
