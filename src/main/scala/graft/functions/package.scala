@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 package object functions {
 
+  /** Ordered array dot product (native codegen expression [[DotProduct]];
+    * sessions register it via `spark.sql.extensions=graft.GraftExtensions`). */
+  def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
   /** pandas missing-value normalization: NaN becomes null. */
   def nanToNull(c: Column): Column = nanvl(c, lit(null))
 

@@ -109,9 +109,11 @@ object Dedup {
     *  4. degenerate buckets (empty/boilerplate docs hashing together) are
     *     capped at `maxBucket` members before the self-join, bounding the
     *     worst bucket at maxBucket² instead of |D|²;
-    *  5. exact string-shingle Jaccard is verified only for docs that
-    *     appear in some candidate pair (semi-join first), so the
-    *     interpreted array ops run on hundreds of rows, not |D|.
+    *  5. exact shingle-set Jaccard (over the shared md5-derived shingle
+    *     hashes — no second pass over the texts) is verified only for
+    *     docs that appear in some candidate pair (semi-join on the
+    *     persisted token frame), so verification touches hundreds of
+    *     rows, not |D|.
     *
     * @param bands     number of LSH bands (k % bands == 0)
     * @param threshold verified word-shingle Jaccard similarity cut
@@ -134,17 +136,18 @@ object Dedup {
     // The shingle hash is md5 of the joined shingle string (the same
     // value [[minhashSig]] computes and the DuckDB oracle replays);
     // the k minhashes are affine permutations of that one hash.
+    //
+    // toks is the single most expensive scan (regexp split + explode +
+    // one md5 per shingle) and is consumed TWICE — signature aggregation
+    // and candidate verification — so it persists. It is (id, long) rows:
+    // tiny relative to the corpus, and exactly the frame a 100 TB
+    // deployment would write to storage once.
     val toks = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
       .select(col("id"), shingleBaseHash(col("shingle")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coeffs = minhashCoeffs(k)
-    // The signature frame is consumed by FOUR downstream branches (bucket
-    // counts, both self-join sides, verification ids); without a
-    // materialization each branch would re-run the token scan — the
-    // single most expensive stage. It is |docs| rows × (id + k longs),
-    // i.e. orders of magnitude smaller than the corpus; at full scale
-    // this is the frame a deployment writes to storage once
-    // (`.write.bucketBy(..., "id")`), and in-session MEMORY_AND_DISK
-    // persistence is the same tradeoff.
+    // The signature frame feeds the banding branches (bucket counts +
+    // both self-join sides); |docs| rows × (id + k longs).
     val sig = toks.groupBy(col("id")).agg(
       min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2), lit(MinhashP))).as("mh0"),
       (1 until k).map { s =>
@@ -162,11 +165,20 @@ object Dedup {
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
 
     // Stage 3+4: cap degenerate buckets, then self-join ids within buckets.
-    val okBuckets = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n").between(2, maxBucket))
-      .select(col("band"), col("bh"))
-    val member = banded.join(okBuckets, Seq("band", "bh"))
+    // Bucket-size gate as an unordered window count over the banding
+    // shuffle itself — one pass, no count-frame join; a bucket's rows are
+    // co-partitioned by definition, and the count is O(bucket) per key
+    // regardless of |D| (the cap then drops degenerate buckets before
+    // anything quadratic). member is consumed by both self-join sides;
+    // persisting it (≤ maxBucket rows per surviving bucket) stops each
+    // side re-deriving the banding subtree.
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val member = banded
+      .withColumn("__bn", count(lit(1)).over(bucketW))
+      .filter(col("__bn").between(2, maxBucket))
+      .select(col("id"), col("band"), col("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate pairs are consumed twice (verification join + the id
     // semi-join); they number at most Σ bucket_n² ≪ |docs| — persist.
     val cand = member.select(col("band"), col("bh"), col("id").as("id_a"))
@@ -177,23 +189,20 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Stage 5: exact string-shingle Jaccard, but only for docs that made
-    // it into a candidate pair — the (interpreted) shingle-array tree is
-    // evaluated on the semi-joined subset, not the full corpus.
+    // Stage 5: exact shingle-set Jaccard over the md5-derived 32-bit
+    // shingle hashes, only for docs that made it into a candidate pair.
+    // Verifying on the hash sets (not the strings) reuses the persisted
+    // toks frame — no second regexp/explode/md5 pass over the texts —
+    // and compares longs instead of strings. Both engines compute the
+    // identical hashes, so hash-set Jaccard is the same on both sides;
+    // it equals string-set Jaccard except under 32-bit collisions
+    // (~n²/2³³ per doc — irrelevant at shingle-set sizes, and collisions
+    // affect both engines identically).
     val candIds = cand.select(col("id_a").as("cid"))
       .union(cand.select(col("id_b").as("cid"))).distinct()
-    // Candidates are bounded by the bucket cap, so the repartition is a
-    // tiny shuffle that buys full parallelism for the shingle rebuild
-    // (on a small file the semi-join output would otherwise sit in ONE
-    // scan partition and serialize it). The shingle sets are built by
-    // the same codegen explode path as stage 1 + a collect_set — the
-    // interpreted `shingles()` HOF tree measured ~100× slower here.
-    // Persisted because the verification joins consume both pair sides.
-    val candSh = shingleRows(
-        df.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
-          .repartition(df.sparkSession.sparkContext.defaultParallelism),
-        idCol, textCol, w)
-      .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
+    val candSh = toks
+      .join(broadcast(candIds), col("id") === col("cid"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("__h")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = cand
       .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -210,7 +219,9 @@ object Dedup {
       // reclaimed by the ContextCleaner once the returned frame is
       // unreferenced, unlike CacheManager entries.
       .localCheckpoint(true)
+    toks.unpersist(false)
     sig.unpersist(false)
+    member.unpersist(false)
     cand.unpersist(false)
     candSh.unpersist(false)
     result

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.dotp
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
@@ -15,34 +17,31 @@ import org.apache.spark.sql.functions._
   * hyperplanes; candidate search touches only matching buckets, turning a
   * 100 TB scan per query into a bucket-join. (IVF would need a trained
   * codebook; hyperplane LSH is data-independent and needs no fit step.)
+  *
+  * Every dot product here is the native codegen expression
+  * [[graft.functions.DotProduct]] (`graft_dot`): an ordered per-row loop,
+  * whole-stage codegen, NO shuffle — signature generation is a pure
+  * projection over the scan. The ascending-index accumulation is the
+  * identical FP-operation sequence to DuckDB's `list_reduce` fold, so
+  * signatures and cosines are bit-identical to the oracle REGARDLESS of
+  * partitioning, spill, or retries (the earlier explode→hash-aggregate
+  * formulation guaranteed that order only while a group's accumulator
+  * stayed in one partial).
   */
 object Similarity {
 
   /** Cosine similarity between an embedding column and a broadcast-literal
-    * query vector (float inputs widened to double). A compact
-    * higher-order-function tree: interpreted, but evaluated only on
-    * candidate/top-k paths — a flat per-element codegen chain was tried
-    * and overflows Janino's 64 KB method limit at dim 64, which silently
-    * falls the whole stage back to interpretation anyway. */
+    * query vector (float inputs widened to double element-wise). */
   def cosineToQuery(emb: Column, query: Seq[Double]): Column = {
     val q = array(query.map(lit): _*)
-    val e = transform(emb, x => x.cast("double"))
-    val dot = aggregate(zip_with(e, q, (a, b) => a * b), lit(0.0), _ + _)
-    val ne = sqrt(aggregate(transform(e, x => x * x), lit(0.0), _ + _))
     val nq = lit(math.sqrt(query.map(x => x * x).sum))
-    dot / (ne * nq)
+    dotp(emb, q) / (sqrt(dotp(emb, emb)) * nq)
   }
 
-  /** Pairwise cosine between two embedding columns (same fold order as
-    * [[cosineToQuery]]; evaluated on in-bucket candidate pairs only). */
-  def cosinePair(a: Column, b: Column, dim: Int): Column = {
-    val ea = transform(a, x => x.cast("double"))
-    val eb = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ea, eb, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(transform(ea, x => x * x), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(transform(eb, x => x * x), lit(0.0), _ + _))
-    dot / (na * nb)
-  }
+  /** Pairwise cosine between two embedding columns (same ordered-loop
+    * fold as [[cosineToQuery]]). */
+  def cosinePair(a: Column, b: Column, dim: Int): Column =
+    dotp(a, b) / (sqrt(dotp(a, a)) * sqrt(dotp(b, b)))
 
   /** Exact brute-force top-k by cosine similarity (TakeOrderedAndProject —
     * per-partition top-k then a k-row merge, no global sort). */
@@ -66,61 +65,31 @@ object Similarity {
     v.toDouble / 4294967296.0 * 2 - 1
   }
 
-  /** LSH bucket signature: `planes` sign bits packed into a long.
-    * Composable Column form (interpreted lambda folds); the full-table
-    * scale path is [[withHyperplaneSig]], whose explode→aggregate plan
-    * is whole-stage codegen. */
-  def hyperplaneSig(emb: Column, dim: Int, planes: Int = 16): Column = {
-    val bits = (0 until planes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
-      val dot = aggregate(
-        zip_with(transform(emb, x => x.cast("double")), plane, (a, b) => a * b),
-        lit(0.0), _ + _)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** The literal plane vector for plane `p` over `dim` dims. Constant-
+    * folded to one array literal per plane — not re-built per row. */
+  private def planeLit(p: Int, dim: Int): Column =
+    array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
 
-  /** Signature over a whole table, the 100 TB path: posexplode each
-    * embedding to (id, d, x) rows, compute every plane's dot product as
-    * a conditional-sum hash aggregate (small codegen expressions — a
-    * flat multiply-add chain overflows Janino's 64 KB method limit and
-    * de-codegens the stage), then fold sign bits in one projection.
-    * A document's element rows stay contiguous in one scan partition,
-    * so each sum accumulates in ascending-d order in a single partial —
-    * the identical FP order to [[hyperplaneSig]] and the DuckDB oracle.
-    *
-    * CAVEAT (spill): the single-partial guarantee holds while the hash
-    * aggregate keeps a group's accumulator resident. Under memory
-    * pressure HashAggregateExec falls back to sort-based aggregation,
-    * which can split one group across two partials whose merge
-    * re-associates the FP sum — a last-ulp divergence from the ordered
-    * fold. Sign bits flip only when a dot product sits within an ulp of
-    * 0, so bucket assignment is stable in practice; deployments that
-    * need bit-exactness under spill should size
-    * `spark.sql.shuffle.partitions` so per-task group state fits (dim
-    * doubles per in-flight doc), or collect the elements and fold in
-    * order as the pair-verification stage does on its small candidate
-    * set. Returns (id, e = original embedding, sig). */
+  /** LSH bucket signature: `planes` sign bits packed into a long. A pure
+    * projection — `planes` ordered-loop dot products per row, no shuffle,
+    * no state; this IS the 100 TB path (used verbatim by
+    * [[withHyperplaneSig]] over whole tables). */
+  def hyperplaneSig(emb: Column, dim: Int, planes: Int = 16): Column =
+    (0 until planes).map { p =>
+      when(dotp(emb, planeLit(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Signature + L2 norm over a whole table: one shuffle-free projection.
+    * The norm rides along (`graft_dot(e, e)`) so downstream pair scoring
+    * pays one dot product per pair instead of re-deriving two norms.
+    * Returns (id, e = original embedding, nrm, sig). */
   def withHyperplaneSig(df: DataFrame, idCol: String, embCol: String,
                         dim: Int, planes: Int): DataFrame = {
-    val dims = Parallelism.fanOut(df)
-      .select(col(idCol).as("id"), col(embCol).as("e"), posexplode(col(embCol)))
-    val dots = (0 until planes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
-      sum(col("col").cast("double") * element_at(plane, col("pos") + 1))
-        .as(s"__dot$p")
-    }
-    val sig = (0 until planes)
-      .map(p => when(col(s"__dot$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    // The L2 norm rides along in the same aggregate (identical ascending-d
-    // accumulation order as an ordered fold), so downstream pair scoring
-    // pays one dot product per pair instead of re-deriving two norms.
-    val nrm = sqrt(sum(col("col").cast("double") * col("col").cast("double")))
-    dims.groupBy(col("id"))
-      .agg(first(col("e")).as("e"), dots :+ nrm.as("nrm"): _*)
-      .select(col("id"), col("e"), col("nrm"), sig.as("sig"))
+    val e = col(embCol)
+    Parallelism.fanOut(df).select(
+      col(idCol).as("id"), e.as("e"),
+      sqrt(dotp(e, e)).as("nrm"),
+      hyperplaneSig(e, dim, planes).as("sig"))
   }
 
   /** Index build: embeddings + their materialized LSH signature. At
@@ -137,28 +106,19 @@ object Similarity {
     * standard fix for single-table hyperplane recall on isotropic data
     * (a wider Hamming ball admits most buckets; more independent tables
     * don't). Table t uses global plane indices t·planes+p, so every
-    * table hashes with distinct planes, and ALL tables' dot products run
-    * in the ONE explode aggregate (same pass, same FP-order guarantees
-    * as [[withHyperplaneSig]]). Returns (id, e, nrm, sig0..sig{T-1}). */
+    * table hashes with distinct planes. Still one shuffle-free
+    * projection. Returns (id, e, nrm, sig0..sig{T-1}). */
   def withHyperplaneSigs(df: DataFrame, idCol: String, embCol: String,
                          dim: Int, planes: Int, tables: Int): DataFrame = {
-    val dims = Parallelism.fanOut(df)
-      .select(col(idCol).as("id"), col(embCol).as("e"), posexplode(col(embCol)))
-    val dots = (0 until tables * planes).map { gp =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(gp, d))): _*)
-      sum(col("col").cast("double") * element_at(plane, col("pos") + 1))
-        .as(s"__dot$gp")
-    }
-    val nrm = sqrt(sum(col("col").cast("double") * col("col").cast("double")))
+    val e = col(embCol)
     val sigs = (0 until tables).map { t =>
-      (0 until planes)
-        .map(p => when(col(s"__dot${t * planes + p}") >= 0, lit(1L << p))
-          .otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _).as(s"sig$t")
+      (0 until planes).map { p =>
+        when(dotp(e, planeLit(t * planes + p, dim)) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _).as(s"sig$t")
     }
-    dims.groupBy(col("id"))
-      .agg(first(col("e")).as("e"), dots :+ nrm.as("nrm"): _*)
-      .select(Seq(col("id"), col("e"), col("nrm")) ++ sigs: _*)
+    Parallelism.fanOut(df).select(
+      Seq(col(idCol).as("id"), e.as("e"), sqrt(dotp(e, e)).as("nrm")) ++ sigs: _*)
   }
 
   /** Per-table signatures of a literal query vector. */
@@ -223,7 +183,9 @@ object Similarity {
     * per-bucket membership — one degenerate bucket (e.g. the all-zeros
     * region) would otherwise go quadratic at scale; capped buckets are
     * dropped, trading recall for a bounded candidate count (same policy
-    * as Dedup.minhashPairs). */
+    * as Dedup.minhashPairs). Per-pair scoring is one `graft_dot` in the
+    * join's output projection — the only shuffle in this operator is the
+    * bucket equi-join itself, keyed on the 64-bit signature. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                          dim: Int, planes: Int = 12,
                          threshold: Double = 0.95,
@@ -237,23 +199,9 @@ object Similarity {
       col("nrm").as("nrm_a"))
     val b = sig.select(col("sig"), col("id").as("id_b"), col("e").as("e_b"),
       col("nrm").as("nrm_b"))
-    // Per-pair scoring, whole-stage codegen: zip the two embeddings,
-    // explode to (pair, d, x_a, x_b) rows, and hash-aggregate the dot
-    // product. A pair's element rows are contiguous in one partition,
-    // so each sum accumulates in ascending-d order in a single partial —
-    // the same FP order as an ordered fold (and the DuckDB oracle).
-    // The norms were aggregated once per vector in the signature pass.
-    // Same spill caveat as withHyperplaneSig: a sort-agg fallback could
-    // re-associate a pair's sum; the candidate set is bucket-capped
-    // (≤ maxBucket² pairs × dim rows per task), so partials fit.
-    val pairs = a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("nrm_a"), col("nrm_b"),
-        posexplode(arrays_zip(col("e_a"), col("e_b"))))
-    pairs
-      .groupBy(col("id_a"), col("id_b"), col("nrm_a"), col("nrm_b"))
-      .agg(sum(col("col.e_a").cast("double") * col("col.e_b").cast("double"))
-        .as("__dot"))
-      .withColumn("cos_sim", col("__dot") / (col("nrm_a") * col("nrm_b")))
+    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        dotp(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }

@@ -26,6 +26,14 @@ object TextOps {
     size(filter(split(text, "(?<=[a-z])(?=[A-Z])|\\s+|(?=[^A-Za-z0-9\\s])"),
       x => length(x) > 0))
 
+  /** BPE-ish token count via match counting (GPT-2-style lexeme classes:
+    * letter runs, digit runs, single punctuation). Unlike [[subwordCount]]
+    * this pattern avoids lookarounds, so RE2-based engines (DuckDB) count
+    * the identical tokens — the oracle-checkable variant. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenPattern))
+
   /** Mean token length in characters. */
   def meanTokenLen(text: Column): Column = {
     val t = tokens(text)

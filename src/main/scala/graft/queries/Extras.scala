@@ -28,6 +28,17 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // token counting: whitespace tokens + BPE-ish lexeme-class tokens
+    // (brief's training-pipeline surface; the regex is RE2-compatible so
+    // both engines count the identical matches)
+    "q_token_count" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
@@ -175,6 +186,15 @@ object Extras {
         |    AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS INT)
+        |  END AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS INT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_text_quality" ->
       """WITH q AS (SELECT doc_id,
         |  ((CASE WHEN LENGTH(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
@@ -251,7 +271,9 @@ object Extras {
     // construction, md5-nibble base hash, the same k affine permutations
     // (coefficients interpolated from Dedup.minhashCoeffs), banding,
     // the [2, maxBucket] bucket filter, candidate pairs, and exact
-    // shingle-Jaccard verification at the same threshold.
+    // shingle-HASH-set Jaccard verification at the same threshold
+    // (both engines hash shingles with the same md5 nibbles, so the
+    // hash sets — and their Jaccard — are identical).
     "q_dedup_minhash" -> {
       val coeffs = Dedup.minhashCoeffs(16)
       val P = Dedup.MinhashP
@@ -286,11 +308,12 @@ object Extras {
         |member AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |  FROM member a JOIN member b USING (band, bh) WHERE a.id < b.id),
+        |hsets AS (SELECT id, list_distinct(hl) AS hh FROM hs),
         |pairs AS (SELECT id_a, id_b,
-        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
-        |  FROM cand JOIN base sa ON sa.id = cand.id_a
-        |            JOIN base sb ON sb.id = cand.id_b)
+        |  CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(ha.hh, hb.hh))) AS j
+        |  FROM cand JOIN hsets ha ON ha.id = cand.id_a
+        |            JOIN hsets hb ON hb.id = cand.id_b)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
     },

@@ -94,6 +94,19 @@ object GroupBy {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // pivot_table(index, columns, values, aggfunc='sum') — reference
+    // `sdc/tests/test_groupby.py:743-760` (legacy HPAT pivot surface, the
+    // pivot values declared up front like its `pivots={'pt': [...]}`
+    // decorator; Spark's groupBy().pivot() likewise takes explicit values
+    // to keep the schema static and the plan a single two-phase hash agg)
+    "q_pivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // two-level grouping + having-style post-filter
     "q_groupby_multi_key" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -157,6 +170,15 @@ object GroupBy {
       """SELECT c_mktsegment,
         |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS "F",
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_groupby_multi_key" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

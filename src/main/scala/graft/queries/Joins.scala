@@ -66,7 +66,11 @@ object Joins {
       val rev = li.filter(col("l_returnflag") =!= "R")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(dsum(col("l_extendedprice")).as("sum_price"))
-      qty.join(rev, Seq("l_partkey", "l_suppkey"), "inner")
+      // Both sides leave their hash aggregates already partitioned on
+      // (l_partkey, l_suppkey), so the join adds no exchange; the
+      // shuffle_hash hint skips the two sort passes a sort-merge join
+      // would add on ~|groups|-sized inputs.
+      qty.join(rev.hint("shuffle_hash"), Seq("l_partkey", "l_suppkey"), "inner")
         .orderBy(col("l_partkey"), col("l_suppkey"))
     }),
 

@@ -50,16 +50,29 @@ object Streams {
     df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
-    * memory sink and return the materialized result. */
+    * memory sink and return the materialized result.
+    *
+    * Stateful streaming creates one state store per shuffle partition
+    * per micro-batch (~100 ms each of snapshot/commit I/O — profiled:
+    * 32 partitions floor an AvailableNow run at ~4-5 s); the streaming
+    * aggregations here have thousands of groups, not millions, so the
+    * query runs with a reduced state-partition count. Batch conf is
+    * restored before callers' finishing passes. Stream state partitioning
+    * is a per-query deployment knob at any scale — state stores hold
+    * GROUPS (windows/users), orders of magnitude fewer than input rows. */
   private def runToTable(spark: SparkSession, stream: DataFrame,
                          mode: OutputMode): DataFrame = {
     val name = s"graft_sink_${sinkSeq.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
