@@ -31,6 +31,7 @@ object SparkEntry {
     (Datetime.queries, Datetime.oracle),
     (NullOps.queries, NullOps.oracle),
     (Sources.queries, Sources.oracle),
+    (IndexOps.queries, IndexOps.oracle),
     (StreamsQ.queries, StreamsQ.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extras.queries, Extras.oracle))

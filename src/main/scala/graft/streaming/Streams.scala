@@ -64,7 +64,15 @@ object Streams {
                          mode: OutputMode): DataFrame = {
     val name = s"graft_sink_${sinkSeq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // The trailing no-data micro-batch only advances the watermark for
+    // eviction/append-emission bookkeeping; with Complete output (all
+    // windows re-emitted each batch) and the stateless fragment stream
+    // (emits on data only) it changes no result — skip its full
+    // state-store commit cycle.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = stream.writeStream
         .format("memory").queryName(name)
@@ -72,7 +80,10 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     spark.table(name)
   }
 

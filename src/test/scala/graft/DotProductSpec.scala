@@ -54,6 +54,27 @@ class DotProductSpec extends SparkSpecBase {
     assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
   }
 
+  test("signature generation is a shuffle-free whole-stage-codegen projection") {
+    val emb = Tables(spark, sf, "embeddings")
+    val df = graft.operators.Similarity
+      .withHyperplaneSig(emb, "vec_id", "embedding", 64, 12)
+    df.collect() // finalize the adaptive plan so codegen stages appear
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // The only allowed Exchange is Parallelism.fanOut's round-robin
+    // repartition of a small single-split input (a no-op on production
+    // inputs); no key shuffle, no aggregation.
+    assert(!plan.contains("hashpartitioning") && !plan.contains("Aggregate"),
+      "signatures must be a pure projection:\n" +
+        plan.linesIterator
+          .filter(l => l.contains("Exchange") || l.contains("Aggregate"))
+          .mkString("\n"))
+    // simple-mode explain marks whole-stage-codegen stages with "*(n)";
+    // the projection carrying graft_dot must be inside one
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      plan.take(400))
+  }
+
   test("hyperplane signatures from graft_dot match scalar recomputation") {
     val emb = Tables(spark, sf, "embeddings")
     val got = Similarity.withHyperplaneSig(emb, "vec_id", "embedding", 64, 8)
