@@ -21,7 +21,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // Optional args narrow the run to named queries — local iteration
+    // only; the driver passes no args and benches the full headline set.
+    val names =
+      (if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries)
+        .filter(SparkEntry.queries.contains)
     // Evaluate via the noop sink, NOT count(): count() lets Catalyst prune
     // every projected column, so a projection-heavy query would bench as
     // a bare scan. noop forces full evaluation of every output column.

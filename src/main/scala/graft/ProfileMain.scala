@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler: times sub-pipelines of the heavy operators so
+  * optimization targets are measured, not guessed (not part of the driver
+  * contract; run via `sbt "runMain graft.ProfileMain"`). */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      df.write.mode("overwrite").format("noop").save() // warm
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+
+    import graft.operators.{Dedup, Parallelism}
+    val docs = Tables(spark, sfDir, "documents")
+    println(s"[profile] documents rows = ${docs.count()}")
+
+    val fanned = Parallelism.fanOut(docs)
+    // Stage 1+2: shingle rows → base hash → 16 min-aggs
+    val toksOnly = fanned
+      .select(col("doc_id").as("id"),
+        split(trim(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " ")), "\\s+").as("ws"))
+      .select(col("id"), col("ws"), posexplode(col("ws")))
+    time("words+posexplode")(toksOnly.select(col("id"), col("col")))
+    val sh = toksOnly
+      .filter(col("pos") + 3 <= size(col("ws")) ||
+        (size(col("ws")) < 3 && col("pos") === 0))
+      .select(col("id"), concat_ws(" ",
+        Seq(col("col")) ++ (1 until 3).map(j => get(col("ws"), col("pos") + j)): _*).as("shingle"))
+    time("  +shingle concat")(sh)
+    val hashed = sh.select(col("id"),
+      conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("__h"))
+    time("  +md5 basehash")(hashed)
+    val coeffs = Dedup.minhashCoeffs(16)
+    val sig = hashed.groupBy(col("id")).agg(
+      min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2), lit(Dedup.MinhashP))).as("mh0"),
+      (1 until 16).map { s =>
+        val (a, b) = coeffs(s)
+        min(pmod(lit(a) * col("__h") + lit(b), lit(Dedup.MinhashP))).as(s"mh$s")
+      }: _*)
+    time("  +16 min-aggs (sig)")(sig)
+    time("full minhashPairs")(Dedup.minhashPairs(docs, "doc_id", "text"))
+    spark.stop()
+  }
+}

@@ -110,10 +110,10 @@ object Dedup {
     *     capped at `maxBucket` members before the self-join, bounding the
     *     worst bucket at maxBucket² instead of |D|²;
     *  5. exact shingle-set Jaccard (over the shared md5-derived shingle
-    *     hashes — no second pass over the texts) is verified only for
-    *     docs that appear in some candidate pair (semi-join on the
-    *     persisted token frame), so verification touches hundreds of
-    *     rows, not |D|.
+    *     hashes) is verified only for docs that appear in some candidate
+    *     pair — the candidate-id semi-join is pushed below the shingle
+    *     explode, so the verification pass re-shingles hundreds of docs,
+    *     not |D|.
     *
     * @param bands     number of LSH bands (k % bands == 0)
     * @param threshold verified word-shingle Jaccard similarity cut
@@ -137,24 +137,28 @@ object Dedup {
     // value [[minhashSig]] computes and the DuckDB oracle replays);
     // the k minhashes are affine permutations of that one hash.
     //
-    // toks is the single most expensive scan (regexp split + explode +
-    // one md5 per shingle) and is consumed TWICE — signature aggregation
-    // and candidate verification — so it persists. It is (id, long) rows:
-    // tiny relative to the corpus, and exactly the frame a 100 TB
-    // deployment would write to storage once.
-    val toks = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
-      .select(col("id"), shingleBaseHash(col("shingle")).as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // toks (regexp split + explode + one md5 per shingle) is the single
+    // most expensive scan, and it feeds the signature aggregation as a
+    // pure whole-stage-codegen pipeline: scan → explode → md5 → partial
+    // min-agg, with only (id, k longs) per doc crossing the shuffle.
+    // It is deliberately NOT persisted — caching (id, hash) rows costs a
+    // full serialize/store pass of the widest frame in the job; the only
+    // other consumer (candidate verification) re-derives shingles for
+    // just the candidate docs below, which is a few hundred rows of
+    // regexp work instead of a corpus-wide cache write.
+    def shingleHashes(src: DataFrame): DataFrame =
+      shingleRows(src, idCol, textCol, w)
+        .select(col("id"), shingleBaseHash(col("shingle")).as("__h"))
+    val fanned = Parallelism.fanOut(df)
     val coeffs = minhashCoeffs(k)
-    // The signature frame feeds the banding branches (bucket counts +
-    // both self-join sides); |docs| rows × (id + k longs).
-    val sig = toks.groupBy(col("id")).agg(
+    // Signature frame: |docs| rows × (id + k longs); single consumer
+    // (banding), so it stays an unpersisted pipeline stage.
+    val sig = shingleHashes(fanned).groupBy(col("id")).agg(
       min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2), lit(MinhashP))).as("mh0"),
       (1 until k).map { s =>
         val (a, b) = coeffs(s)
         min(pmod(lit(a) * col("__h") + lit(b), lit(MinhashP))).as(s"mh$s")
       }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Stage 2: one row per (id, band, bandHash); ids only from here on.
     val bandHashes = array((0 until bands).map { b =>
@@ -191,17 +195,18 @@ object Dedup {
 
     // Stage 5: exact shingle-set Jaccard over the md5-derived 32-bit
     // shingle hashes, only for docs that made it into a candidate pair.
-    // Verifying on the hash sets (not the strings) reuses the persisted
-    // toks frame — no second regexp/explode/md5 pass over the texts —
-    // and compares longs instead of strings. Both engines compute the
-    // identical hashes, so hash-set Jaccard is the same on both sides;
-    // it equals string-set Jaccard except under 32-bit collisions
+    // The candidate-id semi-join is pushed BELOW the shingle explode
+    // (broadcast filter on the source scan), so the second regexp/md5
+    // pass touches only candidate docs — a few hundred rows — instead of
+    // re-reading or caching the corpus-wide token frame. Hash-set
+    // Jaccard equals string-set Jaccard except under 32-bit collisions
     // (~n²/2³³ per doc — irrelevant at shingle-set sizes, and collisions
     // affect both engines identically).
     val candIds = cand.select(col("id_a").as("cid"))
       .union(cand.select(col("id_b").as("cid"))).distinct()
-    val candSh = toks
-      .join(broadcast(candIds), col("id") === col("cid"), "left_semi")
+    val candDocs = fanned
+      .join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+    val candSh = shingleHashes(candDocs)
       .groupBy(col("id")).agg(collect_set(col("__h")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = cand
@@ -213,14 +218,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       // Eagerly materialize the (tiny) verified-pair result, then release
-      // the three intermediate caches — without this every invocation
-      // leaks MEMORY_AND_DISK blocks for the JVM lifetime (Bench alone
-      // calls this twice). localCheckpoint blocks are RDD-level and
-      // reclaimed by the ContextCleaner once the returned frame is
-      // unreferenced, unlike CacheManager entries.
+      // the intermediate caches — without this every invocation leaks
+      // MEMORY_AND_DISK blocks for the JVM lifetime (Bench alone calls
+      // this twice). localCheckpoint blocks are RDD-level and reclaimed
+      // by the ContextCleaner once the returned frame is unreferenced,
+      // unlike CacheManager entries.
       .localCheckpoint(true)
-    toks.unpersist(false)
-    sig.unpersist(false)
     member.unpersist(false)
     cand.unpersist(false)
     candSh.unpersist(false)

@@ -107,6 +107,19 @@ object GroupBy {
         .orderBy(col("l_returnflag"))
     }),
 
+    // melt / unpivot — the inverse reshape of q_pivot (parity-plus: the
+    // reference pivots only). Spark's native unpivot is a single
+    // narrow Expand projection — rows×2 out, no shuffle before the
+    // final sort; pandas-melt default column names (variable, value).
+    "q_melt" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").as("qty"), col("l_extendedprice").as("price")),
+          "variable", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("variable"))
+    }),
+
     // two-level grouping + having-style post-filter
     "q_groupby_multi_key" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -179,6 +192,14 @@ object GroupBy {
         |    THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS "O"
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS variable,
+        |  l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin,
 
     "q_groupby_multi_key" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.dsum
 
 /** SURVEY §2.1 sources: the `read_csv` options matrix, the DataFrame
   * constructor, and the NumPy binary-file source.
@@ -54,6 +55,21 @@ object Sources {
         .coalesce(1)
         .write.mode("overwrite")
         .option("header", "true").option("sep", "|").csv(tmp)
+      tmp
+    })
+
+  /** Orders written as a partitioned parquet dataset (hive layout,
+    * `o_orderpriority=<v>/` directories) — the sink side of §2.1 plus
+    * the partition-pruned scan the round-trip query exercises. */
+  private def ordersPartitioned(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"opart:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_opart_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(tmp)
       tmp
     })
 
@@ -124,6 +140,21 @@ object Sources {
         .orderBy(col("r_key"))
     }),
 
+    // Sink round-trip: orders written `partitionBy(o_orderpriority)` to
+    // parquet (the layout a 100 TB pipeline bakes in at ingest), read
+    // back with an equality filter on the partition column — the scan
+    // must list ONE directory (partition pruning; the spec asserts the
+    // plan), then aggregate. Fixture written once per JVM.
+    "q_sink_partitioned" -> ((s, dir) => {
+      val path = ordersPartitioned(s, dir)
+      s.read.parquet(path)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_urgent"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // np.fromfile: binaryFile source + per-partition int64 decode
     "q_binary_source" -> ((s, dir) => {
       val spark = s
@@ -158,6 +189,12 @@ object Sources {
         |             (3,'EUROPE'),(4,'MIDDLE EAST')) AS r(r_key, r_label)
         |  ON n_regionkey = r_key
         |ORDER BY r_key""".stripMargin,
+
+    "q_sink_partitioned" ->
+      """SELECT o_custkey, COUNT(*) AS n_urgent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_binary_source" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation ORDER BY v"""

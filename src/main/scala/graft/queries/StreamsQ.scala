@@ -21,7 +21,11 @@ object StreamsQ {
         .orderBy(col("user_id"), col("session_id"))),
 
     // the same sessions via flatMapGroupsWithState on the stream
-    "q_sessionize_stream" -> ((s, dir) => Streams.sessionizeStream(s, dir))
+    "q_sessionize_stream" -> ((s, dir) => Streams.sessionizeStream(s, dir)),
+
+    // streaming exact dedup: dropDuplicates state emits each distinct
+    // (event_type, user_id) once; finishing pass counts per type
+    "q_stream_dedup" -> ((s, dir) => Streams.dedupStream(s, dir))
   )
 
   private val sessionSql =
@@ -50,6 +54,9 @@ object StreamsQ {
   val oracle: Map[String, String] = Map(
     "q_events_stream" -> windowSql,
     "q_sessionize" -> sessionSql,
-    "q_sessionize_stream" -> sessionSql
+    "q_sessionize_stream" -> sessionSql,
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

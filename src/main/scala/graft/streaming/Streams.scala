@@ -106,6 +106,28 @@ object Streams {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** Streaming exact deduplication: `dropDuplicates` on the key columns
+    * themselves — each micro-batch emits only keys never seen before, so
+    * the sink receives exactly the distinct key set for ANY batching or
+    * arrival order (the emitted rows ARE the keys; nothing
+    * order-dependent rides along). Dedup state is one entry per distinct
+    * key; the finishing batch aggregation then runs over |distinct keys|
+    * rows, not |events|. At 100 TB the bounded-state variant is
+    * `dropDuplicatesWithinWatermark` (state evicted past the delay; a
+    * late re-arrival can re-emit, so the finishing pass would
+    * re-distinct) — exact unbounded-key state is the right trade here
+    * where the key domain (event_type × user) is far smaller than the
+    * event log. */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val distinctKeys = spark.readStream.schema(schema).parquet(eventsDir(sfDir))
+      .select(col("event_type"), col("user_id"))
+      .dropDuplicates("event_type", "user_id")
+    runToTable(spark, distinctKeys, OutputMode.Append())
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   // ——— sessionization: 30-minute-gap sessions per user ———
 
   /** Session gap threshold, in microseconds (all gap comparisons run at
