@@ -44,6 +44,35 @@ class StreamsIncrementalSpec extends SparkSpecBase {
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup over >=3 micro-batches emits exactly the distinct keys") {
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_dedup_inc").toString
+    // split by event_id so the same (event_type, user_id) key recurs in
+    // several micro-batches — state must suppress the re-arrivals
+    events.select(col("event_type"), col("user_id"), col("event_id"))
+      .withColumn("__b", pmod(col("event_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val keys = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(col("event_type"), col("user_id"))
+      .dropDuplicates("event_type", "user_id")
+    val q = keys.writeStream.format("memory").queryName("dedup_inc_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >=3 micro-batches, got ${q.recentProgress.length}")
+
+    val streamed = spark.table("dedup_inc_sink")
+    val direct = events.select(col("event_type"), col("user_id")).distinct()
+    assert(streamed.count() == direct.count())
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionization over >=3 micro-batches equals the batch twin") {
     import graft.streaming.Streams
     val events = Tables(spark, sf, "events")
