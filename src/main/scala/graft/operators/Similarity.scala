@@ -178,6 +178,70 @@ object Similarity {
     queryIndex(buildIndex(df, idCol, embCol, query.length, planes),
       idCol, embCol, query, k, planes, maxHammingDist)
 
+  /** IVF(-flat) coarse quantization: every vector is assigned to its
+    * nearest centroid by cosine. Assignment rank is a per-vector window
+    * (one shuffle on id over |D|·nCents scored rows; nCents is small and
+    * broadcast). Centroids here are fixed seed vectors — a production
+    * build would iterate k-means over this same assign primitive, which
+    * changes centroid VALUES, not the index/probe plumbing. Returns
+    * (id, e, nrm, cent).
+    *
+    * At 100 TB the assigned frame is written ONCE, partitioned by
+    * `cent` (`df.write.partitionBy("cent")`), so a probe's scan reads
+    * nprobe/nCents of the corpus via partition pruning — the IVF
+    * counterpart of [[buildIndex]]'s signature bucketing. */
+  def ivfAssign(df: DataFrame, idCol: String, embCol: String,
+                cents: DataFrame): DataFrame = {
+    val e = col(embCol)
+    val scored = Parallelism.fanOut(df)
+      .select(col(idCol).as("id"), e.as("e"), sqrt(dotp(e, e)).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos_c",
+        dotp(col("e"), col("cemb")) / (col("nrm") * col("cnrm")))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("__cos_c").desc, col("cent_id"))
+    scored.withColumn("__rk", row_number().over(byVec))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("e"), col("nrm"), col("cent_id").as("cent"))
+  }
+
+  /** Seed centroids: the vectors with id < nCents, normalized metadata
+    * attached. Deterministic by construction (both engines read the same
+    * rows), which is what lets the DuckDB oracle replay the whole index. */
+  def ivfSeedCentroids(df: DataFrame, idCol: String, embCol: String,
+                       nCents: Int): DataFrame = {
+    val e = col(embCol)
+    df.filter(col(idCol) < nCents)
+      .select(col(idCol).as("cent_id"), e.as("cemb"),
+        sqrt(dotp(e, e)).as("cnrm"))
+  }
+
+  /** IVF ANN top-k: rank centroids by cosine to the query, keep the
+    * nprobe best, score exactly ONLY the vectors assigned to those
+    * centroids. Probe selection runs over nCents rows (metadata-sized);
+    * the candidate filter is a broadcast semi-join on `cent` — at scale,
+    * partition pruning on the materialized assignment. Recall is
+    * tunable via nprobe (nprobe = nCents degenerates to brute force). */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String,
+              query: Seq[Double], k: Int,
+              nCents: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfSeedCentroids(df, idCol, embCol, nCents)
+    val assigned = ivfAssign(df, idCol, embCol, cents)
+    val q = array(query.map(lit): _*)
+    val nq = lit(math.sqrt(query.map(x => x * x).sum))
+    val probed = cents
+      .withColumn("__cos_q", dotp(col("cemb"), q) / (col("cnrm") * nq))
+      .orderBy(col("__cos_q").desc, col("cent_id"))
+      .limit(nprobe)
+      .select(col("cent_id").as("cent"))
+    assigned
+      .join(broadcast(probed), Seq("cent"), "left_semi")
+      .select(col("id").as(idCol), (dotp(col("e"), q) / (col("nrm") * nq)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine within LSH
     * buckets (bucket equi-join, verified exactly). `maxBucket` caps
     * per-bucket membership — one degenerate bucket (e.g. the all-zeros

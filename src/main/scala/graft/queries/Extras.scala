@@ -116,6 +116,35 @@ object Extras {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
+    // IVF ANN (the second scale path, complementing the LSH index):
+    // coarse-quantize every vector to its nearest seed centroid, rank
+    // centroids against the query, exact-score only the nprobe best
+    // lists. Assignment + probe use the same ordered-fold dot products
+    // as the DuckDB replica, so the candidate row set is identical.
+    "q_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          embQuery(s, dir), k = 20, nCents = 16, nprobe = 4)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // JSON column extraction (§2.9 parity-plus — reference has no JSON
+    // surface; events.props is a JSON string): typed from_json pulls a
+    // field that then drives a grouped aggregate. At scale this is a
+    // pure projection feeding the usual partial+final hash agg.
+    "q_json_props" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value"), 3).cast(DecimalType(30, 3)))
+            .cast("double").as("sum_value"))
+        .orderBy(col("k"))
+    }),
+
     // embedding-cosine near-dup pairs in LSH buckets (rows-only —
     // bucket recall is probabilistic by design; the synthetic embeddings
     // are near-orthogonal, so the threshold is low to keep the candidate
@@ -392,6 +421,41 @@ object Extras {
         |  FROM embeddings e JOIN surv USING (vec_id), q)
         |SELECT vec_id, ROUND(cs, 6) AS cos_sim FROM sims
         |ORDER BY cs DESC, vec_id LIMIT 20""".stripMargin,
+
+    // ivfTopK replica: same seed centroids (vec_id < 16), same
+    // ordered-fold dots for assignment rank, probe rank, and final
+    // scoring — identical row sets by construction.
+    "q_ann_ivf" ->
+      s"""WITH q AS (SELECT $qvList AS qv),
+        |base AS (SELECT vec_id, embedding,
+        |  sqrt(${foldDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |  FROM base WHERE vec_id < 16),
+        |scored AS (SELECT b.vec_id, c.cent_id,
+        |  ${foldDot("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cos_c
+        |  FROM base b CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_c DESC, cent_id) AS rk
+        |  FROM scored) t WHERE rk = 1),
+        |probed AS (SELECT cent_id FROM cents, q
+        |  ORDER BY ${foldDot("cemb", "qv")} /
+        |    (cnrm * sqrt(${foldDot("qv", "qv")})) DESC, cent_id
+        |  LIMIT 4),
+        |sims AS (SELECT b.vec_id,
+        |  ${foldDot("b.embedding", "qv")} /
+        |    (b.nrm * sqrt(${foldDot("qv", "qv")})) AS cs
+        |  FROM base b JOIN assigned a USING (vec_id)
+        |    JOIN probed p ON a.cent_id = p.cent_id, q)
+        |SELECT vec_id, ROUND(cs, 6) AS cos_sim FROM sims
+        |ORDER BY cs DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
 
     // cosineNearDupPairs replica: 6-plane signatures, ≤1000 bucket cap,
     // in-bucket pairs, exact cosine ≥ 0.30 (unrounded filter, rounded

@@ -25,7 +25,11 @@ object StreamsQ {
 
     // streaming exact dedup: dropDuplicates state emits each distinct
     // (event_type, user_id) once; finishing pass counts per type
-    "q_stream_dedup" -> ((s, dir) => Streams.dedupStream(s, dir))
+    "q_stream_dedup" -> ((s, dir) => Streams.dedupStream(s, dir)),
+
+    // stream-static join: per-batch broadcast hash join against the
+    // customer dimension, then a stateful grouped count
+    "q_stream_join" -> ((s, dir) => Streams.streamStaticJoin(s, dir))
   )
 
   private val sessionSql =
@@ -57,6 +61,11 @@ object StreamsQ {
     "q_sessionize_stream" -> sessionSql,
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_join" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin
   )
 }

@@ -128,6 +128,26 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customer → market segment), then aggregated. The static
+    * side is broadcast into every micro-batch's plan — a broadcast hash
+    * join per batch, NO stream-side shuffle for the join itself; the
+    * only stateful shuffle is the grouped aggregation that follows. The
+    * batch twin is the identical join+agg, which is what the oracle
+    * replays. */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dim = graft.Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream.schema(schema).parquet(eventsDir(sfDir))
+      .select(col("user_id"), col("event_type"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(spark, stream, OutputMode.Complete())
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   // ——— sessionization: 30-minute-gap sessions per user ———
 
   /** Session gap threshold, in microseconds (all gap comparisons run at

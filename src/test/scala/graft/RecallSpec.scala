@@ -28,4 +28,21 @@ class RecallSpec extends SparkSpecBase {
     assert(recalls(1) >= 5, s"recall@20 at h=4 collapsed: ${recalls(1)}/20")
     assert(recalls(2) >= 10, s"recall@20 at h=6 collapsed: ${recalls(2)}/20")
   }
+
+  test("IVF recall@20 grows with nprobe and reaches 100% at nprobe=nCents") {
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = Seq.fill(64)(0.1)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recalls = Seq(2, 4, 16).map { np =>
+      val ivf = Similarity
+        .ivfTopK(emb, "vec_id", "embedding", q, 20, nCents = 16, nprobe = np)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (brute & ivf).size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in nprobe: $recalls")
+    assert(recalls(1) >= 5, s"recall@20 at nprobe=4 collapsed: ${recalls(1)}/20")
+    // probing every list IS brute force — exact by construction
+    assert(recalls(2) == 20, s"nprobe=nCents must be exact: ${recalls(2)}/20")
+  }
 }
