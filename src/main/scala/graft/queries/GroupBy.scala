@@ -107,6 +107,25 @@ object GroupBy {
         .orderBy(col("l_returnflag"))
     }),
 
+    // groupby.transform('mean'): the per-group statistic broadcast back
+    // onto every row — a window aggregate partitioned by the key with NO
+    // ordering (hash-partition shuffle only, no sort frame). At scale
+    // this beats the groupBy+self-join spelling: one shuffle, no join,
+    // and the partial aggregation runs map-side.
+    "q_groupby_transform" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      val dec2 = DecimalType(30, 2)
+      val grpMean = sum(col("l_quantity").cast(dec2)).over(w).cast("double") /
+        count(col("l_quantity")).over(w)
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+        .withColumn("grp_mean_qty", round(grpMean, 6))
+        .withColumn("demeaned", round(col("l_quantity") - grpMean, 6))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // melt / unpivot — the inverse reshape of q_pivot (parity-plus: the
     // reference pivots only). Spark's native unpivot is a single
     // narrow Expand projection — rows×2 out, no shuffle before the
@@ -192,6 +211,17 @@ object GroupBy {
         |    THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS "O"
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_groupby_transform" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
+        |      OVER (PARTITION BY l_returnflag) AS DOUBLE)
+        |    / COUNT(l_quantity) OVER (PARTITION BY l_returnflag) AS gm
+        |FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  ROUND(gm, 6) AS grp_mean_qty,
+        |  ROUND(l_quantity - gm, 6) AS demeaned
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_melt" ->
       """SELECT l_orderkey, l_linenumber, 'qty' AS variable,

@@ -66,6 +66,19 @@ object Strings {
         .orderBy(col("p_partkey"))
     }),
 
+    // str.extract: regex capture groups as new columns (reference regex
+    // surface `sdc/str_ext.py:164-173` re.compile/Pattern.sub); both
+    // engines return "" for a non-matching row, and the pattern below
+    // totally matches the priority domain anyway
+    "q_str_extract" -> ((s, dir) => {
+      val re = "^([0-9])-(.+)$"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), re, 1).as("prio_num"),
+          regexp_extract(col("o_orderpriority"), re, 2).as("prio_word"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // is* classifiers via anchored regexes + strip family + capitalize
     "q_str_classify" -> ((s, dir) => {
       val word1 = split(col("p_name"), " ").getItem(0)
@@ -117,6 +130,12 @@ object Strings {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_str_extract" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '^([0-9])-(.+)$', 1) AS prio_num,
+        |  regexp_extract(o_orderpriority, '^([0-9])-(.+)$', 2) AS prio_word
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_str_basic" ->
       """SELECT p_partkey,
         |  LENGTH(p_name) AS name_len,
