@@ -56,6 +56,37 @@ object ProfileMain {
       }: _*)
     time("  +16 min-aggs (sig)")(sig)
     time("full minhashPairs")(Dedup.minhashPairs(docs, "doc_id", "text"))
+
+    // ——— q_rolling_skew_kurt stage anatomy ———
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(spark, sfDir, "lineitem")
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"))
+    val wPart = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+    val wRun = wPart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col("l_quantity")
+    val xl = x.cast("long")
+    val base = li.select(col("l_suppkey"), col("l_orderkey"),
+      col("l_linenumber"), col("l_partkey"), x, col("l_shipdate"))
+    time("skb: scan+select")(base)
+    val cums = base
+      .withColumn("__rn", row_number().over(wPart))
+      .withColumn("__c1", sum(xl).over(wRun))
+      .withColumn("__c2", sum(xl * xl).over(wRun))
+      .withColumn("__c3", sum(xl * xl * xl).over(wRun))
+      .withColumn("__c4", sum(xl * xl * xl * xl).over(wRun))
+    time("skb: +5 window cums")(cums)
+    val lagged = cums
+      .withColumn("__l1", lag(col("__c1"), 6).over(wPart))
+      .withColumn("__l2", lag(col("__c2"), 6).over(wPart))
+      .withColumn("__l3", lag(col("__c3"), 6).over(wPart))
+      .withColumn("__l4", lag(col("__c4"), 6).over(wPart))
+    time("skb: +4 lags")(lagged)
+    time("skb: full query no sort")(
+      graft.queries.Rolling.queries("q_rolling_skew_kurt")(spark, sfDir)
+        .sortWithinPartitions(col("l_suppkey")))
+    time("skb: full query")(
+      graft.queries.Rolling.queries("q_rolling_skew_kurt")(spark, sfDir))
     spark.stop()
   }
 }

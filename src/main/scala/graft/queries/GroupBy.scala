@@ -5,6 +5,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions._
+import graft.operators.Skew
 
 /** SURVEY §2.5 GroupBy.
   *
@@ -104,6 +105,18 @@ object GroupBy {
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(dsum(col("l_quantity")))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Skew-safe aggregation: l_returnflag has 3 values over the whole
+    // table — the canonical heavy-key shape. The salted two-phase agg
+    // splits each key over 16 content-derived sub-keys so no reducer
+    // owns a whole key's stream; exact longs/decimals make the result
+    // identical to the direct groupBy (which is what the oracle runs).
+    "q_salted_agg" -> ((s, dir) => {
+      Skew.saltedSumCount(Tables(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice",
+          saltFrom = col("l_orderkey"), buckets = 16)
         .orderBy(col("l_returnflag"))
     }),
 
@@ -209,6 +222,12 @@ object GroupBy {
         |    THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS "F",
         |  CAST(SUM(CASE WHEN l_linestatus = 'O'
         |    THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_v
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 

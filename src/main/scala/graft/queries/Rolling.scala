@@ -75,16 +75,22 @@ object Rolling {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // rolling var/std from exact windowed power sums, window=4, minp=4
+    // rolling var/std from exact windowed power sums, window=4, minp=4.
+    // l_quantity is integer-valued (1..50, stored double), so the power
+    // sums run in exact LONG arithmetic — bit-identical to the oracle's
+    // decimal sums once cast to double (both are exact integers ≪ 2^53;
+    // overflow needs Σq² > 2^63 ⇒ ~4·10^15 rows per partition) — and a
+    // long sum aggregates several× faster than a decimal one.
     "q_rolling_var_std" -> ((s, dir) => {
       val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
         .rowsBetween(-3, Window.currentRow)
       val x = col("l_quantity")
+      val xl = x.cast("long")
       val n = count(x).over(w).cast("double")
-      val s1 = sum(x.cast(dec2)).over(w).cast("double")
-      val s2 = sum((x * x).cast(DecimalType(34, 4))).over(w).cast("double")
+      val s1 = sum(xl).over(w).cast("double")
+      val s2 = sum(xl * xl).over(w).cast("double")
       val variance = (s2 - s1 * s1 / n) / (n - lit(1.0))
       Tables(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"), x,
@@ -171,16 +177,21 @@ object Rolling {
       // stacked single-function passes over the shared sort pipeline
       // better than one node driving several accumulators/offset readers
       // per row. Keep the chain exactly as is.
+      // l_quantity is integer-valued (1..50): the four power sums run in
+      // exact LONG arithmetic (q⁴ ≤ 6.25e6/row ⇒ overflow needs ~10^12
+      // rows per supplier partition), identical to the oracle's decimal
+      // sums after the cast to double, at a fraction of the agg cost.
+      val xl = x.cast("long")
       val cums = Tables(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), x, col("l_shipdate"))
         .withColumn("__rn", row_number().over(wPart))
-        .withColumn("__c1", sum(x.cast(dec2)).over(wRun))
-        .withColumn("__c2", sum((x * x).cast(DecimalType(34, 4))).over(wRun))
-        .withColumn("__c3", sum((x * x * x).cast(DecimalType(38, 6))).over(wRun))
-        .withColumn("__c4", sum((x * x * x * x).cast(DecimalType(38, 8))).over(wRun))
+        .withColumn("__c1", sum(xl).over(wRun))
+        .withColumn("__c2", sum(xl * xl).over(wRun))
+        .withColumn("__c3", sum(xl * xl * xl).over(wRun))
+        .withColumn("__c4", sum(xl * xl * xl * xl).over(wRun))
       def winSum(c: String) =
-        (col(c) - coalesce(lag(col(c), win).over(wPart), lit(0))).cast("double")
+        (col(c) - coalesce(lag(col(c), win).over(wPart), lit(0L))).cast("double")
       val n = least(col("__rn"), lit(win)).cast("double")
       val s1 = winSum("__c1")
       val s2 = winSum("__c2")
