@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.queries.{GroupBy, Sources}
+
+/** Physical-plan shape assertions for the round-5 operators: the scale
+  * claims in the scaladocs (no join for transform, broadcast probe for
+  * IVF, partition pruning for the sink round-trip, two-phase agg for
+  * salting) are pinned here so a plan regression fails the suite, not a
+  * production run. */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("groupby.transform is one window pass — no join, no sort-merge") {
+    val p = plan(GroupBy.queries("q_groupby_transform")(spark, sf))
+    assert(!p.contains("Join"), "transform must not plan a self-join:\n" + p.take(800))
+    assert(p.contains("Window"), "expected a Window node")
+  }
+
+  test("IVF probe filter is a broadcast semi-join; centroids broadcast into assignment") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = Seq.fill(64)(0.1)
+    val p = plan(Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20,
+      nCents = 8, nprobe = 2))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "expected broadcast joins for centroids/probe:\n" + p.take(800))
+    assert(p.contains("LeftSemi"), "probe filter should be a semi-join")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join belongs in IVF probe")
+  }
+
+  test("partitioned sink read-back prunes to the filtered partition") {
+    val df = Sources.queries("q_sink_partitioned")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      "partition filter did not reach the scan:\n" + p.take(800))
+  }
+
+  test("salted aggregation plans two hash-agg phases and no extra exchange count") {
+    val p = plan(GroupBy.queries("q_salted_agg")(spark, sf))
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    // two logical phases × (partial + final) = 4 HashAggregate operators
+    assert(hashAggs >= 4, s"expected two-phase agg (>=4 HashAggregate), got $hashAggs:\n" + p.take(800))
+    assert(!p.contains("Join"), "salted agg must not plan a join")
+  }
+}
