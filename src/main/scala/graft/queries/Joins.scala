@@ -113,6 +113,36 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // merge_asof direction='forward': earliest following view per click
+    "q_merge_asof_fwd" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      MergeAsof.forward(clicks, views, on = "ts", by = Seq("user_id"),
+          rightCols = Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("view_value"), 6).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // merge_asof direction='nearest': closer of the two, ties backward
+    "q_merge_asof_near" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      MergeAsof.nearest(clicks, views, on = "ts", by = Seq("user_id"),
+          rightCols = Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("view_value"), 6).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // index-alignment join of two keyed series + add with fill_value=0
     // (reference `_sdc_internal_join` + fill_value semantics, §2.10)
     "q_align_fill_add" -> ((s, dir) => {
@@ -196,6 +226,40 @@ object Joins {
         |FROM clicks ASOF LEFT JOIN views
         |  ON clicks.user_id = views.user_id AND clicks.ts >= views.ts
         |ORDER BY event_id""".stripMargin,
+
+    "q_merge_asof_fwd" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT event_id, clicks.user_id, ROUND(view_value, 6) AS view_value
+        |FROM clicks ASOF LEFT JOIN views
+        |  ON clicks.user_id = views.user_id AND clicks.ts <= views.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_merge_asof_near" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |bwd AS (
+        |  SELECT event_id, views.ts AS bt, view_value AS bv
+        |  FROM clicks ASOF LEFT JOIN views
+        |    ON clicks.user_id = views.user_id AND clicks.ts >= views.ts),
+        |fwd AS (
+        |  SELECT event_id, views.ts AS ft, view_value AS fv
+        |  FROM clicks ASOF LEFT JOIN views
+        |    ON clicks.user_id = views.user_id AND clicks.ts <= views.ts)
+        |SELECT c.event_id, c.user_id,
+        |  ROUND(CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+        |      epoch_us(c.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(c.ts))
+        |    THEN bv ELSE fv END, 6) AS view_value
+        |FROM clicks c JOIN bwd USING (event_id) JOIN fwd USING (event_id)
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_align_fill_add" ->
       """WITH bal AS (

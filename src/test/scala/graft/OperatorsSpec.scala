@@ -57,6 +57,28 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == Seq(1L))
   }
 
+  test("merge_asof directions: backward<=ts, forward>=ts, nearest picks the closer") {
+    import graft.operators.MergeAsof
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, "k", ts(10)), (2L, "k", ts(30)), (3L, "k", ts(50)))
+      .toDF("id", "key", "t")
+    val right = Seq(("k", ts(8), 8.0), ("k", ts(29), 29.0), ("k", ts(58), 58.0))
+      .toDF("key", "t", "v")
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").select("v").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    // backward: latest right <= t
+    assert(vals(MergeAsof.backward(left, right, "t", Seq("key"), Seq("v")))
+      == Seq(Some(8.0), Some(29.0), Some(29.0)))
+    // forward: earliest right >= t
+    assert(vals(MergeAsof.forward(left, right, "t", Seq("key"), Seq("v")))
+      == Seq(Some(29.0), Some(58.0), Some(58.0)))
+    // nearest: 10→8 (2 < 19), 30→29 (1 < 28), 50→58 (8 < 21)
+    assert(vals(MergeAsof.nearest(left, right, "t", Seq("key"), Seq("v")))
+      == Seq(Some(8.0), Some(29.0), Some(58.0)))
+  }
+
   test("near-dup pairs finds the close pair above threshold only") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
         dim = 4, planes = 4, threshold = 0.95)
