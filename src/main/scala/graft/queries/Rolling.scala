@@ -221,6 +221,28 @@ object Rolling {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // rolling(center=True): the frame straddles the current row —
+    // window=5 means 2 before, current, 2 after
+    // (`sdc/datatypes/hpat_pandas_rolling_types.py:52-81` center param;
+    // same min_periods non-null gate)
+    "q_rolling_center" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+        .rowsBetween(-2, 2)
+      val x = col("l_quantity")
+      val xl = x.cast("long")
+      val n = count(x).over(w)
+      val rmean = sum(xl).over(w).cast("double") / n
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), x, col("l_shipdate"))
+        .withColumn("roll_cmean", when(n >= 3, rmean))
+        .withColumn("roll_cmax", when(n >= 3, max(x).over(w)))
+        .drop("l_shipdate", "l_partkey")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // rolling.apply(func): arbitrary lambda folded over the ordered frame
     // — `collect_list` preserves frame order, `aggregate` runs the JVM
     // lambda; here func = sum of squared deviations from the frame's
@@ -336,6 +358,20 @@ object Rolling {
         |      * (n - 1.0) / ((n - 2.0) * (n - 3.0)) * 1e6 + 0.5) / 1e6 + 0.0
         |  END AS roll_kurt
         |FROM m ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rolling_center" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN COUNT(l_quantity) OVER w >= 3
+        |    THEN CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+        |         / COUNT(l_quantity) OVER w
+        |  END AS roll_cmean,
+        |  CASE WHEN COUNT(l_quantity) OVER w >= 3
+        |    THEN MAX(l_quantity) OVER w END AS roll_cmax
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_rolling_apply" ->
       """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
