@@ -103,6 +103,27 @@ object GlobalOrder {
       .drop(PID, LOCAL, OFF)
   }
 
+  /** Global running max of `value` over `order` (pandas cummax), as
+    * column `name`. Max composes associatively with no precision caveat:
+    * partition-local running max, then each partition takes the max of
+    * all PRECEDING partitions' maxima from the broadcast summary
+    * (greatest() skips the null offset of the first partition). */
+  def withRunningMax(df: DataFrame, order: Seq[Column], value: Column,
+                     name: String, parts: Int = 0): DataFrame = {
+    val r = ranged(df, order, parts)
+    val wLocal = Window.partitionBy(col(PID)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = r.withColumn(LOCAL, max(value).over(wLocal))
+    val wPrev = Window.orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(PID)).agg(max(value).as("__top"))
+      .withColumn(OFF, max(col("__top")).over(wPrev))
+      .drop("__top")
+    local.join(broadcast(offsets), PID)
+      .withColumn(name, greatest(col(LOCAL), col(OFF)))
+      .drop(PID, LOCAL, OFF)
+  }
+
   /** Global lag(value, 1) over `order`, as column `name`: partition-local
     * lag, with each partition's first row patched from the previous
     * partition's last value (carried via the broadcast summary frame). */

@@ -30,6 +30,15 @@ class GlobalOrderSpec extends SparkSpecBase {
     assert(got.toSeq == want)
   }
 
+  test("withRunningMax equals a sequential prefix max") {
+    val got = GlobalOrder.withRunningMax(frame, Seq(col("k")), col("v"),
+        "cmax", parts = 3)
+      .orderBy("k").select("cmax").as[Double].collect()
+    val vs = Seq(1.00, 2.00, 3.50, 0.25, 4.00, 1.75, 2.25, 0.50, 3.00, 5.00)
+    val want = vs.scanLeft(Double.MinValue)(math.max).tail
+    assert(got.toSeq == want)
+  }
+
   test("withLag patches partition-boundary rows from the previous partition") {
     val got = GlobalOrder.withLag(frame, Seq(col("k")), col("v"),
         "prev", parts = 3)
