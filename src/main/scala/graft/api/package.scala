@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, GlobalOrder, MergeAsof, Parallelism,
+  Similarity, Skew}
+
+/** User-facing library surface: the reference's pandas-style operations
+  * as extension methods over DataFrame (`import graft.api._`).
+  *
+  * This is syntax only — every method delegates to the operator objects
+  * (`graft.operators.*`) or composes codegen'd built-ins, so the plans
+  * are identical to the oracle-verified `SparkEntry.queries` entries.
+  * A reference user writes `df.valueCounts("col")` instead of
+  * `df.groupby('col').size().sort_values(...)`; the Spark plan stays a
+  * partial+final hash aggregate either way.
+  */
+package object api {
+
+  implicit class GraftFrame(private val df: DataFrame) extends AnyVal {
+
+    // ——— pandas staples (SURVEY §2.4/§2.7) ———
+
+    /** `S.value_counts()`: counts desc, value asc tiebreak. */
+    def valueCounts(c: String): DataFrame =
+      df.groupBy(col(c)).agg(count(lit(1)).as("count"))
+        .orderBy(col("count").desc, col(c))
+
+    /** `S.nlargest(n)` on column `c` (top-k, no global sort). */
+    def nlargest(n: Int, c: String): DataFrame =
+      df.orderBy(col(c).desc).limit(n)
+
+    /** `S.nsmallest(n)` on column `c`. */
+    def nsmallest(n: Int, c: String): DataFrame =
+      df.orderBy(col(c).asc).limit(n)
+
+    /** Exact decimal-sum describe of a numeric column (count/mean/std/
+      * min/max as one aggregated row). */
+    def describeNum(c: String, scale: Int = 2): DataFrame = {
+      val x = col(c)
+      val dec = DecimalType(30, scale)
+      val n = count(x).cast("double")
+      val s1 = sum(x.cast(dec)).cast("double")
+      val s2 = sum((x * x).cast(DecimalType(32, 2 * scale))).cast("double")
+      df.agg(count(x).as("count"), (s1 / n).as("mean"),
+        sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))).as("std"),
+        min(x).as("min"), max(x).as("max"))
+    }
+
+    // ——— positional-index ops (scale-safe two-pass, SURVEY §1/§2.2) ———
+
+    /** Global 1-based positional index over `order` as column `name`. */
+    def withPositionalIndex(order: Seq[Column], name: String = "__index__"): DataFrame =
+      GlobalOrder.withRowNumber(df, order, name)
+
+    /** pandas `cumsum` over a global order (exact decimal two-pass). */
+    def cumsum(order: Seq[Column], value: Column, name: String): DataFrame =
+      GlobalOrder.withRunningSum(df, order, value, name)
+
+    /** pandas `cummax` over a global order. */
+    def cummax(order: Seq[Column], value: Column, name: String): DataFrame =
+      GlobalOrder.withRunningMax(df, order, value, name)
+
+    /** pandas `shift(1)` over a global order. */
+    def shifted(order: Seq[Column], value: Column, name: String): DataFrame =
+      GlobalOrder.withLag(df, order, value, name)
+
+    // ——— joins (SURVEY §2.3) ———
+
+    /** `pd.merge_asof`; direction ∈ backward | forward | nearest. */
+    def mergeAsof(right: DataFrame, on: String, by: Seq[String],
+                  rightCols: Seq[String],
+                  direction: String = "backward"): DataFrame =
+      direction match {
+        case "backward" => MergeAsof.backward(df, right, on, by, rightCols)
+        case "forward"  => MergeAsof.forward(df, right, on, by, rightCols)
+        case "nearest"  => MergeAsof.nearest(df, right, on, by, rightCols)
+        case other => throw new IllegalArgumentException(
+          s"direction must be backward|forward|nearest, got '$other'")
+      }
+
+    // ——— skew + parallelism guards ———
+
+    /** Skew-safe grouped count + exact sum (content-derived salt). */
+    def saltedSumCount(keyCol: String, valueCol: String, saltFrom: Column,
+                       buckets: Int = 16): DataFrame =
+      Skew.saltedSumCount(df, keyCol, valueCol, saltFrom, buckets)
+
+    /** Repartition only when the scan under-parallelizes the session. */
+    def fanOut: DataFrame = Parallelism.fanOut(df)
+
+    // ——— LLM-pipeline: dedup (documents-shaped frames) ———
+
+    /** Exact dedup by content digest → (content_md5, keep_id, n_dups). */
+    def dedupExact(idCol: String, textCol: String): DataFrame =
+      Dedup.exact(df, idCol, textCol)
+
+    /** MinHash+LSH near-duplicate pairs with verified Jaccard. */
+    def nearDupPairs(idCol: String, textCol: String,
+                     threshold: Double = 0.7): DataFrame =
+      Dedup.minhashPairs(df, idCol, textCol, threshold = threshold)
+
+    /** 64-bit SimHash per row → (idCol, simhash). */
+    def simhashed(idCol: String, textCol: String): DataFrame =
+      Dedup.simhashDF(df, idCol, textCol)
+
+    // ——— LLM-pipeline: similarity (embeddings-shaped frames) ———
+
+    /** Exact cosine top-k against a literal query vector. */
+    def annBrute(idCol: String, embCol: String, query: Seq[Double],
+                 k: Int): DataFrame =
+      Similarity.bruteForceTopK(df, idCol, embCol, query, k)
+
+    /** LSH-indexed approximate top-k (hyperplane signatures). */
+    def annLsh(idCol: String, embCol: String, query: Seq[Double], k: Int,
+               planes: Int = 12, maxHammingDist: Int = 2): DataFrame =
+      Similarity.lshTopK(df, idCol, embCol, query, k, planes, maxHammingDist)
+
+    /** IVF approximate top-k (coarse-quantized lists + nprobe). */
+    def annIvf(idCol: String, embCol: String, query: Seq[Double], k: Int,
+               nCents: Int = 16, nprobe: Int = 4): DataFrame =
+      Similarity.ivfTopK(df, idCol, embCol, query, k, nCents, nprobe)
+
+    /** Embedding-cosine near-duplicate pairs within LSH buckets. */
+    def embNearDups(idCol: String, embCol: String, dim: Int,
+                    threshold: Double = 0.95): DataFrame =
+      Similarity.cosineNearDupPairs(df, idCol, embCol, dim,
+        threshold = threshold)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api._
+
+/** The `graft.api` façade must be pure syntax: results (and, where it
+  * matters, plans) identical to calling the operators directly. */
+class ApiSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("valueCounts matches groupBy count with deterministic tiebreak") {
+    val got = Tables(spark, sf, "orders").valueCounts("o_orderpriority")
+      .as[(String, Long)].collect().toSeq
+    val want = Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority").count()
+      .orderBy(col("count").desc, col("o_orderpriority"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("nlargest/nsmallest are top-k limits, not global sorts") {
+    val o = Tables(spark, sf, "orders")
+    assert(o.nlargest(5, "o_totalprice").count() == 5)
+    val top = o.nlargest(1, "o_totalprice").select("o_totalprice").as[Double].head()
+    val bot = o.nsmallest(1, "o_totalprice").select("o_totalprice").as[Double].head()
+    assert(top > bot)
+    val plan = o.nlargest(5, "o_totalprice").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("mergeAsof dispatches all three directions and rejects others") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val l = Seq((1L, "k", ts(10))).toDF("id", "key", "t")
+    val r = Seq(("k", ts(8), 8.0), ("k", ts(11), 11.0)).toDF("key", "t", "v")
+    def v(d: String) = l.mergeAsof(r, "t", Seq("key"), Seq("v"), d)
+      .select("v").as[Double].head()
+    assert(v("backward") == 8.0 && v("forward") == 11.0 && v("nearest") == 11.0)
+    intercept[IllegalArgumentException] { v("sideways") }
+  }
+
+  test("dedupExact via the façade equals the operator result") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = docs.dedupExact("doc_id", "text")
+      .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("describeNum returns one exact summary row") {
+    val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x").describeNum("x")
+    val r = d.collect().head
+    assert(r.getAs[Long]("count") == 4L && r.getAs[Double]("mean") == 2.5
+      && r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 4.0)
+  }
+}
