@@ -179,11 +179,14 @@ object Similarity {
       idCol, embCol, query, k, planes, maxHammingDist)
 
   /** IVF(-flat) coarse quantization: every vector is assigned to its
-    * nearest centroid by cosine. Assignment rank is a per-vector window
-    * (one shuffle on id over |D|·nCents scored rows; nCents is small and
-    * broadcast). Centroids here are fixed seed vectors — a production
-    * build would iterate k-means over this same assign primitive, which
-    * changes centroid VALUES, not the index/probe plumbing. Returns
+    * nearest centroid by cosine. The argmax is a `max_by` HASH AGGREGATE
+    * over the |D|·nCents scored rows (centroids broadcast) — partial
+    * aggregation collapses each vector's candidates map-side, so the
+    * shuffle carries one row per vector and nothing ever sorts (a window
+    * row_number spelling would sort |D|·nCents rows). Ties break to the
+    * lowest cent_id via the (cos, −cent_id) struct ordering — the same
+    * deterministic rank the DuckDB oracle replays, exact because both
+    * engines fold the dot products in the same order. Returns
     * (id, e, nrm, cent).
     *
     * At 100 TB the assigned frame is written ONCE, partitioned by
@@ -198,12 +201,11 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("__cos_c",
         dotp(col("e"), col("cemb")) / (col("nrm") * col("cnrm")))
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("__cos_c").desc, col("cent_id"))
-    scored.withColumn("__rk", row_number().over(byVec))
-      .filter(col("__rk") === 1)
-      .select(col("id"), col("e"), col("nrm"), col("cent_id").as("cent"))
+    scored.groupBy(col("id")).agg(
+      max_by(struct(col("e"), col("nrm"), col("cent_id")),
+        struct(col("__cos_c"), -col("cent_id"))).as("__best"))
+      .select(col("id"), col("__best.e").as("e"), col("__best.nrm").as("nrm"),
+        col("__best.cent_id").as("cent"))
   }
 
   /** Seed centroids: the vectors with id < nCents, normalized metadata

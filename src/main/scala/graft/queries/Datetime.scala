@@ -46,6 +46,17 @@ object Datetime {
         .orderBy(col("month"))
     }),
 
+    // strftime-style formatting (pandas dt.strftime; numeric patterns
+    // only — month/day NAMES are locale traps across engines)
+    "q_dt_format" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          date_format(col("o_orderdate"), "yyyy/MM/dd").as("ymd"),
+          date_format(col("o_orderdate"), "DDD").cast("int").as("doy"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // date arithmetic: days between ship date and a fixed epoch + add
     "q_dt_arith" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -84,6 +95,13 @@ object Datetime {
     // reference's date + offset yields datetime64[ns] (pandas Timestamp at
     // midnight), so TIMESTAMP is the reference-faithful output type — the
     // oracle's cast mirrors that semantics rather than the implementation.
+    "q_dt_format" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+        |  CAST(strftime(o_orderdate, '%j') AS INT) AS doy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_dt_arith" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS INT)
