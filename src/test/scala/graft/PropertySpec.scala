@@ -89,6 +89,66 @@ class PropertySpec extends SparkSpecBase {
     assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
   }
 
+  test("withRunningMax equals a sequential prefix max for arbitrary inputs") {
+    for (xs <- longLists) {
+      val df = longsDf(xs).withColumn("v", (col("k") % 97).cast("double"))
+      val got = GlobalOrder
+        .withRunningMax(df, Seq(col("k")), col("v"), "cm")
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+      var acc = Double.MinValue
+      val want = xs.sorted.map { k =>
+        acc = math.max(acc, (k % 97).toDouble); k -> acc
+      }.toMap
+      assert(got == want, s"n=${xs.size}")
+    }
+  }
+
+  test("salted aggregation equals the direct groupBy for arbitrary inputs") {
+    import graft.operators.Skew
+    for (xs <- longLists) {
+      val df = longsDf(xs)
+        .withColumn("key", pmod(col("k"), lit(3)))
+        .withColumn("v", (col("k") % 101).cast("double"))
+      val got = Skew.saltedSumCount(df, "key", "v", col("k"), buckets = 4)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val want = xs.groupBy(k => math.floorMod(k, 3L)).map { case (key, ks) =>
+        key -> (ks.size.toLong,
+          ks.map(k => BigDecimal((k % 101).toDouble)).sum.toDouble)
+      }
+      assert(got == want, s"n=${xs.size}")
+    }
+  }
+
+  test("mergeAsof nearest always returns the backward or forward match") {
+    import graft.operators.MergeAsof
+    import java.sql.Timestamp
+    val times = samples(Gen.listOfN(12, Gen.chooseNum(0L, 3600L)), 4)
+    for (ts <- times if ts.distinct.size > 4) {
+      val (lt, rt) = ts.distinct.splitAt(ts.distinct.size / 2)
+      def frame(xs: Seq[Long], vcol: Boolean) = {
+        val rows = xs.zipWithIndex.map { case (t, i) =>
+          (i.toLong, "k", new Timestamp(t * 1000L), t.toDouble)
+        }
+        val df = spark.createDataFrame(rows).toDF("id", "key", "t", "v")
+        if (vcol) df else df.drop("v")
+      }
+      val left = frame(lt, vcol = false)
+      val right = frame(rt, vcol = true)
+      def resOf(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, Seq[String], Seq[String]) => org.apache.spark.sql.DataFrame) =
+        f(left, right, "t", Seq("key"), Seq("v"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(r.fieldIndex("v"))) None
+             else Some(r.getDouble(r.fieldIndex("v"))))).toMap
+      val bwd = resOf(MergeAsof.backward)
+      val fwd = resOf(MergeAsof.forward)
+      val near = resOf(MergeAsof.nearest)
+      for ((id, v) <- near)
+        assert(v == bwd(id) || v == fwd(id),
+          s"nearest $v not in {bwd=${bwd(id)}, fwd=${fwd(id)}}")
+    }
+  }
+
   test("hyperplaneSig column form and explode form agree on every row") {
     val emb = Tables(spark, sf, "embeddings")
     val colForm = emb.select(col("vec_id"),
