@@ -15,6 +15,11 @@ object TextOps {
   /** Whitespace tokens (pandas-ish `str.split()` with no args). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Case-folded, punctuation-stripped word array (the normalization
+    * the dedup shingles use — one definition both subsystems share). */
+  def normWords(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+")
+
   /** Token count (whitespace tokenization; 0 for empty/blank). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
@@ -95,4 +100,40 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", "")),
       "\\s+", " "))
+
+  /** Top-k TF-IDF terms per document.
+    *
+    * Plan shape at 100 TB: one token explode feeding a (doc, word)
+    * hash aggregate (TF, map-side partials), a (word) hash aggregate
+    * (DF) joined back on word — the natural key — and a per-doc window
+    * for the top-k selection (shuffle on doc). Three key-appropriate
+    * shuffles, nothing global, no collect: the corpus size N rides in
+    * via a broadcast 1-row aggregate.
+    *
+    * Determinism: the rank orders by the 6-dp ROUNDED score (then term)
+    * so a sub-1e-6 `ln` libm difference between engines can reorder
+    * nothing — rounded ties break alphabetically on both sides.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val toks = Parallelism.fanOut(df)
+      .select(col(idCol).as("doc_id"),
+        explode(normWords(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"),
+        col("rank").cast("int").as("rank"))
+  }
 }

@@ -28,6 +28,13 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top terms per doc (feature extraction): explode → TF agg →
+    // DF agg → join on word → per-doc top-k on the ROUNDED score
+    "q_tfidf" -> ((s, dir) => {
+      TextOps.tfidfTopTerms(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // token counting: whitespace tokens + BPE-ish lexeme-class tokens
     // (brief's training-pipeline surface; the regex is RE2-compatible so
     // both engines count the identical matches)
@@ -450,6 +457,24 @@ object Extras {
         |    JOIN probed p ON a.cent_id = p.cent_id, q)
         |SELECT vec_id, ROUND(cs, 6) AS cos_sim FROM sims
         |ORDER BY cs DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w AS term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
+        |      '\s+')) AS w
+        |    FROM documents) t WHERE length(w) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |  ROUND(tf * (ln((n + 1.0) / (dfc + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM scored)
+        |SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rank
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
