@@ -88,7 +88,12 @@ object MergeAsof {
     * closer in time (ties → backward, pandas semantics). Both directions
     * are carried over ONE numeric-range-ordered sort — range frames make
     * the equal-time right row visible to both directions, so the union
-    * is still shuffled and sorted exactly once. */
+    * is still shuffled and sorted exactly once.
+    *
+    * The right side should be unique per (by, on): with several right
+    * rows at the identical time the carried value among those peers is
+    * engine-order-dependent (pandas has the same positional caveat) —
+    * pre-aggregate the right side as the query layer does. */
   def nearest(left: DataFrame, right: DataFrame, on: String,
               by: Seq[String], rightCols: Seq[String]): DataFrame = {
     val unioned = taggedUnion(left, right, on, by, rightCols)

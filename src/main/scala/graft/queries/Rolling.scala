@@ -243,6 +243,26 @@ object Rolling {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // expanding(min_periods=3): the unbounded-preceding sibling of
+    // rolling — Spark's streaming accumulation frame, O(1)/row
+    // (parity-plus: pandas surface, absent in the reference)
+    "q_expanding" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val x = col("l_quantity")
+      val xl = x.cast("long")
+      val n = count(x).over(w)
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), x, col("l_shipdate"))
+        .withColumn("exp_sum", when(n >= 3, sum(xl).over(w).cast("double")))
+        .withColumn("exp_mean", when(n >= 3, sum(xl).over(w).cast("double") / n))
+        .drop("l_shipdate", "l_partkey")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // rolling.apply(func): arbitrary lambda folded over the ordered frame
     // — `collect_list` preserves frame order, `aggregate` runs the JVM
     // lambda; here func = sum of squared deviations from the frame's
@@ -371,6 +391,21 @@ object Rolling {
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_expanding" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN COUNT(l_quantity) OVER w >= 3
+        |    THEN CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+        |  END AS exp_sum,
+        |  CASE WHEN COUNT(l_quantity) OVER w >= 3
+        |    THEN CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+        |         / COUNT(l_quantity) OVER w
+        |  END AS exp_mean
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_rolling_apply" ->
