@@ -23,6 +23,10 @@ object Bench {
 
     // Optional args narrow the run to named queries — local iteration
     // only; the driver passes no args and benches the full headline set.
+    // Unknown names are an ERROR, not a silent no-op (a typo must not
+    // bench zero queries and exit 0).
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val names =
       (if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries)
         .filter(SparkEntry.queries.contains)

@@ -8,7 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // Extra args narrow the dump to named queries — local iteration only;
     // the driver passes exactly (sfDir, outDir) and dumps everything.
+    // Unknown names are an ERROR, not a silent empty dump.
     val only = args.drop(2).toSet
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown queries: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

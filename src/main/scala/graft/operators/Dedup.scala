@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Normalized word array. */
-  private def words(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+")
+  /** Normalized word array — the ONE normalization definition, shared
+    * with the text subsystem (TF-IDF tokens == shingle words by
+    * construction, not by parallel regex copies). */
+  private def words(text: Column): Column = TextOps.normWords(text)
 
   /** Word w-shingles as an array of strings (empty-safe). */
   def shingles(text: Column, w: Int = 3): Column = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,66 +52,89 @@ object MergeAsof {
   private def part(by: Seq[String]) =
     if (by.nonEmpty) Window.partitionBy(by.map(col): _*) else Window.partitionBy()
 
-  /** @param left      left frame (one output row per left row)
+  /** The matched right ROW carried as one struct: non-null for every
+    * right row even when its value fields are null, so the fill attaches
+    * the matched row's fields exactly — null values included (pandas and
+    * DuckDB ASOF semantics) — and every rightCol comes from the SAME
+    * matched row. */
+  private def rowStruct(on: String, rightCols: Seq[String]): Column =
+    when(col(tag) === 0, struct((on +: rightCols).map(col): _*))
+
+  /** `direction='backward'` (pandas default): for each left row, the
+    * LATEST right row with `right.time <= left.time`.
+    *
+    * @param left      left frame (one output row per left row)
     * @param right     right frame
-    * @param on        time column name present in both frames
+    * @param on        time column name present in both frames (any
+    *                  orderable type)
     * @param by        equi-match key columns present in both frames
     * @param rightCols right value columns to attach (renamed as-is)
     */
   def backward(left: DataFrame, right: DataFrame, on: String,
                by: Seq[String], rightCols: Seq[String]): DataFrame = {
     val unioned = taggedUnion(left, right, on, by, rightCols)
+      .withColumn("__r", rowStruct(on, rightCols))
     val w = part(by).orderBy(col(on).asc, col(tag).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(tag) === 1).drop(tag)
+    val filled = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__m").getField(c))
+    }.filter(col(tag) === 1).drop(tag, "__r", "__m")
   }
 
   /** `direction='forward'`: the EARLIEST right row with
     * `right.time >= left.time`. Same one-shuffle union shape as
-    * [[backward]] with the frame flipped: at equal times the right row
-    * sorts after the left (tag desc), so the inclusive match holds. */
+    * [[backward]], sorted by time DESCENDING so the fill stays a
+    * GROWING (unboundedPreceding → currentRow) frame — O(1) per row,
+    * never the O(n²) shrinking-frame evaluation. In descending order
+    * the preceding rows are exactly those with time ≥ current, and at
+    * equal times the right row sorts first (tag asc), keeping the
+    * inclusive match. */
   def forward(left: DataFrame, right: DataFrame, on: String,
               by: Seq[String], rightCols: Seq[String]): DataFrame = {
     val unioned = taggedUnion(left, right, on, by, rightCols)
-    val w = part(by).orderBy(col(on).asc, col(tag).desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(tag) === 1).drop(tag)
+      .withColumn("__r", rowStruct(on, rightCols))
+    val w = part(by).orderBy(col(on).desc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__m").getField(c))
+    }.filter(col(tag) === 1).drop(tag, "__r", "__m")
   }
 
   /** `direction='nearest'`: whichever of the backward/forward matches is
-    * closer in time (ties → backward, pandas semantics). Both directions
-    * are carried over ONE numeric-range-ordered sort — range frames make
-    * the equal-time right row visible to both directions, so the union
-    * is still shuffled and sorted exactly once.
+    * closer in time (ties → backward, pandas semantics). Two linear
+    * growing-frame passes over the one shuffled union — an ascending
+    * sort carrying the backward match and a descending one carrying the
+    * forward match — then a per-row distance compare. `on` may be any
+    * type whose subtraction is orderable (timestamp → interval, numeric
+    * → numeric), so integer and date on-keys work like the other
+    * directions.
     *
     * The right side should be unique per (by, on): with several right
-    * rows at the identical time the carried value among those peers is
+    * rows at the identical time the carried row among those peers is
     * engine-order-dependent (pandas has the same positional caveat) —
     * pre-aggregate the right side as the query layer does. */
   def nearest(left: DataFrame, right: DataFrame, on: String,
               by: Seq[String], rightCols: Seq[String]): DataFrame = {
     val unioned = taggedUnion(left, right, on, by, rightCols)
-      .withColumn("__t", unix_micros(col(on)))
-      .withColumn("__rt", when(col(tag) === 0, unix_micros(col(on))))
-    val wB = part(by).orderBy(col("__t"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = part(by).orderBy(col("__t"))
-      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
-    val bt = last(col("__rt"), ignoreNulls = true).over(wB)
-    val ft = first(col("__rt"), ignoreNulls = true).over(wF)
+      .withColumn("__r", rowStruct(on, rightCols))
+    val wB = part(by).orderBy(col(on).asc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = part(by).orderBy(col(on).desc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(wF))
+    val bt = col("__mb").getField(on)
+    val ft = col("__mf").getField(on)
     val pickBwd = bt.isNotNull &&
-      (ft.isNull || (col("__t") - bt) <= (ft - col("__t")))
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, when(pickBwd,
-        last(col(c), ignoreNulls = true).over(wB))
-        .otherwise(first(col(c), ignoreNulls = true).over(wF)))
-    }
-    filled.filter(col(tag) === 1).drop(tag, "__t", "__rt")
+      (ft.isNull || (col(on) - bt) <= (ft - col(on)))
+    rightCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, when(pickBwd, col("__mb").getField(c))
+        .otherwise(col("__mf").getField(c)))
+    }.filter(col(tag) === 1).drop(tag, "__r", "__mb", "__mf")
   }
 }

@@ -117,10 +117,9 @@ object TextOps {
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
     val toks = Parallelism.fanOut(df)
-      .select(col(idCol).as("doc_id"),
-        explode(normWords(col(textCol))).as("term"))
+      .select(col(idCol), explode(normWords(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = toks.groupBy(col("doc_id"), col("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
@@ -129,11 +128,11 @@ object TextOps {
       .withColumn("tfidf", round(col("tf") *
         (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
     val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
+      .partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rank", row_number().over(byDoc))
       .filter(col("rank") <= k)
-      .select(col("doc_id"), col("term"), col("tfidf"),
+      .select(col(idCol), col("term"), col("tfidf"),
         col("rank").cast("int").as("rank"))
   }
 }

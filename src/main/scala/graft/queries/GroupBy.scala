@@ -121,21 +121,24 @@ object GroupBy {
     }),
 
     // groupby.transform('mean'): the per-group statistic broadcast back
-    // onto every row — a window aggregate partitioned by the key with NO
-    // ordering (hash-partition shuffle only, no sort frame). At scale
-    // this beats the groupBy+self-join spelling: one shuffle, no join,
-    // and the partial aggregation runs map-side.
+    // onto every row. l_returnflag has 3 values, so the scale-safe
+    // spelling is hash-aggregate (map-side partials collapse each mapper
+    // to 3 rows) + broadcast join back — NOT Window.partitionBy(key),
+    // which would funnel the whole table through ≤3 reducer tasks (the
+    // exact heavy-key funnel q_salted_agg exists to avoid). The window
+    // spelling is only right when key cardinality ≈ parallelism or more.
     "q_groupby_transform" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"))
       val dec2 = DecimalType(30, 2)
-      val grpMean = sum(col("l_quantity").cast(dec2)).over(w).cast("double") /
-        count(col("l_quantity")).over(w)
-      Tables(s, dir, "lineitem")
+      val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_quantity"))
-        .withColumn("grp_mean_qty", round(grpMean, 6))
-        .withColumn("demeaned", round(col("l_quantity") - grpMean, 6))
+      val means = li.groupBy(col("l_returnflag"))
+        .agg((sum(col("l_quantity").cast(dec2)).cast("double") /
+          count(col("l_quantity"))).as("__gm"))
+      li.join(broadcast(means), Seq("l_returnflag"))
+        .withColumn("grp_mean_qty", round(col("__gm"), 6))
+        .withColumn("demeaned", round(col("l_quantity") - col("__gm"), 6))
+        .drop("__gm")
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 

@@ -79,6 +79,21 @@ class OperatorsSpec extends SparkSpecBase {
       == Seq(Some(8.0), Some(29.0), Some(58.0)))
   }
 
+  test("merge_asof attaches the MATCHED row's value even when it is null") {
+    import graft.operators.MergeAsof
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, "k", ts(10))).toDF("id", "key", "t")
+    // matched row (t=9) carries a null value; the farther row (t=1) must
+    // NOT leak through the ignoreNulls fill (pandas attaches the match's
+    // NaN; so does a DuckDB ASOF join)
+    val right = Seq(("k", ts(1), Some(1.0)), ("k", ts(9), None))
+      .toDF("key", "t", "v")
+    val got = MergeAsof.backward(left, right, "t", Seq("key"), Seq("v"))
+      .select("v").collect().head
+    assert(got.isNullAt(0), s"expected matched-row null, got $got")
+  }
+
   test("near-dup pairs finds the close pair above threshold only") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
         dim = 4, planes = 4, threshold = 0.95)

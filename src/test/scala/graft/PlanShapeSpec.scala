@@ -15,10 +15,13 @@ class PlanShapeSpec extends SparkSpecBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("groupby.transform is one window pass — no join, no sort-merge") {
+  test("groupby.transform broadcasts the 3-row means — no shuffle join, no 3-reducer window") {
     val p = plan(GroupBy.queries("q_groupby_transform")(spark, sf))
-    assert(!p.contains("Join"), "transform must not plan a self-join:\n" + p.take(800))
-    assert(p.contains("Window"), "expected a Window node")
+    assert(p.contains("BroadcastHashJoin"),
+      "means must come back via broadcast:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"), "no shuffle join for a 3-row means frame")
+    assert(!p.contains("Window"),
+      "a Window.partitionBy(3-value key) would funnel the table through <=3 tasks")
   }
 
   test("IVF probe filter is a broadcast semi-join; centroids broadcast into assignment") {
