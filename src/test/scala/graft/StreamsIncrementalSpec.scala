@@ -73,6 +73,40 @@ class StreamsIncrementalSpec extends SparkSpecBase {
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static join over >=3 micro-batches equals the batch join") {
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_sjoin_inc").toString
+    events.select(col("user_id"), col("event_type"), col("event_id"))
+      .withColumn("__b", pmod(col("event_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+
+    val dim = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val schema = spark.read.parquet(dir).schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sjoin_inc_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >=3 micro-batches, got ${q.recentProgress.length}")
+
+    val streamed = spark.table("sjoin_inc_sink")
+    val direct = events.select(col("user_id"), col("event_type"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionization over >=3 micro-batches equals the batch twin") {
     import graft.streaming.Streams
     val events = Tables(spark, sf, "events")
