@@ -62,14 +62,20 @@ object TextOps {
       greatest(size(t), lit(1)).cast("double")
   }
 
-  /** Composite quality score in [0,1]: length band + stopword presence +
-    * low punctuation density (shape borrowed from Gopher/C4-style rules). */
-  def qualityScore(text: Column): Column = {
-    val lenOk = when(length(text).between(50, 5000), 1.0).otherwise(0.0)
-    val stopOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
-    (lenOk + stopOk + punctOk) / lit(3.0)
+  /** Integer quality score in {0..3}: length band + stopword presence +
+    * low punctuation density (shape borrowed from Gopher/C4-style
+    * rules). Integer-valued so pipeline filters/aggregations over it
+    * are exact under any partitioning. */
+  def qualityScore3(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 5000), 1).otherwise(0)
+    val stopOk = when(stopwordRatio(text) > 0.05, 1).otherwise(0)
+    val punctOk = when(punctRatio(text) < 0.2, 1).otherwise(0)
+    (lenOk + stopOk + punctOk).cast("int")
   }
+
+  /** Composite quality score in [0,1] (the [0..3] rule count over 3). */
+  def qualityScore(text: Column): Column =
+    qualityScore3(text).cast("double") / lit(3.0)
 
   /** Language markers for the n-gram/stopword language-ID heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -68,6 +68,22 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end corpus-cleaning pipeline, ONE plan: fingerprint exact
+    // dedup (keep lowest doc_id per normalized fingerprint) → integer
+    // quality gate (≥2 of 3 rules) → per-language corpus stats. All
+    // keys/aggregates are exact (md5 strings, ints, longs) — no float
+    // accumulation anywhere, so the result is partitioning-independent.
+    "q_corpus_clean" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      val keep = d.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      d.join(keep, Seq("fp", "doc_id"), "left_semi")
+        .filter(TextOps.qualityScore3(col("text")) >= 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ——— dedup ———
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
@@ -457,6 +473,31 @@ object Extras {
         |    JOIN probed p ON a.cent_id = p.cent_id, q)
         |SELECT vec_id, ROUND(cs, 6) AS cos_sim FROM sims
         |ORDER BY cs DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_corpus_clean" ->
+      """WITH f AS (SELECT doc_id, lang, n_chars, text,
+        |  md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')),
+        |    '\s+', ' ', 'g')) AS fp
+        |FROM documents),
+        |keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+        |k AS (SELECT f.* FROM f JOIN keep USING (fp, doc_id)),
+        |s AS (SELECT lang, n_chars,
+        |  ((CASE WHEN LENGTH(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN
+        |        CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+        |          x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','for','on','with','as','was','at','by','be')))
+        |          AS DOUBLE)
+        |        / GREATEST(len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')), 1)
+        |        > 0.05 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN
+        |        CAST(LENGTH(text) -
+        |          LENGTH(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g'))
+        |          AS DOUBLE) / GREATEST(LENGTH(text), 1)
+        |        < 0.2 THEN 1 ELSE 0 END)) AS q3
+        |FROM k)
+        |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |FROM s WHERE q3 >= 2 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (
