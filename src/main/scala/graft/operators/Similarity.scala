@@ -157,17 +157,30 @@ object Similarity {
       if (dot >= 0) 1L << p else 0L
     }.reduce(_ | _)
 
-  /** Query stage against a built index: Hamming-ball filter on the
-    * materialized signature, exact cosine only on survivors. */
+  /** Every signature within Hamming distance ≤ d of `sig` over `planes`
+    * bits — Σ C(planes, i) values (planes=12, d=4 → 794). Small enough
+    * to enumerate for practical (planes, d). */
+  def hammingBall(sig: Long, planes: Int, d: Int): Seq[Long] =
+    (0 to d).flatMap(r => (0 until planes).combinations(r)
+      .map(_.foldLeft(sig)((s, b) => s ^ (1L << b))))
+
+  /** Query stage against a built index: the Hamming ball is ENUMERATED
+    * into an IN-list on the materialized signature, so the filter
+    * pushes into the scan — on an index written
+    * `partitionBy/bucketBy("__sig")` this prunes to the ball's
+    * partitions at planning time (a runtime `bit_count(xor) <= d`
+    * expression filter would read every row). Exact cosine only on
+    * survivors. Semantically identical to the bit-count filter. */
   def queryIndex(index: DataFrame, idCol: String, embCol: String,
                  query: Seq[Double], k: Int, planes: Int = 12,
-                 maxHammingDist: Int = 2): DataFrame =
+                 maxHammingDist: Int = 2): DataFrame = {
+    val ball = hammingBall(querySig(query, planes), planes, maxHammingDist)
     index
-      .filter(bit_count(col("__sig").bitwiseXOR(lit(querySig(query, planes))))
-        <= maxHammingDist)
+      .filter(col("__sig").isin(ball: _*))
       .select(col(idCol), cosineToQuery(col(embCol), query).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
 
   /** ANN top-k via LSH: build + query in one shot (the one-off path;
     * recall is tunable via planes/maxHammingDist — candidates shrink
