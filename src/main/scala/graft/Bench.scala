@@ -23,13 +23,12 @@ object Bench {
 
     // Optional args narrow the run to named queries — local iteration
     // only; the driver passes no args and benches the full headline set.
-    // Unknown names are an ERROR, not a silent no-op (a typo must not
-    // bench zero queries and exit 0).
-    val unknown = args.filterNot(SparkEntry.queries.contains)
+    // Unresolvable names are an ERROR whether they come from args (a
+    // typo) or from a stale benchQueries entry — never a silent no-op
+    // that benches fewer queries and exits 0.
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries
+    val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
-    val names =
-      (if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries)
-        .filter(SparkEntry.queries.contains)
     // Evaluate via the noop sink, NOT count(): count() lets Catalyst prune
     // every projected column, so a projection-heavy query would bench as
     // a bare scan. noop forces full evaluation of every output column.

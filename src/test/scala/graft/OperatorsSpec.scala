@@ -84,14 +84,19 @@ class OperatorsSpec extends SparkSpecBase {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val left = Seq((1L, "k", ts(10))).toDF("id", "key", "t")
-    // matched row (t=9) carries a null value; the farther row (t=1) must
-    // NOT leak through the ignoreNulls fill (pandas attaches the match's
-    // NaN; so does a DuckDB ASOF join)
-    val right = Seq(("k", ts(1), Some(1.0)), ("k", ts(9), None))
+    // The matched row carries a null value in every direction; a farther
+    // row's non-null value must NOT leak through an ignoreNulls fill
+    // (pandas attaches the match's NaN; so does a DuckDB ASOF join).
+    // backward: match t=9 (null), decoy t=1; forward: match t=11 (null),
+    // decoy t=19; nearest: 9 vs 11 tie → backward's null.
+    val right = Seq(("k", ts(1), Some(1.0)), ("k", ts(9), None),
+      ("k", ts(11), None), ("k", ts(19), Some(19.0)))
       .toDF("key", "t", "v")
-    val got = MergeAsof.backward(left, right, "t", Seq("key"), Seq("v"))
-      .select("v").collect().head
-    assert(got.isNullAt(0), s"expected matched-row null, got $got")
+    for (dir <- Seq(MergeAsof.backward _, MergeAsof.forward _, MergeAsof.nearest _)) {
+      val got = dir(left, right, "t", Seq("key"), Seq("v"))
+        .select("v").collect().head
+      assert(got.isNullAt(0), s"expected matched-row null, got $got")
+    }
   }
 
   test("near-dup pairs finds the close pair above threshold only") {
