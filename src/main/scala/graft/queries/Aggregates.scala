@@ -28,6 +28,20 @@ object Aggregates {
   private def liIdx = col("l_orderkey") * 10 + col("l_linenumber")
 
   val queries: Map[String, Q] = Map(
+    // pd.cut with fixed bins (histogramming): integer bin index from
+    // fixed-width bounds — a pure projection feeding a hash agg, the
+    // canonical data-profiling scan shape
+    "q_histogram" -> ((s, dir) => {
+      val width = 60000.0
+      val bin = floor(col("o_totalprice") / width).cast("int")
+      Tables(s, dir, "orders")
+        .groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
     // sum / min / max / mean / count in one reduction pass
     "q_agg_basic" -> ((s, dir) => {
       Tables(s, dir, "lineitem").agg(
@@ -162,6 +176,11 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 60000.0) AS INT) AS bin,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q_agg_basic" ->
       """SELECT
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
