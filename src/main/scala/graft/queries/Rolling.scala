@@ -263,6 +263,26 @@ object Rolling {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // rolling('7D', on='l_shipdate'): TIME-based trailing window — a
+    // RANGE frame over epoch days (reference constructor's `on` param,
+    // `sdc/datatypes/hpat_pandas_rolling_types.py:52-81`). Range frames
+    // include ties as peers, so same-day rows see identical frames and
+    // the values are engine-order independent by construction.
+    "q_rolling_time" -> ((s, dir) => {
+      val days = unix_date(col("l_shipdate").cast("date"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(days)
+        .rangeBetween(-6, Window.currentRow)
+      val xl = col("l_quantity").cast("long")
+      val n = count(col("l_quantity")).over(w)
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+        .withColumn("w7_sum", sum(xl).over(w).cast("double"))
+        .withColumn("w7_n", n)
+        .drop("l_shipdate")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // rolling.apply(func): arbitrary lambda folded over the ordered frame
     // — `collect_list` preserves frame order, `aggregate` runs the JVM
     // lambda; here func = sum of squared deviations from the frame's
@@ -391,6 +411,16 @@ object Rolling {
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rolling_time" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE) AS w7_sum,
+        |  COUNT(l_quantity) OVER w AS w7_n
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_expanding" ->

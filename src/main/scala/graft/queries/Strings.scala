@@ -66,6 +66,17 @@ object Strings {
         .orderBy(col("p_partkey"))
     }),
 
+    // S.str.cat(sep) as a grouped aggregate: group members sorted then
+    // joined — the sort makes the concatenation order-deterministic
+    // (DuckDB mirrors with string_agg(... ORDER BY ...))
+    "q_str_cat" -> ((s, dir) => {
+      Tables(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("names"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // str.extract: regex capture groups as new columns (reference regex
     // surface `sdc/str_ext.py:164-173` re.compile/Pattern.sub); both
     // engines return "" for a non-matching row, and the pattern below
@@ -130,6 +141,10 @@ object Strings {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_str_cat" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
     "q_str_extract" ->
       """SELECT o_orderkey,
         |  regexp_extract(o_orderpriority, '^([0-9])-(.+)$', 1) AS prio_num,
