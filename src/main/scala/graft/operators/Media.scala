@@ -89,4 +89,20 @@ object Media {
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong)))
           .as("frame_idx"))
+
+  /** "Audio" pipeline shape: fixed-duration chunking + a per-chunk
+    * feature (RMS-energy STUB — a pure function of (blob length,
+    * chunk index) in lieu of a PCM decoder, so the oracle can replay
+    * it; a real implementation decodes the chunk's samples here).
+    * Generator + projection: rows multiply in-stage, features are
+    * small fixed-width columns, the blob never crosses a shuffle. */
+  def audioChunks(media: DataFrame, bytesPerChunk: Long): DataFrame =
+    media
+      .withColumn("n_chunks",
+        expr(s"1L + (cast(meta.n_bytes as bigint) div $bytesPerChunk)"))
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("energy",
+        pmod(col("n_bytes") * 31 + col("chunk_idx") * 17, lit(1000L))
+          .cast("double") / 1000.0)
 }

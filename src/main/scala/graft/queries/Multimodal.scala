@@ -31,6 +31,13 @@ object Multimodal {
       val media = Media.mediaTable(Tables(s, dir, "documents"))
       Media.frameSample(media, bytesPerFrame = 1000L, step = 2)
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // audio: 4000-byte chunks + per-chunk energy (stubbed feature)
+    "q_media_audio" -> ((s, dir) => {
+      val media = Media.mediaTable(Tables(s, dir, "documents"))
+      Media.audioChunks(media, bytesPerChunk = 4000L)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
 
@@ -55,6 +62,19 @@ object Multimodal {
         |FROM documents)
         |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS BIGINT)
         |  AS frame_idx
-        |FROM b ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM b ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_media_audio" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  1 + CAST(octet_length(encode(text)) AS BIGINT) // 4000 AS n_chunks
+        |FROM documents),
+        |c AS (SELECT doc_id, n_bytes,
+        |  CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_idx
+        |FROM b)
+        |SELECT doc_id, n_bytes, chunk_idx,
+        |  CAST((n_bytes * 31 + chunk_idx * 17) % 1000 AS DOUBLE) / 1000.0
+        |    AS energy
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }
