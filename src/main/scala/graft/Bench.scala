@@ -46,8 +46,14 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS timed repetitions, median reported — the
     // reference perf harness's methodology (median of warm runs,
     // `sdc/tests/tests_perf/test_perf_base.py:42-62`). Default 1 keeps
-    // the driver's wall-clock unchanged.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // the driver's wall-clock unchanged; a set-but-unparsable value is
+    // an explicit error, not a silent fallback.
+    val repsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+    val reps = repsEnv match {
+      case None => 1
+      case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_REPS must be a positive int, got '$v'"))
+    }
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -56,7 +62,11 @@ object Bench {
       }
       val med =
         if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(reps / 2)
+        else {
+          val s = times.sorted
+          if (reps % 2 == 1) s(reps / 2)
+          else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+        }
       name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
@@ -78,14 +78,21 @@ object Media {
       .withColumn("out_h", floor(col("height") / factor).cast("int"))
   }
 
+  /** ceil(n_bytes / unit) chunk count in BIGINT arithmetic — the ONE
+    * chunking formula frame sampling and audio chunking share. An
+    * exact-multiple blob gets no empty trailing chunk; a 0-byte blob
+    * gets 0 chunks (callers filter those rows out before exploding —
+    * Spark's `sequence(0, -1)` errors rather than yielding empty). */
+  private def chunkCount(unit: Long): Column =
+    expr(s"(cast(meta.n_bytes as bigint) + ${unit - 1}) div $unit")
+
   /** Frame-sample stage for "video" blobs: one row per sampled frame
     * index. posexplode of a sequence is a generator — rows multiply
     * inside the stage with no shuffle. */
   def frameSample(media: DataFrame, bytesPerFrame: Long, step: Int): DataFrame =
     media
-      // `div` = integer division (Column `/` would promote to double)
-      .withColumn("n_frames",
-        expr(s"1L + (cast(meta.n_bytes as bigint) div $bytesPerFrame)"))
+      .withColumn("n_frames", chunkCount(bytesPerFrame))
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong)))
           .as("frame_idx"))
@@ -98,9 +105,10 @@ object Media {
     * small fixed-width columns, the blob never crosses a shuffle. */
   def audioChunks(media: DataFrame, bytesPerChunk: Long): DataFrame =
     media
-      .withColumn("n_chunks",
-        expr(s"1L + (cast(meta.n_bytes as bigint) div $bytesPerChunk)"))
-      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+      .withColumn("n_chunks", chunkCount(bytesPerChunk))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"),
+        col("meta.n_bytes").cast("long").as("n_bytes"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
       .withColumn("energy",
         pmod(col("n_bytes") * 31 + col("chunk_idx") * 17, lit(1000L))

@@ -58,20 +58,20 @@ object Multimodal {
 
     "q_media_frames" ->
       """WITH b AS (SELECT doc_id,
-        |  1 + CAST(octet_length(encode(text)) AS BIGINT) // 1000 AS n_frames
+        |  (CAST(octet_length(encode(text)) AS BIGINT) + 999) // 1000 AS n_frames
         |FROM documents)
         |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS BIGINT)
         |  AS frame_idx
-        |FROM b ORDER BY doc_id, frame_idx""".stripMargin,
+        |FROM b WHERE n_frames > 0 ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_media_audio" ->
       """WITH b AS (SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  1 + CAST(octet_length(encode(text)) AS BIGINT) // 4000 AS n_chunks
+        |  (CAST(octet_length(encode(text)) AS BIGINT) + 3999) // 4000 AS n_chunks
         |FROM documents),
         |c AS (SELECT doc_id, n_bytes,
         |  CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_idx
-        |FROM b)
+        |FROM b WHERE n_chunks > 0)
         |SELECT doc_id, n_bytes, chunk_idx,
         |  CAST((n_bytes * 31 + chunk_idx * 17) % 1000 AS DOUBLE) / 1000.0
         |    AS energy
