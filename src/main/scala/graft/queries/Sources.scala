@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.functions.dsum
+import graft.functions.{dmean, dstdSamp, dsum}
 
 /** SURVEY §2.1 sources: the `read_csv` options matrix, the DataFrame
   * constructor, and the NumPy binary-file source.
@@ -155,6 +155,31 @@ object Sources {
         .orderBy(col("o_custkey"))
     }),
 
+    // The reference's census-benchmark ETL shape end to end
+    // (`benchmarks/census_benchmark.py:45-80`): usecols+dtype CSV read →
+    // filter → z-score normalization. Moments come from ONE exact-decimal
+    // aggregate broadcast back onto the rows — the normalize step is a
+    // projection, and (x−μ)/σ is the identical IEEE op sequence on both
+    // engines because μ and σ are exact-sum-derived doubles.
+    "q_census_etl" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", StringType),
+        StructField("o_orderpriority", StringType)))
+      val src = s.read.option("header", "true").option("sep", "|")
+        .schema(schema).csv(ordersCsv(s, dir))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_totalprice") > 1000.0)
+      val stats = src.agg(dmean(col("o_totalprice")).as("mu"),
+        dstdSamp(col("o_totalprice")).as("sd"))
+      src.crossJoin(broadcast(stats))
+        .select(col("o_orderkey"),
+          round((col("o_totalprice") - col("mu")) / col("sd"), 6).as("z"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // np.fromfile: binaryFile source + per-partition int64 decode
     "q_binary_source" -> ((s, dir) => {
       val spark = s
@@ -195,6 +220,23 @@ object Sources {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_census_etl" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 1000.0),
+        |st AS (SELECT
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS mu,
+        |  SQRT((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(32,4)))
+        |          AS DOUBLE)
+        |        - CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |          * CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |          / COUNT(o_totalprice))
+        |       / (COUNT(o_totalprice) - 1.0)) AS sd
+        |  FROM src)
+        |SELECT o_orderkey, ROUND((o_totalprice - mu) / sd, 6) AS z
+        |FROM src, st ORDER BY o_orderkey""".stripMargin,
 
     "q_binary_source" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation ORDER BY v"""
