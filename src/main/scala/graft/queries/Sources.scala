@@ -58,6 +58,33 @@ object Sources {
       tmp
     })
 
+  /** Nation as JSON-lines (one object per line — the splittable layout;
+    * a single multi-MB JSON array would be one unsplittable task). */
+  private def nationJson(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"json:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+        .coalesce(1)
+        .write.mode("overwrite").json(tmp)
+      tmp
+    })
+
+  /** Supplier as ORC (the columnar alternative; predicate pushdown and
+    * column pruning work the same as parquet). */
+  private def supplierOrc(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"orc:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .write.mode("overwrite").orc(tmp)
+      tmp
+    })
+
   /** Orders written as a partitioned parquet dataset (hive layout,
     * `o_orderpriority=<v>/` directories) — the sink side of §2.1 plus
     * the partition-pruned scan the round-trip query exercises. */
@@ -155,6 +182,26 @@ object Sources {
         .orderBy(col("o_custkey"))
     }),
 
+    // JSON-lines source with explicit schema (no sampling-based
+    // inference pass — one scan, not two)
+    "q_read_json" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).json(nationJson(s, dir))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // ORC source: filter + projection prune into the columnar scan,
+    // exactly as with parquet
+    "q_read_orc" -> ((s, dir) => {
+      s.read.orc(supplierOrc(s, dir))
+        .filter(col("s_acctbal") > 0)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // The reference's census-benchmark ETL shape end to end
     // (`benchmarks/census_benchmark.py:45-80`): usecols+dtype CSV read →
     // filter → z-score normalization. Moments come from ONE exact-decimal
@@ -220,6 +267,14 @@ object Sources {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_read_json" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_read_orc" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
 
     "q_census_etl" ->
       """WITH src AS (
