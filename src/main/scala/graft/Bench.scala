@@ -45,12 +45,13 @@ object Bench {
     names.foreach(run)
     // SPARK_GRAFT_BENCH_REPS timed repetitions, median reported — the
     // reference perf harness's methodology (median of warm runs,
-    // `sdc/tests/tests_perf/test_perf_base.py:42-62`). Default 1 keeps
-    // the driver's wall-clock unchanged; a set-but-unparsable value is
-    // an explicit error, not a silent fallback.
+    // `sdc/tests/tests_perf/test_perf_base.py:42-62`). Default 3: this
+    // box shows ±2× single-run noise, and a median-of-3 costs ~1 min of
+    // extra wall-clock against stable numbers. A set-but-unparsable
+    // value is an explicit error, not a silent fallback.
     val repsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPS")
     val reps = repsEnv match {
-      case None => 1
+      case None => 3
       case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_REPS must be a positive int, got '$v'"))
     }
