@@ -41,8 +41,10 @@ object Bench {
         false
       }
     // Warm-up: JIT + codegen + file-footer caches. Failures logged loudly —
-    // a broken query must never silently bench as a no-op.
-    names.foreach(run)
+    // a broken query must never silently bench as a no-op — and
+    // short-circuit the timed reps (re-running a known-broken query
+    // `reps` more times just burns wall-clock and spams the log).
+    val warmFailed = names.filterNot(run).toSet
     // SPARK_GRAFT_BENCH_REPS timed repetitions, median reported — the
     // reference perf harness's methodology (median of warm runs,
     // `sdc/tests/tests_perf/test_perf_base.py:42-62`). Default 3: this
@@ -56,19 +58,22 @@ object Bench {
         sys.error(s"SPARK_GRAFT_BENCH_REPS must be a positive int, got '$v'"))
     }
     val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = run(name)
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val med =
-        if (times.contains(-1.0)) -1.0
-        else {
-          val s = times.sorted
-          if (reps % 2 == 1) s(reps / 2)
-          else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+      if (warmFailed(name)) name -> -1.0
+      else {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = run(name)
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-      name -> med
+        val med =
+          if (times.contains(-1.0)) -1.0
+          else {
+            val s = times.sorted
+            if (reps % 2 == 1) s(reps / 2)
+            else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+          }
+        name -> med
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

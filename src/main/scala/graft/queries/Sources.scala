@@ -29,6 +29,22 @@ object Sources {
 
   private val fixtures = new ConcurrentHashMap[String, String]()
 
+  /** The nation fixture's explicit schema — shared by every reader of
+    * `nationCsv`/`nationJson` so the dtype stays in one place. */
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  /** The orders CSV fixture's schema — shared by `q_read_csv_options`
+    * and `q_census_etl` (both read `ordersCsv`). */
+  private val ordersCsvSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", StringType),
+    StructField("o_orderpriority", StringType)))
+
   /** Nation as a headered comma CSV (the simple read path). */
   private def nationCsv(s: SparkSession, dir: String): String =
     fixtures.computeIfAbsent(s"nation:$dir", { _ =>
@@ -81,6 +97,7 @@ object Sources {
       Tables(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
           col("s_acctbal"))
+        .coalesce(1) // single-file fixture, like every other fixture here
         .write.mode("overwrite").orc(tmp)
       tmp
     })
@@ -122,11 +139,7 @@ object Sources {
   val queries: Map[String, Q] = Map(
     // read_csv with header + explicit schema (dtype)
     "q_read_csv" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("n_nationkey", IntegerType),
-        StructField("n_name", StringType),
-        StructField("n_regionkey", IntegerType)))
-      s.read.option("header", "true").schema(schema).csv(nationCsv(s, dir))
+      s.read.option("header", "true").schema(nationSchema).csv(nationCsv(s, dir))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -136,14 +149,8 @@ object Sources {
     // byte-positional skip is meaningless on a distributed scan, and the
     // csv fixture is ordered by its dense key)
     "q_read_csv_options" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("o_orderkey", LongType),
-        StructField("o_custkey", LongType),
-        StructField("o_totalprice", DoubleType),
-        StructField("o_orderdate", StringType),
-        StructField("o_orderpriority", StringType)))
-      s.read.option("header", "true").option("sep", "|").schema(schema)
-        .csv(ordersCsv(s, dir))
+      s.read.option("header", "true").option("sep", "|")
+        .schema(ordersCsvSchema).csv(ordersCsv(s, dir))
         .select(col("o_orderkey"), col("o_totalprice"),
           to_date(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
         .filter(col("o_orderkey") >= 100)
@@ -185,11 +192,7 @@ object Sources {
     // JSON-lines source with explicit schema (no sampling-based
     // inference pass — one scan, not two)
     "q_read_json" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("n_nationkey", IntegerType),
-        StructField("n_name", StringType),
-        StructField("n_regionkey", IntegerType)))
-      s.read.schema(schema).json(nationJson(s, dir))
+      s.read.schema(nationSchema).json(nationJson(s, dir))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -209,14 +212,8 @@ object Sources {
     // projection, and (x−μ)/σ is the identical IEEE op sequence on both
     // engines because μ and σ are exact-sum-derived doubles.
     "q_census_etl" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("o_orderkey", LongType),
-        StructField("o_custkey", LongType),
-        StructField("o_totalprice", DoubleType),
-        StructField("o_orderdate", StringType),
-        StructField("o_orderpriority", StringType)))
       val src = s.read.option("header", "true").option("sep", "|")
-        .schema(schema).csv(ordersCsv(s, dir))
+        .schema(ordersCsvSchema).csv(ordersCsv(s, dir))
         .select(col("o_orderkey"), col("o_totalprice"))
         .filter(col("o_totalprice") > 1000.0)
       val stats = src.agg(dmean(col("o_totalprice")).as("mu"),

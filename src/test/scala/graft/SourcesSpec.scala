@@ -31,6 +31,35 @@ class SourcesSpec extends SparkSpecBase {
     assert(got.values.sum == 25) // 25 nations across 5 regions
   }
 
+  test("json-lines source round-trips nation under the shared schema") {
+    val got = Sources.queries("q_read_json")(spark, sf)
+    val want = Tables(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    assert(got.count() == 25)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("orc source pushes the filter into the columnar scan") {
+    val q = Sources.queries("q_read_orc")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(s_acctbal"),
+      "acctbal filter did not push into the ORC scan:\n" + plan.take(600))
+    val want = Tables(spark, sf, "supplier")
+      .filter(col("s_acctbal") > 0).count()
+    assert(q.count() == want && want > 0)
+  }
+
+  test("census ETL z-scores have zero mean and unit variance") {
+    val z = Sources.queries("q_census_etl")(spark, sf)
+      .select("z").as[Double].collect()
+    assert(z.nonEmpty)
+    val mean = z.sum / z.length
+    val varz = z.map(x => (x - mean) * (x - mean)).sum / (z.length - 1)
+    assert(math.abs(mean) < 1e-6, s"z mean $mean")
+    assert(math.abs(varz - 1.0) < 1e-3, s"z variance $varz")
+  }
+
   test("binary source decodes the int64 file back to the nation keys") {
     val got = Sources.queries("q_binary_source")(spark, sf)
       .as[Long].collect().toSeq
