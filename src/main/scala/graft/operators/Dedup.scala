@@ -291,6 +291,57 @@ object Dedup {
       .select(col(idCol), simhash.as("simhash"))
   }
 
+  /** Connected components over an undirected (id_a, id_b) pair frame by
+    * iterative min-label propagation: each round every vertex takes the
+    * minimum label among itself and its neighbors, so the smallest id in
+    * a component floods outward one hop per round. Returns (id, cluster)
+    * for every id that appears in some pair; cluster = the component's
+    * minimum id (callers attach singletons with cluster = own id via a
+    * left join — see q_dedup_cluster).
+    *
+    * Scale shape: the loop runs ONLY over ids that appear in some pair.
+    * At 100 TB the near-dup graph is a small fraction of the corpus
+    * (LSH pairs, not the documents), so each round is an equi-join on
+    * vertex id over |V_dup| rows — never |D|. Rounds are bounded by the
+    * component diameter; near-dup clusters are shallow (a cluster is a
+    * quasi-clique of mutual candidates), so propagation converges in a
+    * handful of rounds. Each round eagerly localCheckpoints — the loop
+    * would otherwise double plan depth per iteration, and the
+    * convergence count would replay the whole history. For adversarial
+    * long-chain graphs swap the body for large-star/small-star (Kiveris
+    * et al., MapReduce CC) — O(log²) rounds, same per-round join shape.
+    *
+    * Reference scope: the reference's dedup surface is
+    * `drop_duplicates` (`sdc/datatypes/hpat_pandas_dataframe_functions
+    * .py`); clustering LSH pairs into components is the parity-plus
+    * step every production dedup pipeline needs to pick ONE keeper per
+    * near-dup group rather than dropping both ends of each pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .localCheckpoint(true) // consumed every round; sever the LSH plan
+    var lab = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIter) {
+      // message pass: lab'(v) = min(lab(v), min over neighbors u of lab(u))
+      val msgs = edges.join(lab.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("lab"))
+      val next = lab.union(msgs).groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+      changed = next.join(lab.withColumnRenamed("lab", "prev"), Seq("id"))
+        .filter(col("lab") =!= col("prev")).count()
+      lab = next
+      round += 1
+    }
+    lab.select(col("id"), col("lab").as("cluster"))
+  }
+
   /** n-gram Jaccard dedup without LSH: blocks by (lang, length bucket) and
     * verifies all pairs inside a block. Right for modest block sizes;
     * use [[minhashPairs]] when blocks get large. */

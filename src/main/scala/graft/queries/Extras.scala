@@ -46,6 +46,62 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals: duplicate-word ratio (1 −
+    // distinct/total) from the array alone, and top-bigram fraction via
+    // explode → (doc, bigram) count → per-doc max/total. Two hash aggs
+    // keyed by doc — map-side partials, no window, no collect; ratios
+    // are exact small-int divisions so both engines round identically.
+    "q_text_repetition" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.normWords(col("text")).as("ws"))
+      val stats = base.select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+      val bigrams = base.select(col("doc_id"),
+        explode(transform(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          (x, i) => concat(x, lit(" "), element_at(col("ws"), i + lit(2))))).as("bg"))
+      val bgTop = bigrams.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      stats.join(bgTop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          round(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_words").cast("double"), 6)
+            .as("dup_word_ratio"),
+          round(coalesce(col("mx").cast("double") / col("tot").cast("double"),
+            lit(0.0)), 6).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic train/val/test split: bucket = first 8 md5 hex chars
+    // of the id, mod 100 — reproducible across engines, runs, and
+    // partitionings (the property df.sample() does NOT give you), and a
+    // pure projection at any scale.
+    "q_split_hash" -> ((s, dir) => {
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // one-hot encoding (pd.get_dummies) over the closed lang vocabulary —
+    // a fixed-width projection (no pivot shuffle; the vocabulary is a
+    // compile-time constant exactly as get_dummies' column set is).
+    "q_get_dummies" -> ((s, dir) => {
+      val langs = TextOps.langMarkers.keys.toSeq.sorted
+      Tables(s, dir, "documents")
+        .select(col("doc_id") +: langs.map(l =>
+          (col("lang") === l).cast("int").as(s"lang_$l")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
@@ -97,6 +153,26 @@ object Extras {
       Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
           k = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // minhash pairs → connected components → one cluster id (the
+    // component's min doc_id) per document; is_rep marks the keeper.
+    // The CC loop runs only over ids that appear in some pair; the
+    // corpus-wide frame just left-joins the (tiny) label table back.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs)
+      // no broadcast hint: |labels| is bounded by the near-dup doc count,
+      // small here but unbounded at corpus scale — let AQE pick broadcast
+      // when the label table is actually small.
+      d.select(col("doc_id"))
+        .join(cc, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("is_rep", (col("doc_id") === col("cluster")).cast("int"))
+        .orderBy(col("doc_id"))
     }),
 
     // SimHash signatures (md5-derived bits — hash-checked against the
@@ -202,6 +278,53 @@ object Extras {
     s"list_reduce(list_transform(string_split(substr(md5($x),1,8),''), " +
       "c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)"
 
+  /** DuckDB fragment: the full MinHash-LSH pipeline (k=16, 4 bands,
+    * 3-word shingles, bucket cap 200) as a CTE chain ending in
+    * `pairs(id_a, id_b, j)` — the exact replica of
+    * [[graft.operators.Dedup.minhashPairs]]. Shared by the pair query
+    * and the connected-components clustering oracle. */
+  private lazy val minhashPairsCte: String = {
+    val coeffs = Dedup.minhashCoeffs(16)
+    val P = Dedup.MinhashP
+    val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
+      s"list_min(list_transform(hl, h -> ($a*h + $b) % $P)) AS mh$s"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (b * 4 until (b + 1) * 4)
+        .map(s => s"mh$s::VARCHAR").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""base AS (
+      |  SELECT doc_id AS id, list_distinct(
+      |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |         ELSE list_transform(generate_series(1, len(ws)-2),
+      |                i -> array_to_string(ws[i:i+2], ' '))
+      |    END) AS sh
+      |  FROM (SELECT doc_id,
+      |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS ws
+      |    FROM documents)),
+      |hs AS (SELECT id, sh, list_transform(sh, s ->
+      |  list_reduce(list_transform(string_split(substr(md5(s),1,8),''),
+      |    c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)) AS hl
+      |  FROM base),
+      |sig AS (SELECT id,
+      |  $mhs
+      |FROM hs),
+      |banded AS (
+      |  $bandSelects),
+      |ok AS (SELECT band, bh FROM banded GROUP BY band, bh
+      |  HAVING COUNT(*) BETWEEN 2 AND 200),
+      |member AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM member a JOIN member b USING (band, bh) WHERE a.id < b.id),
+      |hsets AS (SELECT id, list_distinct(hl) AS hh FROM hs),
+      |pairs AS (SELECT id_a, id_b,
+      |  CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(ha.hh, hb.hh))) AS j
+      |  FROM cand JOIN hsets ha ON ha.id = cand.id_a
+      |            JOIN hsets hb ON hb.id = cand.id_b)""".stripMargin
+  }
+
   /** DuckDB fragment: the hyperplane table (p, pl: DOUBLE[64]) for
     * `planes` planes — exact replica of Similarity.planeComponent. */
   private def planesCte(planes: Int): String =
@@ -246,6 +369,39 @@ object Extras {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |    AS INT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g')), '\s+') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS n_words,
+        |  len(list_distinct(ws)) AS n_distinct FROM w),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws)-1),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS b FROM w),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+        |bt AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(n_words AS INT) AS n_words,
+        |  CAST(n_distinct AS INT) AS n_distinct,
+        |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_ratio,
+        |  ROUND(COALESCE(CAST(mx AS DOUBLE) / tot, 0.0), 6) AS top_bigram_frac
+        |FROM s LEFT JOIN bt USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+
+    "q_split_hash" ->
+      s"""WITH b AS (SELECT doc_id,
+        |  ${hex8("doc_id::VARCHAR")} % 100 AS bucket FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_get_dummies" -> {
+      val cols = TextOps.langMarkers.keys.toSeq.sorted
+        .map(l => s"CAST(lang = '$l' AS INT) AS lang_$l").mkString(",\n  ")
+      s"""SELECT doc_id,
+        |  $cols
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_quality" ->
       """WITH q AS (SELECT doc_id,
@@ -326,49 +482,26 @@ object Extras {
     // shingle-HASH-set Jaccard verification at the same threshold
     // (both engines hash shingles with the same md5 nibbles, so the
     // hash sets — and their Jaccard — are identical).
-    "q_dedup_minhash" -> {
-      val coeffs = Dedup.minhashCoeffs(16)
-      val P = Dedup.MinhashP
-      val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
-        s"list_min(list_transform(hl, h -> ($a*h + $b) % $P)) AS mh$s"
-      }.mkString(",\n  ")
-      val bandSelects = (0 until 4).map { b =>
-        val cat = (b * 4 until (b + 1) * 4)
-          .map(s => s"mh$s::VARCHAR").mkString(" || '|' || ")
-        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH base AS (
-        |  SELECT doc_id AS id, list_distinct(
-        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-        |         ELSE list_transform(generate_series(1, len(ws)-2),
-        |                i -> array_to_string(ws[i:i+2], ' '))
-        |    END) AS sh
-        |  FROM (SELECT doc_id,
-        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS ws
-        |    FROM documents)),
-        |hs AS (SELECT id, sh, list_transform(sh, s ->
-        |  list_reduce(list_transform(string_split(substr(md5(s),1,8),''),
-        |    c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)) AS hl
-        |  FROM base),
-        |sig AS (SELECT id,
-        |  $mhs
-        |FROM hs),
-        |banded AS (
-        |  $bandSelects),
-        |ok AS (SELECT band, bh FROM banded GROUP BY band, bh
-        |  HAVING COUNT(*) BETWEEN 2 AND 200),
-        |member AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM member a JOIN member b USING (band, bh) WHERE a.id < b.id),
-        |hsets AS (SELECT id, list_distinct(hl) AS hh FROM hs),
-        |pairs AS (SELECT id_a, id_b,
-        |  CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(ha.hh, hb.hh))) AS j
-        |  FROM cand JOIN hsets ha ON ha.id = cand.id_a
-        |            JOIN hsets hb ON hb.id = cand.id_b)
+    "q_dedup_minhash" ->
+      s"""WITH $minhashPairsCte
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
-        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
-    },
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // minhash pairs → connected components (min-label transitive
+    // closure) → every doc labeled with its cluster's minimum doc_id;
+    // singletons are their own cluster. Replays the full LSH pipeline
+    // as CTEs, then closes it recursively.
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE j >= 0.5
+        |      UNION ALL SELECT id_b, id_a FROM pairs WHERE j >= 0.5),
+        |reach AS (SELECT a AS node, a AS lab FROM e
+        |          UNION SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node),
+        |cc AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
+        |SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster,
+        |  CAST(d.doc_id = COALESCE(cc.cluster, d.doc_id) AS INT) AS is_rep
+        |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // ngramJaccardPairs replica: same normalization, 3-word shingles,
     // (lang, len/100) blocking, exact set Jaccard ≥ 0.2.

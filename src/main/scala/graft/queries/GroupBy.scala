@@ -59,6 +59,24 @@ object GroupBy {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // groupby first/last (pandas gb.first()/gb.last()) with the frame's
+    // order made EXPLICIT: min_by/max_by on a unique (orderkey,
+    // linenumber) key folded into one long — a hash aggregate with
+    // map-side partials, not a window funnel over sorted groups
+    // (l_linenumber ≤ 7, so key = orderkey*10 + linenumber is injective).
+    "q_groupby_first_last" -> ((s, dir) => {
+      val okey = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min_by(col("l_extendedprice"), okey).as("first_price"),
+          max_by(col("l_extendedprice"), okey).as("last_price"),
+          min_by(col("l_quantity"), okey).as("first_qty"),
+          max_by(col("l_quantity"), okey).as("last_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // groupby var/std via exact per-group power sums.
     // x² is formed in DECIMAL arithmetic (cast-then-multiply), not as a
     // double product cast to decimal: o_totalprice² ≈ 3.6e11 needs 15-16
@@ -201,6 +219,16 @@ object GroupBy {
         |    / COUNT(o_totalprice) AS mean_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_groupby_first_last" ->
+      """SELECT l_returnflag,
+        |  arg_min(l_extendedprice, l_orderkey*10 + l_linenumber) AS first_price,
+        |  arg_max(l_extendedprice, l_orderkey*10 + l_linenumber) AS last_price,
+        |  arg_min(l_quantity, l_orderkey*10 + l_linenumber) AS first_qty,
+        |  arg_max(l_quantity, l_orderkey*10 + l_linenumber) AS last_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_groupby_var_std" ->
       """WITH s AS (SELECT o_orderpriority,

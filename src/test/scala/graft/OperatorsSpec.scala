@@ -29,6 +29,16 @@ class OperatorsSpec extends SparkSpecBase {
     assert(pairs.forall { case (a, b) => a != 3L && b != 3L })
   }
 
+  test("connected components: min label floods chains, components stay apart") {
+    // chain 1—2—3 (needs 2 propagation rounds to flood 1 → 3), pair 5—6,
+    // and 9—1 closing back to the minimum — labels must be the component min.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash is deterministic and equal for equal text") {
     val sigs = docs.select(col("doc_id"),
         Dedup.simhash64(col("text")).as("s"))
