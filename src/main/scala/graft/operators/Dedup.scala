@@ -49,7 +49,7 @@ object Dedup {
 
   /** 32-bit base hash of a shingle string: first 8 hex chars of its md5 —
     * the one hash this engine and the DuckDB oracle share. */
-  private def shingleBaseHash(s: Column): Column =
+  private[graft] def shingleBaseHash(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
   /** k MinHash values of the shingle set as an array<long>.

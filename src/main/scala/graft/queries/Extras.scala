@@ -91,6 +91,51 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // stratified sampling: per-language keep rates (downsample the
+    // dominant 'en') via a SALTED md5 bucket — deterministic across
+    // engines, runs, and partitionings, unlike df.sample's RNG, and a
+    // pure projection at any scale. The salt decorrelates it from
+    // q_split_hash's bucket so sampling doesn't bias the splits.
+    "q_stratified_sample" -> ((s, dir) => {
+      val u = pmod(conv(substring(
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(1000L))
+      val rateMille = when(col("lang") === "en", 200L).otherwise(600L)
+      Tables(s, dir, "documents")
+        .filter(u < rateMille)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // train/eval contamination scan: which held-out ("test" split) docs
+    // share a 3-word shingle with the training split, and how much. The
+    // scale path is an equi-join on the 32-bit shingle hash: the train
+    // side collapses to ONE row per distinct shingle before the join
+    // (boilerplate shingles dedupe map-side instead of exploding the
+    // join), the test side carries (doc, hash) pairs, and the only
+    // other shuffles are the two per-doc hash aggregates — never
+    // doc × doc, never full text.
+    "q_contamination" -> ((s, dir) => {
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100L))
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), bucket.as("__b"))
+      def shingleHashes(src: org.apache.spark.sql.DataFrame) = src
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text")))).as("__sh"))
+        .select(col("doc_id"), Dedup.shingleBaseHash(col("__sh")).as("h"))
+      val train = shingleHashes(d.filter(col("__b") < 80))
+        .select(col("h")).distinct().withColumn("__hit", lit(1))
+      val test = shingleHashes(d.filter(col("__b") >= 90))
+      test.join(train, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+        .withColumn("contamination",
+          round(col("n_hit").cast("double") / col("n_shingles"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // one-hot encoding (pd.get_dummies) over the closed lang vocabulary —
     // a fixed-width projection (no pivot shuffle; the vocabulary is a
     // compile-time constant exactly as get_dummies' column set is).
@@ -394,6 +439,35 @@ object Extras {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${hex8("'strat:' || doc_id::VARCHAR")} % 1000 <
+        |  CASE WHEN lang = 'en' THEN 200 ELSE 600 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // same shingle construction + md5-fold hash as the minhash CTEs;
+    // split buckets replay q_split_hash's md5 bucketing
+    "q_contamination" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, ${hex8("doc_id::VARCHAR")} % 100 AS bucket,
+        |    list_distinct(
+        |      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |           ELSE list_transform(generate_series(1, len(ws)-2),
+        |                  i -> array_to_string(ws[i:i+2], ' '))
+        |      END) AS sh
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS ws
+        |    FROM documents)),
+        |hs AS (SELECT doc_id, bucket, unnest(list_transform(sh, s ->
+        |  ${hex8("s")})) AS h
+        |  FROM base),
+        |train AS (SELECT DISTINCT h FROM hs WHERE bucket < 80),
+        |test AS (SELECT doc_id, h FROM hs WHERE bucket >= 90)
+        |SELECT test.doc_id, COUNT(*) AS n_shingles, COUNT(train.h) AS n_hit,
+        |  ROUND(CAST(COUNT(train.h) AS DOUBLE) / COUNT(*), 6) AS contamination
+        |FROM test LEFT JOIN train ON test.h = train.h
+        |GROUP BY test.doc_id ORDER BY test.doc_id""".stripMargin,
 
     "q_get_dummies" -> {
       val cols = TextOps.langMarkers.keys.toSeq.sorted
