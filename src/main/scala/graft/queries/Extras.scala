@@ -174,12 +174,18 @@ object Extras {
     // quality gate (≥2 of 3 rules) → per-language corpus stats. All
     // keys/aggregates are exact (md5 strings, ints, longs) — no float
     // accumulation anywhere, so the result is partitioning-independent.
+    // Keep-first is a window-min over fp — ONE shuffle and ONE pass over
+    // the corpus; the groupBy + semi-join spelling planned the (regex +
+    // md5) fingerprint subtree twice, once per join side. fp is
+    // high-cardinality (≈ one per distinct doc), so the window has no
+    // heavy-key funnel.
     "q_corpus_clean" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      Tables(s, dir, "documents")
         .withColumn("fp", TextOps.fingerprint(col("text")))
-      val keep = d.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      d.join(keep, Seq("fp", "doc_id"), "left_semi")
-        .filter(TextOps.qualityScore3(col("text")) >= 2)
+        .withColumn("__keep", min(col("doc_id")).over(wFp))
+        .filter(col("doc_id") === col("__keep") &&
+          TextOps.qualityScore3(col("text")) >= 2)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
