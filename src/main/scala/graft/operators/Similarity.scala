@@ -264,16 +264,27 @@ object Similarity {
     * dropped, trading recall for a bounded candidate count (same policy
     * as Dedup.minhashPairs). Per-pair scoring is one `graft_dot` in the
     * join's output projection — the only shuffle in this operator is the
-    * bucket equi-join itself, keyed on the 64-bit signature. */
+    * bucket equi-join itself, keyed on the 64-bit signature.
+    *
+    * The bucket-size gate is an unordered window count riding the
+    * bucket shuffle (one pass, spills instead of buffering a degenerate
+    * bucket), and the gated signature frame is materialized ONCE before
+    * the self-join — otherwise Catalyst plans the signature projection
+    * (planes × `graft_dot` per row) separately for the count and for
+    * EACH join side (~3× the dot products; measured ~35% slower at
+    * sf0.1). This is the in-query form of the production shape, where
+    * the signature frame is written once, bucketed by `sig`
+    * ([[buildIndex]]). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                          dim: Int, planes: Int = 12,
                          threshold: Double = 0.95,
                          maxBucket: Int = 1000): DataFrame = {
-    val sigAll = withHyperplaneSig(df, idCol, embCol, dim, planes)
-    val small = sigAll.groupBy(col("sig"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
-      .select(col("sig"))
-    val sig = sigAll.join(broadcast(small), Seq("sig"))
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+    val sig = withHyperplaneSig(df, idCol, embCol, dim, planes)
+      .withColumn("__n", count(lit(1)).over(bucketW))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+      .localCheckpoint(true)
     val a = sig.select(col("sig"), col("id").as("id_a"), col("e").as("e_a"),
       col("nrm").as("nrm_a"))
     val b = sig.select(col("sig"), col("id").as("id_b"), col("e").as("e_b"),
