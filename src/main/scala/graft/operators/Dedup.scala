@@ -205,8 +205,12 @@ object Dedup {
     // affect both engines identically).
     val candIds = cand.select(col("id_a").as("cid"))
       .union(cand.select(col("id_b").as("cid"))).distinct()
-    val candDocs = fanned
-      .join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+    // Semi-join the RAW scan, not `fanned`: filtering below the fan-out
+    // repartition means the broadcast filter prunes at the scan and only
+    // the candidate docs' text crosses the second shuffle (fanning out
+    // first would reshuffle the whole corpus text again).
+    val candDocs = Parallelism.fanOut(
+      df.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"))
     val candSh = shingleHashes(candDocs)
       .groupBy(col("id")).agg(collect_set(col("__h")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
