@@ -305,6 +305,28 @@ object Extras {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // per-label embedding centroids (mean pooling — the k-means update /
+    // embedding-aggregation step): posexplode each vector, hash-aggregate
+    // by (label, dim). Map-side partials collapse the ×64 explode before
+    // the shuffle, which carries |labels|·64 rows regardless of corpus
+    // size. FP-order independence: each element is quantized to an exact
+    // integer (floor(x·1e6 + 0.5) of the float widened to double — the
+    // identical IEEE sequence on both engines), so the sum is an exact
+    // long on any partitioning; the one double division at the end is
+    // deterministic.
+    "q_emb_centroids" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"),
+          floor(col("col").cast("double") * lit(1e6) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          (col("sq").cast("double") / (col("n") * lit(1e6))).as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // ——— streaming shape (batch-equivalent of the windowed agg) ———
     "q_events_window" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -474,6 +496,16 @@ object Extras {
         |  ROUND(CAST(COUNT(train.h) AS DOUBLE) / COUNT(*), 6) AS contamination
         |FROM test LEFT JOIN train ON test.h = train.h
         |GROUP BY test.doc_id ORDER BY test.doc_id""".stripMargin,
+
+    // same quantize-then-exact-sum scheme as the Spark side; pos is the
+    // 0-based dimension (generate_series is 1-based element access)
+    "q_emb_centroids" ->
+      """SELECT label, i - 1 AS pos,
+        |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 1e6) AS centroid
+        |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
+        |GROUP BY label, i
+        |ORDER BY label, pos""".stripMargin,
 
     "q_get_dummies" -> {
       val cols = TextOps.langMarkers.keys.toSeq.sorted
