@@ -74,8 +74,8 @@ object Dedup {
     * null and concat_ws skips nulls, so the short-doc shingle is the
     * whole doc — exactly [[shingles]]' semantics. Every doc yields ≥1
     * row (split of "" is [""]), so no id is lost. */
-  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                          w: Int): DataFrame =
+  private[graft] def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                                 w: Int): DataFrame =
     df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
       .select(col("id"), col("ws"), posexplode(col("ws")))
       .filter(col("pos") + w <= size(col("ws")) ||

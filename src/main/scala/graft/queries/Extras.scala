@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions._
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Parallelism, Similarity, TextOps}
 
 /** LLM-training-data pipeline operators (parity-plus; BASELINE.json north
   * star): dedup, similarity search, text analysis, plus the CSV source
@@ -112,22 +112,24 @@ object Extras {
     // scale path is an equi-join on the 32-bit shingle hash: the train
     // side collapses to ONE row per distinct shingle before the join
     // (boilerplate shingles dedupe map-side instead of exploding the
-    // join), the test side carries (doc, hash) pairs, and the only
-    // other shuffles are the two per-doc hash aggregates — never
-    // doc × doc, never full text.
+    // join), the test side carries distinct (doc, hash) pairs, and the
+    // only other shuffles are the per-doc hash aggregates — never
+    // doc × doc, never full text. Shingling goes through the explode +
+    // codegen path ([[Dedup.shingleRows]]) — the HOF Column form is
+    // CodegenFallback and measured ~8× slower here.
     "q_contamination" -> ((s, dir) => {
       val bucket = pmod(
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long"), lit(100L))
-      val d = Tables(s, dir, "documents")
+      val d = Parallelism.fanOut(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("text"), bucket.as("__b"))
-      def shingleHashes(src: org.apache.spark.sql.DataFrame) = src
-        .select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(col("text")))).as("__sh"))
-        .select(col("doc_id"), Dedup.shingleBaseHash(col("__sh")).as("h"))
+      def shingleHashes(src: org.apache.spark.sql.DataFrame) =
+        Dedup.shingleRows(src, "doc_id", "text", 3)
+          .select(col("id").as("doc_id"),
+            Dedup.shingleBaseHash(col("shingle")).as("h"))
       val train = shingleHashes(d.filter(col("__b") < 80))
         .select(col("h")).distinct().withColumn("__hit", lit(1))
-      val test = shingleHashes(d.filter(col("__b") >= 90))
+      val test = shingleHashes(d.filter(col("__b") >= 90)).distinct()
       test.join(train, Seq("h"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
@@ -491,7 +493,7 @@ object Extras {
         |  ${hex8("s")})) AS h
         |  FROM base),
         |train AS (SELECT DISTINCT h FROM hs WHERE bucket < 80),
-        |test AS (SELECT doc_id, h FROM hs WHERE bucket >= 90)
+        |test AS (SELECT DISTINCT doc_id, h FROM hs WHERE bucket >= 90)
         |SELECT test.doc_id, COUNT(*) AS n_shingles, COUNT(train.h) AS n_hit,
         |  ROUND(CAST(COUNT(train.h) AS DOUBLE) / COUNT(*), 6) AS contamination
         |FROM test LEFT JOIN train ON test.h = train.h
