@@ -348,14 +348,29 @@ object Dedup {
 
   /** n-gram Jaccard dedup without LSH: blocks by (lang, length bucket) and
     * verifies all pairs inside a block. Right for modest block sizes;
-    * use [[minhashPairs]] when blocks get large. */
+    * use [[minhashPairs]] when blocks get large.
+    *
+    * Shingle sets are built from the codegen explode path
+    * ([[shingleRows]] + collect_set) — the Column-form [[shingles]] HOF
+    * tree is interpreted CodegenFallback and measured 46 s vs ~2 s at
+    * sf0.1. Sets hold the 32-bit md5 base hashes, not strings: the
+    * all-pairs intersect/union inside blocks is the hot loop, and long
+    * comparisons beat string comparisons there (hash-set Jaccard equals
+    * string-set Jaccard except under 32-bit collisions — ~n²/2³³ per
+    * doc, affecting both engines identically; same policy as
+    * [[minhashPairs]]' verification). Block attrs rejoin on id (hash
+    * join over |docs| rows); Jaccard uses set sizes only, so
+    * collect_set's unordered arrays are exact. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         langCol: String, w: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    val base = Parallelism.fanOut(df)
-      .select(col(idCol).as("id"), col(langCol).as("lang"),
-      (length(col(textCol)) / 100).cast("int").as("lenb"),
-      array_distinct(shingles(col(textCol), w)).as("sh"))
+    val fanned = Parallelism.fanOut(df)
+    val sets = shingleRows(fanned, idCol, textCol, w)
+      .groupBy(col("id"))
+      .agg(collect_set(shingleBaseHash(col("shingle"))).as("sh"))
+    val attrs = fanned.select(col(idCol).as("id"), col(langCol).as("lang"),
+      (length(col(textCol)) / 100).cast("int").as("lenb"))
+    val base = sets.join(attrs, Seq("id"))
     val a = base.select(col("lang"), col("lenb"), col("id").as("id_a"),
       col("sh").as("sh_a"))
     val b = base.select(col("lang"), col("lenb"), col("id").as("id_b"),

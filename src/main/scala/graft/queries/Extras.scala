@@ -618,21 +618,22 @@ object Extras {
         |ORDER BY d.doc_id""".stripMargin,
 
     // ngramJaccardPairs replica: same normalization, 3-word shingles,
-    // (lang, len/100) blocking, exact set Jaccard ≥ 0.2.
+    // (lang, len/100) blocking, exact set Jaccard ≥ 0.2 over the shared
+    // md5-fold shingle hashes (matching the Spark side's long sets).
     // NOTE: FLOOR before the INT cast — DuckDB CAST(4.51 AS INT) ROUNDS
     // to 5, Spark's .cast("int") truncates to 4 (the pandas `len//100`
     // semantics). Bit at sf0.1 where doc lengths straddle a +50 boundary.
     "q_ngram_jaccard" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id AS id, lang,
         |    CAST(FLOOR(LENGTH(text)/100.0) AS INT) AS lenb,
-        |    list_distinct(
+        |    list_distinct(list_transform(
         |      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
         |           ELSE list_transform(generate_series(1, len(ws)-2),
         |                  i -> array_to_string(ws[i:i+2], ' '))
-        |      END) AS sh
+        |      END, s -> ${hex8("s")})) AS sh
         |  FROM (SELECT doc_id, lang, text,
-        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g')), '\s+') AS ws
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS ws
         |    FROM documents))
         |SELECT a.id AS id_a, b.id AS id_b,
         |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
