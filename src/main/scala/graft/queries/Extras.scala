@@ -51,16 +51,20 @@ object Extras {
     // explode → (doc, bigram) count → per-doc max/total. Two hash aggs
     // keyed by doc — map-side partials, no window, no collect; ratios
     // are exact small-int divisions so both engines round identically.
+    // Bigrams come from posexplode + get (whole-stage codegen) — the
+    // transform/slice HOF spelling is interpreted CodegenFallback and,
+    // with the unsplit one-file scan, measured 8.4 s vs ~1 s at sf0.1.
     "q_text_repetition" -> ((s, dir) => {
-      val base = Tables(s, dir, "documents")
+      val base = Parallelism.fanOut(Tables(s, dir, "documents"))
         .select(col("doc_id"), TextOps.normWords(col("text")).as("ws"))
       val stats = base.select(col("doc_id"),
         size(col("ws")).as("n_words"),
         size(array_distinct(col("ws"))).as("n_distinct"))
-      val bigrams = base.select(col("doc_id"),
-        explode(transform(
-          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
-          (x, i) => concat(x, lit(" "), element_at(col("ws"), i + lit(2))))).as("bg"))
+      val bigrams = base
+        .select(col("doc_id"), col("ws"), posexplode(col("ws")))
+        .filter(col("pos") + 1 < size(col("ws")))
+        .select(col("doc_id"),
+          concat(col("col"), lit(" "), get(col("ws"), col("pos") + 1)).as("bg"))
       val bgTop = bigrams.groupBy(col("doc_id"), col("bg"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
