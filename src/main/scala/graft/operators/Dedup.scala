@@ -333,14 +333,21 @@ object Dedup {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIter) {
-      // message pass: lab'(v) = min(lab(v), min over neighbors u of lab(u))
+      // message pass: lab'(v) = min(lab(v), min over neighbors u of lab(u)).
+      // The vertex's own row rides the union flagged __self, so the
+      // aggregate emits the previous label alongside the new one and the
+      // convergence check is a filter over the just-checkpointed blocks —
+      // one real job per round, not a second label-frame join.
       val msgs = edges.join(lab.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("lab"))
-      val next = lab.union(msgs).groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        .select(col("dst").as("id"), col("lab"), lit(0).as("__self"))
+      val next = lab.withColumn("__self", lit(1)).union(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("lab")).as("lab"),
+          max(when(col("__self") === 1, col("lab"))).as("__prev"))
         .localCheckpoint(true)
-      changed = next.join(lab.withColumnRenamed("lab", "prev"), Seq("id"))
-        .filter(col("lab") =!= col("prev")).count()
-      lab = next
+      // labels only decrease, so decreased ⟺ changed
+      changed = next.filter(col("lab") < col("__prev")).count()
+      lab = next.select(col("id"), col("lab"))
       round += 1
     }
     lab.select(col("id"), col("lab").as("cluster"))
