@@ -125,29 +125,49 @@ object Rolling {
 
     // rolling corr/cov of (quantity, extendedprice) from exact windowed
     // cross sums, window=6, minp=4 (pairwise: only rows where both sides
-    // are present count — `count(x*y)` — matching pandas pairwise frames)
+    // are present count — `count(x*y)` — matching pandas pairwise frames).
+    // Like q_rolling_skew_kurt, the five power/cross sums run as O(1)/row
+    // running sums + a lag(win) cumulative difference instead of O(w)/row
+    // sliding recomputes (measured ~4.8 s → ~1.5 s at sf0.1); the sums
+    // are exact (longs for integer-valued quantity, decimals for price),
+    // so the differences are bit-identical to the oracle's sliding sums.
     "q_rolling_corr_cov" -> ((s, dir) => {
       val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"))
-      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
-        .rowsBetween(-5, Window.currentRow)
+      val wPart = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      val wRun = wPart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = wPart.rowsBetween(-5, Window.currentRow)
       val x = col("l_quantity")
       val y = col("l_extendedprice")
-      val n = count(x * y).over(w).cast("double")
-      val sx = sum(x.cast(dec2)).over(w).cast("double")
-      val sy = sum(y.cast(dec2)).over(w).cast("double")
-      val sxx = sum((x * x).cast(DecimalType(34, 4))).over(w).cast("double")
-      val syy = sum((y * y).cast(DecimalType(38, 4))).over(w).cast("double")
-      val sxy = sum((x * y).cast(DecimalType(38, 4))).over(w).cast("double")
+      val xl = x.cast("long")
+      val win = 6
+      val dec4a = DecimalType(34, 4)
+      val dec4b = DecimalType(38, 4)
+      val cums = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), x, y, col("l_shipdate"))
+        .withColumn("__n", count(x * y).over(w))
+        .withColumn("__cx", sum(xl).over(wRun))
+        .withColumn("__cxx", sum(xl * xl).over(wRun))
+        .withColumn("__cy", sum(y.cast(dec2)).over(wRun))
+        .withColumn("__cyy", sum((y * y).cast(dec4b)).over(wRun))
+        .withColumn("__cxy", sum((x * y).cast(dec4a)).over(wRun))
+      def winSum(c: String) =
+        (col(c) - coalesce(lag(col(c), win).over(wPart), lit(0))).cast("double")
+      val n = col("__n").cast("double")
+      val sx = winSum("__cx")
+      val sy = winSum("__cy")
+      val sxx = winSum("__cxx")
+      val syy = winSum("__cyy")
+      val sxy = winSum("__cxy")
       val corr = (n * sxy - sx * sy) /
         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
       val cov = (sxy - sx * sy / n) / (n - lit(1.0))
-      Tables(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          x, y, col("l_shipdate"))
-        .withColumn("roll_corr", when(n >= 4, round(corr, 6)))
-        .withColumn("roll_cov", when(n >= 4, round(cov, 4)))
-        .drop("l_shipdate", "l_partkey")
+      cums
+        .withColumn("roll_corr", when(col("__n") >= 4, round(corr, 6)))
+        .withColumn("roll_cov", when(col("__n") >= 4, round(cov, 4)))
+        .drop("l_shipdate", "l_partkey", "__n", "__cx", "__cxx", "__cy",
+          "__cyy", "__cxy")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
