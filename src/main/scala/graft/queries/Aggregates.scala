@@ -69,12 +69,18 @@ object Aggregates {
         dstdSamp(col("l_quantity")).as("std_qty"))
     }),
 
-    // median + quantile (exact, interpolated — pandas default)
+    // median + quantile (exact, interpolated — pandas default), via the
+    // sort-based distributed path (GlobalOrder.exactQuantiles): Spark's
+    // `percentile` aggregate hashmaps every distinct value (4.8 s on the
+    // near-unique price column at sf0.1; the map must also fit one
+    // reducer), the rank pick is ~1.5 s and never exceeds a partition
     "q_agg_quantile" -> ((s, dir) => {
-      Tables(s, dir, "lineitem").agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("q25_price"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("q75_price"))
+      graft.operators.GlobalOrder.exactQuantiles(
+          Tables(s, dir, "lineitem"), col("l_extendedprice"),
+          Seq(("median_price", 0.5), ("q25_price", 0.25), ("q75_price", 0.75)))
+        .select(round(col("median_price"), 6).as("median_price"),
+          round(col("q25_price"), 6).as("q25_price"),
+          round(col("q75_price"), 6).as("q75_price"))
     }),
 
     // skew: pandas bias-corrected G1, from exact decimal power sums

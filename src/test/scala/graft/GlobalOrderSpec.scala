@@ -47,6 +47,17 @@ class GlobalOrderSpec extends SparkSpecBase {
     assert(got.toSeq == None +: vs.map(Some(_)))
   }
 
+  test("exactQuantiles matches Spark's percentile aggregate bit-for-bit") {
+    val got = GlobalOrder.exactQuantiles(frame, col("v"),
+        Seq(("q10", 0.10), ("med", 0.5), ("q9", 0.9)), parts = 3)
+      .as[(Double, Double, Double)].head()
+    val want = frame.agg(
+        expr("percentile(v, 0.10)"), expr("percentile(v, 0.5)"),
+        expr("percentile(v, 0.9)"))
+      .as[(Double, Double, Double)].head()
+    assert(got == want)
+  }
+
   test("no stage windows over a single full-data partition") {
     val plan = GlobalOrder.withRowNumber(frame, Seq(col("k")), "rn", parts = 3)
       .queryExecution.executedPlan.toString
