@@ -95,6 +95,24 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // greedy sequence packing: docs fill 2048-token context windows in
+    // positional (doc_id) order — pack_id = which window this doc's
+    // first token lands in (the contiguous-fill approximation every
+    // large pretraining pipeline uses; true bin packing is sequential
+    // and neither distributed nor deterministic). The running token
+    // count is the two-pass range-partitioned prefix sum
+    // (GlobalOrder.withRunningSum), so no single-partition window and
+    // exact long arithmetic ⇒ identical packs on any partitioning.
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"))
+      graft.operators.GlobalOrder.withRunningSum(
+          d, Seq(col("doc_id")), col("n_tok"), "cum_tok", scale = 0)
+        .withColumn("pack_id",
+          floor((col("cum_tok") - col("n_tok")) / lit(2048)).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stratified sampling: per-language keep rates (downsample the
     // dominant 'en') via a SALTED md5 bucket — deterministic across
     // engines, runs, and partitionings, unlike df.sample's RNG, and a
@@ -473,6 +491,19 @@ object Extras {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS INT)
+        |  END AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_tok
+        |FROM t)
+        |SELECT doc_id, n_tok, cum_tok,
+        |  CAST(FLOOR((cum_tok - n_tok) / 2048) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
