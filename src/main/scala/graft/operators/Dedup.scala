@@ -371,11 +371,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         langCol: String, w: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    val fanned = Parallelism.fanOut(df)
-    val sets = shingleRows(fanned, idCol, textCol, w)
+    val sets = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
       .groupBy(col("id"))
       .agg(collect_set(shingleBaseHash(col("shingle"))).as("sh"))
-    val attrs = fanned.select(col(idCol).as("id"), col(langCol).as("lang"),
+    // attrs does no per-row-expensive work and rejoins on id, so it reads
+    // the RAW scan — deriving it from the fanned frame would plan a
+    // second scan + round-robin shuffle (the branches prune different
+    // columns, so the exchanges are not reusable).
+    val attrs = df.select(col(idCol).as("id"), col(langCol).as("lang"),
       (length(col(textCol)) / 100).cast("int").as("lenb"))
     val base = sets.join(attrs, Seq("id"))
     val a = base.select(col("lang"), col("lenb"), col("id").as("id_a"),

@@ -76,14 +76,22 @@ object GlobalOrder {
 
   /** Global 1-based row_number over `order`, as column `name`. */
   def withRowNumber(df: DataFrame, order: Seq[Column], name: String,
-                    parts: Int = 0): DataFrame = {
+                    parts: Int = 0): DataFrame =
+    withRowNumberLong(df, order, name, parts)
+      .withColumn(name, col(name).cast("int"))
+
+  /** [[withRowNumber]] without the pandas-int32 output cast — the rank
+    * stays a long, for internal consumers that must survive >2^31 rows
+    * (e.g. [[exactQuantiles]]' bracketing-rank compares). */
+  def withRowNumberLong(df: DataFrame, order: Seq[Column], name: String,
+                        parts: Int = 0): DataFrame = {
     val r = ranged(df, order, parts)
     val local = r.withColumn(LOCAL,
       row_number().over(Window.partitionBy(col(PID)).orderBy(order: _*)))
     val counts = local.groupBy(col(PID)).agg(count(lit(1)).as("__cnt"))
     val offsets = exclusivePrefix(counts, "__cnt", lit(0L))
     local.join(broadcast(offsets), PID)
-      .withColumn(name, (col(LOCAL) + col(OFF)).cast("int"))
+      .withColumn(name, col(LOCAL) + col(OFF))
       .drop(PID, LOCAL, OFF)
   }
 
@@ -144,7 +152,7 @@ object GlobalOrder {
   def exactQuantiles(df: DataFrame, value: Column,
                      qs: Seq[(String, Double)], parts: Int = 0): DataFrame = {
     val vals = df.select(value.as("__v")).filter(col("__v").isNotNull)
-    val ranked = withRowNumber(vals, Seq(col("__v")), "__rn", parts)
+    val ranked = withRowNumberLong(vals, Seq(col("__v")), "__rn", parts)
     val n = vals.agg(count(lit(1)).as("__n"))
     val joined = ranked.crossJoin(broadcast(n))
     def k(q: Double) = (col("__n") - 1).cast("double") * lit(q)

@@ -345,7 +345,11 @@ object Extras {
           floor(col("col").cast("double") * lit(1e6) + lit(0.5))
             .cast("long").as("q"))
         .groupBy(col("label"), col("pos"))
-        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        // count(q), not count(*): a null element then counts on neither
+        // engine (the oracle counts FLOOR(...) the same way). Dim count
+        // 64 is the fixture contract (FIXTURES.md), as in every
+        // embedding oracle here.
+        .agg(count(col("q")).as("n"), sum(col("q")).as("sq"))
         .select(col("label"), col("pos").cast("long").as("pos"),
           (col("sq").cast("double") / (col("n") * lit(1e6))).as("centroid"))
         .orderBy(col("label"), col("pos"))
@@ -539,7 +543,7 @@ object Extras {
     "q_emb_centroids" ->
       """SELECT label, i - 1 AS pos,
         |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-        |    / (COUNT(*) * 1e6) AS centroid
+        |    / (COUNT(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)) * 1e6) AS centroid
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
