@@ -67,6 +67,11 @@ package object api {
     def shifted(order: Seq[Column], value: Column, name: String): DataFrame =
       GlobalOrder.withLag(df, order, value, name)
 
+    /** `S.quantile(qs)` exact interpolated quantiles, sort-based —
+      * one output column per (name, q). */
+    def quantiles(value: Column, qs: Seq[(String, Double)]): DataFrame =
+      GlobalOrder.exactQuantiles(df, value, qs)
+
     // ——— joins (SURVEY §2.3) ———
 
     /** `pd.merge_asof`; direction ∈ backward | forward | nearest. */
@@ -105,6 +110,23 @@ package object api {
     /** 64-bit SimHash per row → (idCol, simhash). */
     def simhashed(idCol: String, textCol: String): DataFrame =
       Dedup.simhashDF(df, idCol, textCol)
+
+    /** Which of this frame's docs share a w-shingle with `train`'s docs,
+      * and how much — (doc_id, n_shingles, n_hit) per doc of `df`. The
+      * train side collapses to one row per distinct shingle hash before
+      * the equi-join. */
+    def contaminationAgainst(train: DataFrame, idCol: String,
+                             textCol: String, w: Int = 3): DataFrame = {
+      def hashes(src: DataFrame) =
+        Dedup.shingleRows(Parallelism.fanOut(src), idCol, textCol, w)
+          .select(col("id"), Dedup.shingleBaseHash(col("shingle")).as("h"))
+      val trainH = hashes(train).select(col("h")).distinct()
+        .withColumn("__hit", lit(1))
+      hashes(df).distinct()
+        .join(trainH, Seq("h"), "left")
+        .groupBy(col("id").as(idCol))
+        .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+    }
 
     // ——— LLM-pipeline: similarity (embeddings-shaped frames) ———
 

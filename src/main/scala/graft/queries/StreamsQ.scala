@@ -29,7 +29,11 @@ object StreamsQ {
 
     // stream-static join: per-batch broadcast hash join against the
     // customer dimension, then a stateful grouped count
-    "q_stream_join" -> ((s, dir) => Streams.streamStaticJoin(s, dir))
+    "q_stream_join" -> ((s, dir) => Streams.streamStaticJoin(s, dir)),
+
+    // stream-stream inner join with watermark-bounded state on both
+    // sides: purchases × trailing-hour clicks per user
+    "q_stream_stream_join" -> ((s, dir) => Streams.clickAttribution(s, dir))
   )
 
   private val sessionSql =
@@ -66,6 +70,16 @@ object StreamsQ {
       """SELECT c_mktsegment, event_type, COUNT(*) AS n
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
-        |ORDER BY c_mktsegment, event_type""".stripMargin
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's nanos to micros — the
+    // same normalization the Spark reader applies (Tables/normalize)
+    "q_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events)
+        |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM e p JOIN e c ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin
   )
 }

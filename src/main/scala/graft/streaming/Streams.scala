@@ -148,6 +148,46 @@ object Streams {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** Stream-stream inner join: click→purchase attribution — for each
+    * purchase, the same user's clicks in the trailing hour. Both sides
+    * carry event-time watermarks and the join predicate is an equality
+    * on user plus a time-range, which is exactly what lets Spark BOUND
+    * BOTH join states: a buffered click is evicted once the watermark
+    * passes click_ts + 1 hour (no later purchase can reach back to it),
+    * and symmetrically for purchases. Without the range the state would
+    * grow with the stream. The batch twin is the identical self-join,
+    * which the oracle replays. */
+  def clickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = normalize(
+      spark.readStream.schema(schema).parquet(eventsDir(sfDir)))
+    runToTable(spark, clickAttributionStream(src, "1 hour"), OutputMode.Append())
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
+  /** Source-agnostic core of [[clickAttribution]]. `delay` is the
+    * watermark lateness bound: how far out of order events may arrive
+    * before they are dropped as late (the state-size/lateness-tolerance
+    * dial every production deployment sets; the incremental spec uses a
+    * large delay so an event_id-split replay — arbitrarily out of order
+    * in event time — still joins exactly). */
+  private[graft] def clickAttributionStream(src: DataFrame,
+                                            delay: String): DataFrame = {
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   // ——— sessionization: 30-minute-gap sessions per user ———
 
   /** Session gap threshold, in microseconds (all gap comparisons run at

@@ -107,6 +107,44 @@ class StreamsIncrementalSpec extends SparkSpecBase {
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream join over >=3 micro-batches equals the batch self-join") {
+    import graft.streaming.Streams
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_ssjoin_inc").toString
+    // event_id split: a purchase and its matching click usually land in
+    // DIFFERENT micro-batches, so the two-sided join state must hold and
+    // match across batches; the generous watermark keeps the arbitrarily
+    // out-of-(event-time)-order replay from dropping rows as late
+    events.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("__b", pmod(col("event_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val joined = Streams.clickAttributionStream(src, "10000 hours")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_inc_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >=3 micro-batches, got ${q.recentProgress.length}")
+
+    val streamed = spark.table("ssjoin_inc_sink")
+    val e = events.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val direct = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .join(e.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts")),
+        col("user_id") === col("cu") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionization over >=3 micro-batches equals the batch twin") {
     import graft.streaming.Streams
     val events = Tables(spark, sf, "events")
