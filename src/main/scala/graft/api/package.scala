@@ -112,21 +112,11 @@ package object api {
       Dedup.simhashDF(df, idCol, textCol)
 
     /** Which of this frame's docs share a w-shingle with `train`'s docs,
-      * and how much — (doc_id, n_shingles, n_hit) per doc of `df`. The
-      * train side collapses to one row per distinct shingle hash before
-      * the equi-join. */
+      * and how much — (idCol, n_shingles, n_hit) per doc of `df`. */
     def contaminationAgainst(train: DataFrame, idCol: String,
-                             textCol: String, w: Int = 3): DataFrame = {
-      def hashes(src: DataFrame) =
-        Dedup.shingleRows(Parallelism.fanOut(src), idCol, textCol, w)
-          .select(col("id"), Dedup.shingleBaseHash(col("shingle")).as("h"))
-      val trainH = hashes(train).select(col("h")).distinct()
-        .withColumn("__hit", lit(1))
-      hashes(df).distinct()
-        .join(trainH, Seq("h"), "left")
-        .groupBy(col("id").as(idCol))
-        .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
-    }
+                             textCol: String, w: Int = 3): DataFrame =
+      Dedup.contaminationScan(df, train, idCol, textCol, w)
+        .withColumnRenamed("id", idCol)
 
     // ——— LLM-pipeline: similarity (embeddings-shaped frames) ———
 

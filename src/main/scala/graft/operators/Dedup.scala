@@ -353,6 +353,30 @@ object Dedup {
     lab.select(col("id"), col("lab").as("cluster"))
   }
 
+  /** Train/eval contamination scan: for each doc of `test`, how many of
+    * its distinct w-shingles appear anywhere in `train` — the benchmark-
+    * leakage check every pretraining pipeline runs. Returns
+    * (id, n_shingles, n_hit) per test doc.
+    *
+    * Scale shape: the train side collapses to ONE row per distinct
+    * shingle hash before the equi-join (boilerplate shingles dedupe in
+    * the aggregate, not the join), the test side carries distinct
+    * (doc, hash) pairs, and the only other shuffles are the per-doc
+    * hash aggregates — never doc × doc, never full text. Shingling goes
+    * through the codegen [[shingleRows]] path. */
+  def contaminationScan(test: DataFrame, train: DataFrame, idCol: String,
+                        textCol: String, w: Int = 3): DataFrame = {
+    def hashes(src: DataFrame) =
+      shingleRows(Parallelism.fanOut(src), idCol, textCol, w)
+        .select(col("id"), shingleBaseHash(col("shingle")).as("h"))
+    val trainH = hashes(train).select(col("h")).distinct()
+      .withColumn("__hit", lit(1))
+    hashes(test).distinct()
+      .join(trainH, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+  }
+
   /** n-gram Jaccard dedup without LSH: blocks by (lang, length bucket) and
     * verifies all pairs inside a block. Right for modest block sizes;
     * use [[minhashPairs]] when blocks get large.

@@ -130,31 +130,20 @@ object Extras {
     }),
 
     // train/eval contamination scan: which held-out ("test" split) docs
-    // share a 3-word shingle with the training split, and how much. The
-    // scale path is an equi-join on the 32-bit shingle hash: the train
-    // side collapses to ONE row per distinct shingle before the join
-    // (boilerplate shingles dedupe map-side instead of exploding the
-    // join), the test side carries distinct (doc, hash) pairs, and the
-    // only other shuffles are the per-doc hash aggregates — never
-    // doc × doc, never full text. Shingling goes through the explode +
-    // codegen path ([[Dedup.shingleRows]]) — the HOF Column form is
-    // CodegenFallback and measured ~8× slower here.
+    // share a 3-word shingle with the training split, and how much —
+    // Dedup.contaminationScan over the md5-bucket splits (scale notes
+    // live on the operator; the HOF Column shingle form is
+    // CodegenFallback and measured ~8× slower than its explode path).
     "q_contamination" -> ((s, dir) => {
       val bucket = pmod(
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long"), lit(100L))
-      val d = Parallelism.fanOut(Tables(s, dir, "documents"))
+      val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"), bucket.as("__b"))
-      def shingleHashes(src: org.apache.spark.sql.DataFrame) =
-        Dedup.shingleRows(src, "doc_id", "text", 3)
-          .select(col("id").as("doc_id"),
-            Dedup.shingleBaseHash(col("shingle")).as("h"))
-      val train = shingleHashes(d.filter(col("__b") < 80))
-        .select(col("h")).distinct().withColumn("__hit", lit(1))
-      val test = shingleHashes(d.filter(col("__b") >= 90)).distinct()
-      test.join(train, Seq("h"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+      Dedup.contaminationScan(
+          d.filter(col("__b") >= 90), d.filter(col("__b") < 80),
+          "doc_id", "text", w = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"))
         .withColumn("contamination",
           round(col("n_hit").cast("double") / col("n_shingles"), 6))
         .orderBy(col("doc_id"))

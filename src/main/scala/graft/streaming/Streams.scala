@@ -68,10 +68,16 @@ object Streams {
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // The trailing no-data micro-batch only advances the watermark for
-    // eviction/append-emission bookkeeping; with Complete output (all
-    // windows re-emitted each batch) and the stateless fragment stream
-    // (emits on data only) it changes no result — skip its full
-    // state-store commit cycle.
+    // eviction/append-emission bookkeeping; it changes no result for
+    // the streams routed through here — Complete-output aggregations
+    // (all windows re-emitted each batch), stateless append streams
+    // (emit on data only), and INNER stream-stream joins (matches emit
+    // in the data batch that completes them) — so skip its full
+    // state-store commit cycle. An OUTER stream-stream join or an
+    // Append-mode windowed aggregate would NOT be safe: their final
+    // watermark-gated emissions (null-padded rows / closed windows)
+    // fire only in that trailing batch — re-enable the conf before
+    // routing one through here.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = stream.writeStream
@@ -156,7 +162,15 @@ object Streams {
     * passes click_ts + 1 hour (no later purchase can reach back to it),
     * and symmetrically for purchases. Without the range the state would
     * grow with the stream. The batch twin is the identical self-join,
-    * which the oracle replays. */
+    * which the oracle replays.
+    *
+    * Oracle exactness and the 1-hour lateness bound: the fixture dir
+    * holds ONE file, so the AvailableNow run is a single batch in which
+    * the watermark is still unset and nothing can be dropped as late;
+    * at scale, in-(event-time)-order arrival keeps the join exact and
+    * the delay only bounds state. An out-of-order multi-file replay
+    * needs the delay raised to its disorder bound — that trade is what
+    * the incremental spec exercises via [[clickAttributionStream]]. */
   def clickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val src = normalize(

@@ -53,4 +53,23 @@ class ApiSpec extends SparkSpecBase {
     assert(r.getAs[Long]("count") == 4L && r.getAs[Double]("mean") == 2.5
       && r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 4.0)
   }
+
+  test("quantiles interpolates like pandas linear") {
+    val got = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+      .quantiles(col("x"), Seq(("med", 0.5), ("q75", 0.75)))
+      .as[(Double, Double)].head()
+    assert(got == ((2.5, 3.25)))
+  }
+
+  test("contaminationAgainst counts shared shingles per held-out doc") {
+    val train = Seq((1L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "the quick brown fox sleeps"), // shares 2 of its 3 shingles
+      (11L, "completely unrelated words right here")).toDF("doc_id", "text")
+    val got = test.contaminationAgainst(train, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_hit").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((10L, 3L, 2L), (11L, 3L, 0L)))
+  }
 }
