@@ -29,6 +29,21 @@ package object functions {
     * sessions register it via `spark.sql.extensions=graft.GraftExtensions`). */
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** First 8 md5 hex chars of `c` folded to a long — THE cross-engine
+    * 32-bit hash (DuckDB replays it by folding the same hex nibbles).
+    * Every deterministic bucket/split/shingle hash in the engine derives
+    * from this one definition. */
+  def md5Fold32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic bucket in [0, mod) from an optionally salted key —
+    * the reproducible-under-any-partitioning substitute for RNG
+    * sampling/splitting (df.sample is neither cross-engine nor
+    * cross-run stable). */
+  def md5Bucket(c: Column, mod: Long, salt: String = ""): Column =
+    pmod(md5Fold32(if (salt.isEmpty) c.cast("string")
+                   else concat(lit(salt), c.cast("string"))), lit(mod))
+
   /** pandas missing-value normalization: NaN becomes null. */
   def nanToNull(c: Column): Column = nanvl(c, lit(null))
 

@@ -47,10 +47,10 @@ object Dedup {
       math.floorMod(rnd.nextLong(), MinhashP)))
   }
 
-  /** 32-bit base hash of a shingle string: first 8 hex chars of its md5 —
-    * the one hash this engine and the DuckDB oracle share. */
+  /** 32-bit base hash of a shingle string — the shared cross-engine
+    * md5 fold ([[graft.functions.md5Fold32]]). */
   private[graft] def shingleBaseHash(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    graft.functions.md5Fold32(s)
 
   /** k MinHash values of the shingle set as an array<long>.
     *

@@ -151,9 +151,21 @@ object GlobalOrder {
     * `S.quantile` at `sdc/datatypes/hpat_pandas_series_functions.py:2880`. */
   def exactQuantiles(df: DataFrame, value: Column,
                      qs: Seq[(String, Double)], parts: Int = 0): DataFrame = {
+    val order = Seq(col("__v"))
     val vals = df.select(value.as("__v")).filter(col("__v").isNotNull)
-    val ranked = withRowNumberLong(vals, Seq(col("__v")), "__rn", parts)
-    val n = vals.agg(count(lit(1)).as("__n"))
+    // Inlined withRowNumberLong, because the total count must come from
+    // the per-partition summary (numPartitions rows, checkpointed once)
+    // — a separate vals.agg(count) subtree would re-scan the source, and
+    // deriving it from `ranked` would recompute the range shuffle.
+    val r = ranged(vals, order, parts)
+    val local = r.withColumn(LOCAL,
+      row_number().over(Window.partitionBy(col(PID)).orderBy(order: _*)))
+    val counts = local.groupBy(col(PID)).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    val offsets = exclusivePrefix(counts, "__cnt", lit(0L))
+    val n = counts.agg(sum(col("__cnt")).as("__n"))
+    val ranked = local.join(broadcast(offsets), PID)
+      .withColumn("__rn", col(LOCAL) + col(OFF))
     val joined = ranked.crossJoin(broadcast(n))
     def k(q: Double) = (col("__n") - 1).cast("double") * lit(q)
     val picks = qs.flatMap { case (name, q) =>

@@ -54,9 +54,13 @@ object Extras {
     // Bigrams come from posexplode + get (whole-stage codegen) — the
     // transform/slice HOF spelling is interpreted CodegenFallback and,
     // with the unsplit one-file scan, measured 8.4 s vs ~1 s at sf0.1.
+    // The tokenized frame feeds BOTH the stats and bigram subtrees, so
+    // it is materialized once (the TF-checkpoint pattern) — Catalyst
+    // would otherwise run the normWords regex twice per doc.
     "q_text_repetition" -> ((s, dir) => {
       val base = Parallelism.fanOut(Tables(s, dir, "documents"))
         .select(col("doc_id"), TextOps.normWords(col("text")).as("ws"))
+        .localCheckpoint(true)
       val stats = base.select(col("doc_id"),
         size(col("ws")).as("n_words"),
         size(array_distinct(col("ws"))).as("n_distinct"))
@@ -84,11 +88,8 @@ object Extras {
     // partitionings (the property df.sample() does NOT give you), and a
     // pure projection at any scale.
     "q_split_hash" -> ((s, dir) => {
-      val bucket = pmod(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"), lit(100L))
       Tables(s, dir, "documents")
-        .select(col("doc_id"), bucket.as("bucket"))
+        .select(col("doc_id"), md5Bucket(col("doc_id"), 100L).as("bucket"))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val").otherwise("test"))
@@ -119,9 +120,7 @@ object Extras {
     // pure projection at any scale. The salt decorrelates it from
     // q_split_hash's bucket so sampling doesn't bias the splits.
     "q_stratified_sample" -> ((s, dir) => {
-      val u = pmod(conv(substring(
-        md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 8),
-        16, 10).cast("long"), lit(1000L))
+      val u = md5Bucket(col("doc_id"), 1000L, salt = "strat:")
       val rateMille = when(col("lang") === "en", 200L).otherwise(600L)
       Tables(s, dir, "documents")
         .filter(u < rateMille)
@@ -135,11 +134,9 @@ object Extras {
     // live on the operator; the HOF Column shingle form is
     // CodegenFallback and measured ~8× slower than its explode path).
     "q_contamination" -> ((s, dir) => {
-      val bucket = pmod(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"), lit(100L))
       val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), bucket.as("__b"))
+        .select(col("doc_id"), col("text"),
+          md5Bucket(col("doc_id"), 100L).as("__b"))
       Dedup.contaminationScan(
           d.filter(col("__b") >= 90), d.filter(col("__b") < 80),
           "doc_id", "text", w = 3)
