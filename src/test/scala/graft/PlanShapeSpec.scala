@@ -49,4 +49,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(hashAggs >= 4, s"expected two-phase agg (>=4 HashAggregate), got $hashAggs:\n" + p.take(800))
     assert(!p.contains("Join"), "salted agg must not plan a join")
   }
+
+  test("no benched query plans an interpreted lambda (CodegenFallback HOF)") {
+    // higher-order functions (transform/aggregate/filter lambdas) run
+    // interpreted — 46s vs 2.4s on ngram-Jaccard at sf0.1 — so none may
+    // appear in a headline query's physical plan. Batch-twin queries
+    // stand in for the streaming entries (same transform fragments,
+    // without running a stream per spec).
+    val streamTwin = Map(
+      "q_events_stream" -> "q_events_window",
+      "q_sessionize_stream" -> "q_sessionize")
+    SparkEntry.benchQueries
+      .map(n => streamTwin.getOrElse(n, n))
+      .foreach { name =>
+        val p = plan(SparkEntry.queries(name)(spark, sf))
+        assert(!p.contains("LambdaFunction"),
+          s"$name plans an interpreted lambda:\n" + p.take(800))
+      }
+  }
 }
