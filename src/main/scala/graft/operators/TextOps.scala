@@ -40,11 +40,11 @@ object TextOps {
     regexp_count(text, lit(bpeTokenPattern))
 
   /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
-      greatest(size(t), lit(1)).cast("double")
-  }
+  def meanTokenLen(text: Column): Column =
+    // Σ token lengths ≡ the non-whitespace chars of the trimmed text —
+    // one codegen regex instead of an interpreted aggregate() lambda
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =
@@ -57,9 +57,15 @@ object TextOps {
     "that", "for", "on", "with", "as", "was", "at", "by", "be")
 
   def stopwordRatio(text: Column, stopwords: Seq[String] = enStopwords): Column = {
-    val t = tokens(lower(text))
-    size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") /
-      greatest(size(t), lit(1)).cast("double")
+    // token-boundary alternation counted in ONE codegen regex pass — the
+    // filter(t, _.isin(...)) spelling is an interpreted lambda per row.
+    // (?:^|\s) consumes the left boundary, the lookahead leaves the right
+    // one for the next match, so adjacent stopwords all count.
+    val pat = "(?:^|\\s)(?:" +
+      stopwords.map(java.util.regex.Pattern.quote).mkString("|") +
+      ")(?=\\s|$)"
+    regexp_count(trim(lower(text)), lit(pat)).cast("double") /
+      greatest(size(tokens(lower(text))), lit(1)).cast("double")
   }
 
   /** Integer quality score in {0..3}: length band + stopword presence +

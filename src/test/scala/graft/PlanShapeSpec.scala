@@ -63,7 +63,8 @@ class PlanShapeSpec extends SparkSpecBase {
       .map(n => streamTwin.getOrElse(n, n))
       .foreach { name =>
         val p = plan(SparkEntry.queries(name)(spark, sf))
-        assert(!p.contains("LambdaFunction"),
+        // plan strings print the expression lowercase ("lambdafunction")
+        assert(!p.toLowerCase.contains("lambdafunction"),
           s"$name plans an interpreted lambda:\n" + p.take(800))
       }
   }
