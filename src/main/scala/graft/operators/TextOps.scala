@@ -93,12 +93,18 @@ object TextOps {
 
   /** Heuristic language ID: argmax of per-language marker-token hit count,
     * deterministic tie-break by language code. Pure expression tree —
-    * scales as a projection. */
+    * scales as a projection; each language's hits are one codegen
+    * regexp_count of a token-boundary alternation (the filter+isin
+    * lambda spelling is interpreted CodegenFallback — same rewrite as
+    * [[stopwordRatio]]). */
   def langId(text: Column): Column = {
-    val t = tokens(lower(text))
+    val lowered = trim(lower(text))
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
+      val pat = "(?:^|\\s)(?:" +
+        markers.map(java.util.regex.Pattern.quote).mkString("|") +
+        ")(?=\\s|$)"
       struct(
-        (-size(filter(t, x => x.isin(markers.map(lit): _*)))).as("neg_score"),
+        (-regexp_count(lowered, lit(pat))).as("neg_score"),
         lit(code).as("code"))
     }
     // sort by (−score, code) ascending: element 1 = best score, ties
