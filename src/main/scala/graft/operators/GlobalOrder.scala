@@ -80,15 +80,25 @@ object GlobalOrder {
     withRowNumberLong(df, order, name, parts)
       .withColumn(name, col(name).cast("int"))
 
+  /** Range-partitioned rows tagged with their partition-local rank
+    * (LOCAL), plus the per-partition row-count summary — the ONE
+    * global-rank core both row-number composition and the quantile
+    * operator build on (the ranged/partitioner subtleties documented on
+    * [[ranged]] live in exactly one place). */
+  private def localRanks(df: DataFrame, order: Seq[Column],
+                         parts: Int): (DataFrame, DataFrame) = {
+    val local = ranged(df, order, parts).withColumn(LOCAL,
+      row_number().over(Window.partitionBy(col(PID)).orderBy(order: _*)))
+    val counts = local.groupBy(col(PID)).agg(count(lit(1)).as("__cnt"))
+    (local, counts)
+  }
+
   /** [[withRowNumber]] without the pandas-int32 output cast — the rank
     * stays a long, for internal consumers that must survive >2^31 rows
     * (e.g. [[exactQuantiles]]' bracketing-rank compares). */
   def withRowNumberLong(df: DataFrame, order: Seq[Column], name: String,
                         parts: Int = 0): DataFrame = {
-    val r = ranged(df, order, parts)
-    val local = r.withColumn(LOCAL,
-      row_number().over(Window.partitionBy(col(PID)).orderBy(order: _*)))
-    val counts = local.groupBy(col(PID)).agg(count(lit(1)).as("__cnt"))
+    val (local, counts) = localRanks(df, order, parts)
     val offsets = exclusivePrefix(counts, "__cnt", lit(0L))
     local.join(broadcast(offsets), PID)
       .withColumn(name, col(LOCAL) + col(OFF))
@@ -151,17 +161,13 @@ object GlobalOrder {
     * `S.quantile` at `sdc/datatypes/hpat_pandas_series_functions.py:2880`. */
   def exactQuantiles(df: DataFrame, value: Column,
                      qs: Seq[(String, Double)], parts: Int = 0): DataFrame = {
-    val order = Seq(col("__v"))
     val vals = df.select(value.as("__v")).filter(col("__v").isNotNull)
-    // Inlined withRowNumberLong, because the total count must come from
-    // the per-partition summary (numPartitions rows, checkpointed once)
-    // — a separate vals.agg(count) subtree would re-scan the source, and
-    // deriving it from `ranked` would recompute the range shuffle.
-    val r = ranged(vals, order, parts)
-    val local = r.withColumn(LOCAL,
-      row_number().over(Window.partitionBy(col(PID)).orderBy(order: _*)))
-    val counts = local.groupBy(col(PID)).agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(true)
+    // The total count comes from the per-partition summary (numPartitions
+    // rows, checkpointed once) — a separate vals.agg(count) subtree would
+    // re-scan the source, and deriving it from the ranked frame would
+    // recompute the range shuffle.
+    val (local, counts0) = localRanks(vals, Seq(col("__v")), parts)
+    val counts = counts0.localCheckpoint(true)
     val offsets = exclusivePrefix(counts, "__cnt", lit(0L))
     val n = counts.agg(sum(col("__cnt")).as("__n"))
     val ranked = local.join(broadcast(offsets), PID)

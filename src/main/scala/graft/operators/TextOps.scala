@@ -107,9 +107,11 @@ object TextOps {
         (-regexp_count(lowered, lit(pat))).as("neg_score"),
         lit(code).as("code"))
     }
-    // sort by (−score, code) ascending: element 1 = best score, ties
-    // resolved to the alphabetically-first language code.
-    element_at(array_sort(array(scored: _*)), 1).getField("code")
+    // argmax = least() over the (−score, code) structs: best score wins,
+    // ties resolve to the alphabetically-first code. least() compares
+    // structs lexicographically in codegen — array_sort would drag an
+    // interpreted default-comparator lambda into every plan.
+    least(scored: _*).getField("code")
   }
 
   /** Normalized document fingerprint: lowercase, strip punctuation,

@@ -70,9 +70,12 @@ object Strings {
     // joined — the sort makes the concatenation order-deterministic
     // (DuckDB mirrors with string_agg(... ORDER BY ...))
     "q_str_cat" -> ((s, dir) => {
+      // sort_array, not array_sort: same ascending order on the null-free
+      // collect_list, but array_sort's default comparator is an
+      // interpreted LambdaFunction while sort_array is lambda-free
       Tables(s, dir, "nation")
         .groupBy(col("n_regionkey"))
-        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
           .as("names"))
         .orderBy(col("n_regionkey"))
     }),

@@ -56,16 +56,33 @@ class PlanShapeSpec extends SparkSpecBase {
     // appear in a headline query's physical plan. Batch-twin queries
     // stand in for the streaming entries (same transform fragments,
     // without running a stream per spec).
+    //
+    // BLIND SPOT: localCheckpoint(true) (tfidf's TF frame, the quantile
+    // counts, GlobalOrder.ranged) severs the inspected plan at a
+    // LogicalRDD scan, hiding everything upstream — the fragment
+    // assertions below cover those checkpoint-hidden generators
+    // (tokenization + the TF-shaped aggregate) directly.
     val streamTwin = Map(
       "q_events_stream" -> "q_events_window",
       "q_sessionize_stream" -> "q_sessionize")
+    def assertLambdaFree(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = plan(df)
+      // plan strings print the expression lowercase ("lambdafunction")
+      assert(!p.toLowerCase.contains("lambdafunction"),
+        s"$name plans an interpreted lambda:\n" + p.take(800))
+    }
     SparkEntry.benchQueries
       .map(n => streamTwin.getOrElse(n, n))
-      .foreach { name =>
-        val p = plan(SparkEntry.queries(name)(spark, sf))
-        // plan strings print the expression lowercase ("lambdafunction")
-        assert(!p.toLowerCase.contains("lambdafunction"),
-          s"$name plans an interpreted lambda:\n" + p.take(800))
-      }
+      .foreach(name => assertLambdaFree(name, SparkEntry.queries(name)(spark, sf)))
+    // the checkpoint-hidden fragments, rebuilt without the checkpoint
+    import graft.operators.TextOps
+    val docs = Tables(spark, sf, "documents")
+    assertLambdaFree("tf-fragment", docs
+      .select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    assertLambdaFree("text-scalars", docs.select(
+      TextOps.tokenCount(col("text")), TextOps.meanTokenLen(col("text")),
+      TextOps.stopwordRatio(col("text")), TextOps.qualityScore3(col("text")),
+      TextOps.langId(col("text")), TextOps.fingerprint(col("text"))))
   }
 }
