@@ -40,11 +40,20 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         false
       }
-    // Warm-up: JIT + codegen + file-footer caches. Failures logged loudly —
-    // a broken query must never silently bench as a no-op — and
-    // short-circuit the timed reps (re-running a known-broken query
-    // `reps` more times just burns wall-clock and spams the log).
-    val warmFailed = names.filterNot(run).toSet
+    // Session scrub between queries: r5's full-run median for q_tpch_q1
+    // read 6× its isolated cost because 26 other queries' warm-up residue
+    // (leaked streaming memory-sink rows on the driver heap, lingering
+    // cache entries, deferred GC debt) was charged to whichever query was
+    // timed first. Stop stray streams, drop CacheManager entries and
+    // memory-sink temp views, and collect garbage so each query is timed
+    // against a quiet session — the same state the isolated probe sees.
+    def scrub(): Unit = {
+      spark.streams.active.foreach(_.stop())
+      spark.catalog.clearCache()
+      spark.catalog.listTables().filter(_.isTemporary)
+        .collect().foreach(t => spark.catalog.dropTempView(t.name))
+      System.gc()
+    }
     // SPARK_GRAFT_BENCH_REPS timed repetitions, median reported — the
     // reference perf harness's methodology (median of warm runs,
     // `sdc/tests/tests_perf/test_perf_base.py:42-62`). Default 3: this
@@ -57,10 +66,18 @@ object Bench {
       case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_REPS must be a positive int, got '$v'"))
     }
+    // Per-query: scrub, ONE warm-up run (JIT + codegen + file-footer
+    // caches — failures logged loudly and short-circuiting the timed
+    // reps), then `reps` timed runs with a GC between reps. Warming each
+    // query immediately before its own timing — rather than one global
+    // warm-up pass over every query — keeps cross-query residue out of
+    // the measurement window.
     val results = names.map { name =>
-      if (warmFailed(name)) name -> -1.0
+      scrub()
+      if (!run(name)) name -> -1.0
       else {
-        val times = (1 to reps).map { _ =>
+        val times = (1 to reps).map { i =>
+          if (i > 1) System.gc()
           val t0 = System.nanoTime()
           val ok = run(name)
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

@@ -391,10 +391,22 @@ object Dedup {
     * doc, affecting both engines identically; same policy as
     * [[minhashPairs]]' verification). Block attrs rejoin on id (hash
     * join over |docs| rows); Jaccard uses set sizes only, so
-    * collect_set's unordered arrays are exact. */
+    * collect_set's unordered arrays are exact.
+    *
+    * @param maxBlock per-(lang, length-bucket) membership cap — the same
+    *                 gate [[minhashPairs]] applies per LSH bucket. One
+    *                 hot block (boilerplate docs of equal length) is
+    *                 otherwise quadratic: at 100 TB a single oversized
+    *                 block becomes a straggler task running
+    *                 array_intersect over millions of pairs. Blocks
+    *                 larger than the cap are not near-duplication
+    *                 evidence at this blocking granularity and are
+    *                 dropped (route such corpora to [[minhashPairs]]);
+    *                 singleton blocks produce no pairs and are pruned by
+    *                 the same gate. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         langCol: String, w: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5, maxBlock: Int = 1000): DataFrame = {
     val sets = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
       .groupBy(col("id"))
       .agg(collect_set(shingleBaseHash(col("shingle"))).as("sh"))
@@ -404,16 +416,31 @@ object Dedup {
     // columns, so the exchanges are not reusable).
     val attrs = df.select(col(idCol).as("id"), col(langCol).as("lang"),
       (length(col(textCol)) / 100).cast("int").as("lenb"))
+    // Block-size gate as a window count riding the (lang, lenb) shuffle —
+    // same one-pass shape as minhashPairs' bucket cap. base feeds both
+    // self-join sides, so it is persisted (the shingle aggregation is the
+    // expensive subtree; unpersisted it would be planned twice).
+    val blockW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("lenb"))
     val base = sets.join(attrs, Seq("id"))
+      .withColumn("__bn", count(lit(1)).over(blockW))
+      .filter(col("__bn").between(2, maxBlock))
+      .select(col("id"), col("lang"), col("lenb"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("lang"), col("lenb"), col("id").as("id_a"),
       col("sh").as("sh_a"))
     val b = base.select(col("lang"), col("lenb"), col("id").as("id_b"),
       col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    a.join(b, Seq("lang", "lenb")).filter(col("id_a") < col("id_b"))
+    val result = a.join(b, Seq("lang", "lenb")).filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // materialize the (tiny) pair result, then release the block cache —
+      // same leak-avoidance shape as minhashPairs.
+      .localCheckpoint(true)
+    base.unpersist(false)
+    result
   }
 }

@@ -42,29 +42,39 @@ object GlobalOrder {
 
   /** Range-partition df by `order` and tag each row with its partition id.
     *
-    * NOT expressed as `repartitionByRange(...).withColumn(PID,
-    * spark_partition_id())` in pure DataFrame form: every caller branches
-    * the result (rows on one side, per-partition summaries on the other),
-    * and after column pruning the two physical exchanges are no longer
-    * identical, so Spark does not reuse one shuffle — each branch
-    * re-samples its own range boundaries. Two samplings can disagree on a
-    * boundary, and then the per-partition offsets are composed against
-    * the wrong partitioning (observed as a 27-row rank shift at sf0.01).
-    * Dropping to one shared RDD freezes the RangePartitioner (boundaries
-    * are sampled once, held in the single partitioner object) so every
-    * downstream branch sees the same PID assignment. */
+    * NOT expressed as a plain `repartitionByRange(...).withColumn(PID,
+    * spark_partition_id())`: every caller branches the result (rows on
+    * one side, per-partition summaries on the other), and after column
+    * pruning the two physical exchanges are no longer identical, so
+    * Spark does not reuse one shuffle — each branch re-samples its own
+    * range boundaries. Two samplings can disagree on a boundary, and
+    * then the per-partition offsets are composed against the wrong
+    * partitioning (observed as a 27-row rank shift at sf0.01).
+    *
+    * `localCheckpoint(eager)` freezes ONE partitioning: the range
+    * shuffle runs exactly once, its output blocks are pinned, and every
+    * downstream branch scans the same blocks — so `spark_partition_id()`
+    * (non-deterministic, never pushed across an exchange) is evaluated
+    * in the narrow projection directly over the checkpointed scan and
+    * agrees across branches. Unlike the previous `df.rdd.
+    * mapPartitionsWithIndex` freeze, no row is decoded to GenericRow and
+    * re-encoded — the frame stays in Tungsten format and the projection
+    * stays inside whole-stage codegen.
+    *
+    * Scale note: the checkpoint materializes the (projected) input to
+    * executor block storage (memory, spilling to disk). That is the
+    * price of a frozen partitioning either way — the shuffle files of
+    * the range exchange are the same order of bytes — and callers
+    * always project before calling, so only order keys + needed values
+    * are stored. */
   private def ranged(df: DataFrame, order: Seq[Column], parts: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(PID, org.apache.spark.sql.types.IntegerType, nullable = false))
-    val tagged = sorted.rdd.mapPartitionsWithIndex({ (pid, it) =>
-      it.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid))
-    }, preservesPartitioning = true)
-    spark.createDataFrame(tagged, schema)
+    df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint(true)
+      .withColumn(PID, spark_partition_id())
   }
 
   /** Per-partition summary → exclusive prefix over the tiny frame. */
@@ -145,9 +155,12 @@ object GlobalOrder {
   /** Exact interpolated quantiles (pandas 'linear' / SQL quantile_cont)
     * of one column, sort-based: global rank via the two-pass range
     * composition, then ONE scan picks the two bracketing ranks per
-    * quantile and interpolates with the lower + (upper − lower) · frac
-    * op sequence every engine uses (Spark's Percentile, DuckDB's
-    * quantile_cont), so results are bit-identical to both.
+    * quantile and interpolates as lower + (upper − lower) · frac — the
+    * op sequence DuckDB's quantile_cont uses, so oracle results match
+    * bit-for-bit. (Spark's Percentile interpolates as
+    * (higher−pos)·lower + (pos−lower)·higher, which can differ in the
+    * last ulp; GlobalOrderSpec's exact compare against percentile() is
+    * fixture-specific, not an engine identity.)
     *
     * Spark's exact `percentile` aggregate builds a value→count hashmap
     * per partition and merges them — slow and memory-heavy on

@@ -135,6 +135,29 @@ object Aggregates {
         .orderBy(col("cnt").desc, col("c_mktsegment"))
     }),
 
+    // value_counts on a FLOAT column with pandas' two float quirks
+    // (`hpat_pandas_series_functions.py:1505-1516`, SURVEY §7 hard part):
+    // NaN is DROPPED (dropna=True default), and +0.0/-0.0 count as ONE
+    // bucket. NaN / -0.0 / +0.0 are injected deterministically from
+    // event_id so both quirks are actually exercised. Spark's group-key
+    // normalization (NormalizeFloatingNumbers) merges ±0 to +0.0 —
+    // exactly pandas' float-equality bucketing; the oracle normalizes
+    // explicitly with `v + 0.0`. Remaining buckets come from
+    // `round(value) % 4` — fmod keeps the dividend's sign in both
+    // engines, so negative values form their own (matching) buckets.
+    "q_value_counts_float" -> ((s, dir) => {
+      val m = pmod(col("event_id"), lit(10))
+      val v = when(m === 0, lit(Double.NaN))
+        .when(m === 1, lit(-0.0))
+        .when(m === 2, lit(0.0))
+        .otherwise(round(col("value"), 0) % 4)
+      Tables(s, dir, "events")
+        .select(v.as("v"))
+        .filter(!isnan(col("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("v"))
+    }),
+
     // describe(): count/mean/std/min/25%/50%/75%/max as named columns
     "q_describe" -> ((s, dir) => {
       val x = col("c_acctbal")
@@ -147,6 +170,27 @@ object Aggregates {
         round(expr("percentile(c_acctbal, 0.5)"), 6).as("p50"),
         round(expr("percentile(c_acctbal, 0.75)"), 6).as("p75"),
         max(x).as("max_v"))
+    }),
+
+    // describe(percentiles=[...]) (`hpat_pandas_series_functions
+    // .py:4351-4487`): caller-chosen percentile list, routed through the
+    // sort-based exact quantile path (GlobalOrder.exactQuantiles) — the
+    // same scale-safe machinery as q_agg_quantile, just parameterized.
+    // The moment columns ride ONE exact-decimal hash aggregate; the
+    // 1-row percentile frame joins in by cross product.
+    "q_describe_percentiles" -> ((s, dir) => {
+      val x = col("c_acctbal")
+      val base = Tables(s, dir, "customer")
+      val pcts = Seq(("p10", 0.1), ("p30", 0.3), ("p60", 0.6), ("p90", 0.9))
+      val pct = graft.operators.GlobalOrder.exactQuantiles(base, x, pcts)
+        .select(pcts.map { case (n, _) => round(col(n), 6).as(n) }: _*)
+      base.agg(
+          count(x).as("cnt"),
+          (dsum(x) / count(x)).as("mean_v"),
+          dstdSamp(x).as("std_v"),
+          min(x).as("min_v"),
+          max(x).as("max_v"))
+        .crossJoin(pct)
     }),
 
     // describe() string flavor (`hpat_pandas_series_functions.py:4351`,
@@ -255,6 +299,37 @@ object Aggregates {
     "q_value_counts" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
         |GROUP BY c_mktsegment ORDER BY cnt DESC, c_mktsegment""".stripMargin,
+
+    // `v0 + 0.0` collapses -0.0 into +0.0 (IEEE: -0.0 + 0.0 = +0.0) so
+    // DuckDB's grouping agrees with Spark's normalized float keys.
+    "q_value_counts_float" ->
+      """WITH s AS (SELECT CASE
+        |    WHEN event_id % 10 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    WHEN event_id % 10 = 1 THEN -0.0
+        |    WHEN event_id % 10 = 2 THEN 0.0
+        |    ELSE ROUND(value, 0) % 4 END AS v0
+        |  FROM events),
+        |n AS (SELECT v0 + 0.0 AS v FROM s WHERE NOT isnan(v0))
+        |SELECT v, COUNT(*) AS cnt FROM n
+        |GROUP BY v ORDER BY cnt DESC, v""".stripMargin,
+
+    "q_describe_percentiles" ->
+      """SELECT
+        |  COUNT(c_acctbal) AS cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+        |    / COUNT(c_acctbal) AS mean_v,
+        |  SQRT((CAST(SUM(CAST(c_acctbal*c_acctbal AS DECIMAL(34,4))) AS DOUBLE)
+        |    - CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+        |      * CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+        |      / COUNT(c_acctbal))
+        |    / (COUNT(c_acctbal) - 1.0)) AS std_v,
+        |  MIN(c_acctbal) AS min_v,
+        |  MAX(c_acctbal) AS max_v,
+        |  ROUND(quantile_cont(c_acctbal, 0.1), 6) AS p10,
+        |  ROUND(quantile_cont(c_acctbal, 0.3), 6) AS p30,
+        |  ROUND(quantile_cont(c_acctbal, 0.6), 6) AS p60,
+        |  ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90
+        |FROM customer""".stripMargin,
 
     "q_describe" ->
       """SELECT

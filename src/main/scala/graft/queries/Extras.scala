@@ -643,8 +643,9 @@ object Extras {
         |ORDER BY d.doc_id""".stripMargin,
 
     // ngramJaccardPairs replica: same normalization, 3-word shingles,
-    // (lang, len/100) blocking, exact set Jaccard ≥ 0.2 over the shared
-    // md5-fold shingle hashes (matching the Spark side's long sets).
+    // (lang, len/100) blocking with the same [2, maxBlock=1000] block
+    // cap, exact set Jaccard ≥ 0.2 over the shared md5-fold shingle
+    // hashes (matching the Spark side's long sets).
     // NOTE: FLOOR before the INT cast — DuckDB CAST(4.51 AS INT) ROUNDS
     // to 5, Spark's .cast("int") truncates to 4 (the pandas `len//100`
     // semantics). Bit at sf0.1 where doc lengths straddle a +50 boundary.
@@ -659,11 +660,14 @@ object Extras {
         |      END, s -> ${hex8("s")})) AS sh
         |  FROM (SELECT doc_id, lang, text,
         |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS ws
-        |    FROM documents))
+        |    FROM documents)),
+        |capped AS (
+        |  SELECT * FROM base
+        |  QUALIFY COUNT(*) OVER (PARTITION BY lang, lenb) BETWEEN 2 AND 1000)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        |FROM base a JOIN base b ON a.lang = b.lang AND a.lenb = b.lenb AND a.id < b.id
+        |FROM capped a JOIN capped b ON a.lang = b.lang AND a.lenb = b.lenb AND a.id < b.id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
@@ -769,7 +773,7 @@ object Extras {
         |          AS DOUBLE) / GREATEST(LENGTH(text), 1)
         |        < 0.2 THEN 1 ELSE 0 END)) AS q3
         |FROM k)
-        |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM s WHERE q3 >= 2 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_tfidf" ->

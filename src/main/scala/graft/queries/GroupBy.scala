@@ -113,6 +113,24 @@ object GroupBy {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // groupby.prod (`sdc/datatypes/hpat_pandas_groupby_functions.py:421`):
+    // per-group product as a hash aggregate (map-side partial products —
+    // product is commutative/associative, so the two-phase plan is the
+    // same shape as sum). Exactness policy: FP multiplication is NOT
+    // associative in general, so the factors are kept integer-valued and
+    // small ((l_quantity % 5) + 1 ∈ {1..5}; ≤17 lines per order ⇒
+    // product ≤ 5^17 ≈ 7.6e11 < 2^53) — every partial product is an
+    // exact integer in double, making the result partitioning-invariant
+    // and bit-identical to the oracle. (Raw l_quantity overflows 2^53 at
+    // sf0.1: max per-order product measured 1.7e23.)
+    "q_groupby_prod" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(product((col("l_quantity") % 5) + 1).as("prod_qm"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // pivot_table(index, columns, values, aggfunc='sum') — reference
     // `sdc/tests/test_groupby.py:743-760` (legacy HPAT pivot surface, the
     // pivot values declared up front like its `pivots={'pt': [...]}`
@@ -246,6 +264,12 @@ object GroupBy {
       """SELECT c_mktsegment,
         |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_groupby_prod" ->
+      """SELECT l_orderkey,
+        |  PRODUCT(l_quantity % 5 + 1) AS prod_qm,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,

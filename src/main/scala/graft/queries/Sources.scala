@@ -157,6 +157,33 @@ object Sources {
         .orderBy(col("o_orderkey"))
     }),
 
+    // read_csv(converters={...}) (`sdc/datatypes/hpat_pandas_functions
+    // .py:101-363`, the one option of the reference's read_csv matrix not
+    // covered by q_read_csv_options): a pandas converter receives the RAW
+    // string field before dtype coercion. Spark-first spelling: read the
+    // converted columns as strings and apply the converter as a codegen
+    // column expression in the same projection — the conversion rides the
+    // scan stage, no second pass. Converters exercised: price string →
+    // integer cents (round-then-cast: DuckDB CAST rounds where Spark
+    // truncates, so both sides round explicitly first), '<n>-<word>'
+    // priority → word, date string → year int.
+    "q_read_csv_converters" -> ((s, dir) => {
+      val rawSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", StringType),
+        StructField("o_orderdate", StringType),
+        StructField("o_orderpriority", StringType)))
+      s.read.option("header", "true").option("sep", "|")
+        .schema(rawSchema).csv(ordersCsv(s, dir))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice").cast("double") * 100, 0).cast("long")
+            .as("price_cents"),
+          substring_index(col("o_orderpriority"), "-", -1).as("prio_word"),
+          substring(col("o_orderdate"), 1, 4).cast("int").as("order_year"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // pd.DataFrame({...}) constructor: literal rows via createDataFrame,
     // then used as the broadcast side of a real join
     "q_create_dataframe" -> ((s, dir) => {
@@ -250,6 +277,13 @@ object Sources {
       """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders WHERE o_orderkey >= 100
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_read_csv_converters" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+        |  split_part(o_orderpriority, '-', 2) AS prio_word,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_create_dataframe" ->
       """SELECT r_key, r_label, n_nations FROM (

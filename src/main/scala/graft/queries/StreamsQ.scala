@@ -27,6 +27,12 @@ object StreamsQ {
     // (event_type, user_id) once; finishing pass counts per type
     "q_stream_dedup" -> ((s, dir) => Streams.dedupStream(s, dir)),
 
+    // bounded-state dedup twin: dropDuplicatesWithinWatermark evicts key
+    // state past the watermark delay (the 100 TB default — state scales
+    // with ACTIVE keys, not the all-time key domain); evicted keys may
+    // re-emit, so the finishing pass re-distincts before counting
+    "q_stream_dedup_bounded" -> ((s, dir) => Streams.dedupStreamBounded(s, dir)),
+
     // stream-static join: per-batch broadcast hash join against the
     // customer dimension, then a stateful grouped count
     "q_stream_join" -> ((s, dir) => Streams.streamStaticJoin(s, dir)),
@@ -64,6 +70,11 @@ object StreamsQ {
     "q_sessionize" -> sessionSql,
     "q_sessionize_stream" -> sessionSql,
     "q_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the bounded variant re-distincts after possible re-emissions, so
+    // its end-to-end result is the same distinct count for any batching
+    "q_stream_dedup_bounded" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_join" ->

@@ -118,12 +118,10 @@ object Streams {
     * arrival order (the emitted rows ARE the keys; nothing
     * order-dependent rides along). Dedup state is one entry per distinct
     * key; the finishing batch aggregation then runs over |distinct keys|
-    * rows, not |events|. At 100 TB the bounded-state variant is
-    * `dropDuplicatesWithinWatermark` (state evicted past the delay; a
-    * late re-arrival can re-emit, so the finishing pass would
-    * re-distinct) — exact unbounded-key state is the right trade here
-    * where the key domain (event_type × user) is far smaller than the
-    * event log. */
+    * rows, not |events|. Exact unbounded-key state is the right trade
+    * here, where the key domain (event_type × user) is far smaller than
+    * the event log; [[dedupStreamBounded]] is the watermark-evicted
+    * twin for unbounded key domains. */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val distinctKeys = spark.readStream.schema(schema).parquet(eventsDir(sfDir))
@@ -133,6 +131,39 @@ object Streams {
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))
   }
+
+  /** Bounded-state twin of [[dedupStream]] — the 100 TB default:
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only
+    * until the event-time watermark passes that key's last-seen time
+    * plus the delay, then evicts it. The trade, explicitly: state is
+    * bounded by the number of distinct keys ACTIVE within the watermark
+    * horizon (not the all-time key domain — which on an unbounded log
+    * grows without limit and eventually OOMs the exact variant), but a
+    * key that re-arrives after its state was evicted is re-emitted, so
+    * the sink holds at-least-once distinct keys rather than exactly-once.
+    * Downstream must therefore re-distinct — the finishing aggregation
+    * here does exactly that, which is why this query's oracle is the
+    * same COUNT(DISTINCT) as the exact variant's for any batching.
+    * [[dedupStreamBoundedCore]] is the source-agnostic core the
+    * multi-batch incremental spec drives directly. */
+  def dedupStreamBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = normalize(
+      spark.readStream.schema(schema).parquet(eventsDir(sfDir)))
+    runToTable(spark, dedupStreamBoundedCore(src, "1 hour"), OutputMode.Append())
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Watermarked bounded-state dedup stream: emits (event_type, user_id,
+    * ts) for keys not currently in state. `delay` sets the eviction
+    * horizon — smaller = less state, more potential re-emissions. */
+  private[graft] def dedupStreamBoundedCore(src: DataFrame,
+                                            delay: String): DataFrame =
+    src.select(col("event_type"), col("user_id"), col("ts"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
 
   /** Stream-static join: the event stream enriched against a static
     * dimension (customer → market segment), then aggregated. The static

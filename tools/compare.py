@@ -49,6 +49,14 @@ def main(out_dir, sf_dir):
             sv, ov = s[c], o[c]
             try:
                 import numpy as np
+                # The driver's hash stringifies values, so an int column on one
+                # side vs float on the other (e.g. DuckDB HUGEINT -> float64)
+                # hash-mismatches even when values are identical. Flag it here
+                # instead of silently taking the isclose path.
+                if (sv.dtype.kind in "iu") != (ov.dtype.kind in "iu") and \
+                        {sv.dtype.kind, ov.dtype.kind} & set("fc"):
+                    diff.append(f"{c}:DTYPE({sv.dtype}vs{ov.dtype})")
+                    continue
                 if sv.dtype.kind in "fc" or ov.dtype.kind in "fc":
                     a = sv.astype(float).to_numpy()
                     b = ov.astype(float).to_numpy()
