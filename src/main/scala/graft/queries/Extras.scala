@@ -56,7 +56,12 @@ object Extras {
     // with the unsplit one-file scan, measured 8.4 s vs ~1 s at sf0.1.
     // The tokenized frame feeds BOTH the stats and bigram subtrees, so
     // it is materialized once (the TF-checkpoint pattern) — Catalyst
-    // would otherwise run the normWords regex twice per doc.
+    // would otherwise run the normWords regex twice per doc. Scale
+    // trade, explicitly: the checkpoint stores O(corpus tokens) in
+    // executor block storage (memory spilling to disk) to halve the
+    // regex passes — the right call while tokenization dominates; at a
+    // scale where block storage is the binding constraint, drop the
+    // checkpoint and pay normWords twice in two fully pipelined scans.
     "q_text_repetition" -> ((s, dir) => {
       val base = Parallelism.fanOut(Tables(s, dir, "documents"))
         .select(col("doc_id"), TextOps.normWords(col("text")).as("ws"))

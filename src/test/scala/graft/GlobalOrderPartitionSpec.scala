@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.GlobalOrder
+
+/** GlobalOrder offset composition under adversarial partition counts:
+  * the two-pass prefix machinery must give bit-identical results with
+  * ONE partition (no composition at all), TWO (a single boundary), and
+  * 97 (more partitions than rows fill — most are empty, offsets compose
+  * across holes). Every op is checked against its sequential
+  * single-threaded definition. */
+class GlobalOrderPartitionSpec extends SparkSpecBase {
+
+  // Shuffled distinct keys; values derived so the sequential reference
+  // is trivially exact (small integers in doubles).
+  private lazy val keys: Seq[Long] =
+    new scala.util.Random(7L).shuffle((0L until 500L).toList)
+
+  private lazy val df = {
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(keys.map(Row(_)), 5), schema)
+      .withColumn("v", (col("k") % 13).cast("double"))
+  }
+
+  private lazy val sortedKeys = keys.sorted
+
+  for (parts <- Seq(1, 2, 97)) {
+
+    test(s"withRowNumber composes offsets exactly at $parts partitions") {
+      val got = GlobalOrder.withRowNumber(df, Seq(col("k")), "rn", parts)
+        .select(col("k"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val want = sortedKeys.zipWithIndex.map { case (k, i) => k -> (i + 1) }.toMap
+      assert(got == want)
+    }
+
+    test(s"withRunningSum composes offsets exactly at $parts partitions") {
+      val got = GlobalOrder
+        .withRunningSum(df, Seq(col("k")), col("v"), "cs", scale = 2, parts = parts)
+        .select(col("k"), col("cs"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      var acc = 0L
+      val want = sortedKeys.map { k => acc += k % 13; k -> acc.toDouble }.toMap
+      assert(got == want)
+    }
+
+    test(s"withRunningMax composes offsets exactly at $parts partitions") {
+      val got = GlobalOrder
+        .withRunningMax(df, Seq(col("k")), col("v"), "cm", parts)
+        .select(col("k"), col("cm"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      var acc = Double.MinValue
+      val want = sortedKeys.map { k =>
+        acc = math.max(acc, (k % 13).toDouble); k -> acc
+      }.toMap
+      assert(got == want)
+    }
+
+    test(s"withLag carries partition-boundary values exactly at $parts partitions") {
+      val got = GlobalOrder
+        .withLag(df, Seq(col("k")), col("v"), "prev", parts)
+        .select(col("k"), col("prev"))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val vals = sortedKeys.map(k => (k % 13).toDouble)
+      val want = sortedKeys.zip(None +: vals.init.map(Some(_))).toMap
+      assert(got == want)
+    }
+
+    test(s"exactQuantiles matches the sequential lerp at $parts partitions") {
+      val qs = Seq(("q25", 0.25), ("q50", 0.5), ("q90", 0.9))
+      val row = GlobalOrder.exactQuantiles(df, col("v"), qs, parts).collect().head
+      val sortedV = keys.map(k => (k % 13).toDouble).sorted
+      val n = sortedV.size
+      for (((name, q), i) <- qs.zipWithIndex) {
+        val pos = (n - 1).toDouble * q
+        val lo = sortedV(math.floor(pos).toInt)
+        val hi = sortedV(math.ceil(pos).toInt)
+        val want = lo + (hi - lo) * (pos - math.floor(pos))
+        assert(row.getDouble(i) == want, name)
+      }
+    }
+  }
+
+  test("every branch of a positional op scans ONE frozen partitioning") {
+    // The whole point of the checkpoint freeze: the rows branch and the
+    // per-partition-summary branch must read the SAME materialized
+    // partitions (one RDD id, the requested partition count) — two
+    // independently-sampled range exchanges could disagree on a boundary
+    // and compose offsets against the wrong partitioning.
+    val r = GlobalOrder.withRowNumberLong(df, Seq(col("k")), "rn", 4)
+    val rdds = r.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(rdds.size >= 2, "expected the checkpointed scan in both branches")
+    assert(rdds.map(_.rdd.id).distinct.size == 1,
+      s"branches scan different RDDs: ${rdds.map(_.rdd.id)}")
+    assert(rdds.head.rdd.getNumPartitions == 4)
+  }
+
+  test("positional plans contain no Row decode/encode seam") {
+    // Guards against reintroducing a df.rdd/createDataFrame round-trip:
+    // the physical plan must stay in Tungsten format end to end.
+    for (frame <- Seq(
+      GlobalOrder.withRunningSum(df, Seq(col("k")), col("v"), "cs"),
+      GlobalOrder.withRowNumber(df, Seq(col("k")), "rn"),
+      GlobalOrder.exactQuantiles(df, col("v"), Seq(("q50", 0.5))))) {
+      val plan = frame.queryExecution.executedPlan.toString
+      for (bad <- Seq("DeserializeToObject", "SerializeFromObject", "MapPartitions"))
+        assert(!plan.contains(bad), s"$bad in plan:\n$plan")
+    }
+  }
+}

@@ -73,6 +73,65 @@ class StreamsIncrementalSpec extends SparkSpecBase {
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
 
+  test("bounded-state dedup over >=3 micro-batches equals distinct when nothing evicts") {
+    import graft.streaming.Streams
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_dedup_wm_inc").toString
+    // same key-recurs-across-batches split as the exact-dedup test; the
+    // generous delay keeps every key's state alive for the whole replay,
+    // so the watermark variant must behave exactly like dropDuplicates
+    events.select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .withColumn("__b", pmod(col("event_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = Streams.dedupStreamBoundedCore(src, "10000 hours")
+      .writeStream.format("memory").queryName("dedup_wm_inc_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >=3 micro-batches, got ${q.recentProgress.length}")
+
+    val streamed = spark.table("dedup_wm_inc_sink")
+      .select(col("event_type"), col("user_id"))
+    val direct = events.select(col("event_type"), col("user_id")).distinct()
+    assert(streamed.count() == direct.count())
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
+
+  test("bounded-state dedup re-emits an evicted key; re-distinct collapses it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The documented trade, demonstrated: key A's state is evicted once
+    // the watermark passes its timestamp + delay, so A's re-arrival two
+    // hours later is emitted AGAIN — at-least-once distinct keys, which
+    // is exactly why dedupStreamBounded finishes with a re-distinct.
+    def ts(h: Int) = new java.sql.Timestamp(3600L * 1000L * h)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("event_type", "user_id", "ts")
+    val q = Streams.dedupStreamBoundedCore(src, "1 second")
+      .writeStream.format("memory").queryName("dedup_wm_reemit_sink")
+      .outputMode(OutputMode.Append())
+      .start()
+    // start at 1h, not epoch: an event AT the initial watermark (epoch)
+    // is discarded as late before it ever reaches the dedup state
+    mem.addData(("click", 1L, ts(1))); q.processAllAvailable()  // A emitted
+    mem.addData(("click", 2L, ts(3))); q.processAllAvailable()  // watermark -> ~3h
+    mem.addData(("click", 1L, ts(5))); q.processAllAvailable()  // A evicted -> re-emitted
+    q.stop()
+    val sunk = spark.table("dedup_wm_reemit_sink")
+      .select(col("event_type"), col("user_id"))
+    assert(sunk.count() == 3, "evicted key must re-emit")
+    assert(sunk.distinct().count() == 2, "finishing re-distinct recovers exactness")
+  }
+
   test("stream-static join over >=3 micro-batches equals the batch join") {
     val events = Tables(spark, sf, "events")
     val dir = Files.createTempDirectory("graft_sjoin_inc").toString
