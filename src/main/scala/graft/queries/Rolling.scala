@@ -303,6 +303,56 @@ object Rolling {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // rolling(window=5, win_type='triang').mean()
+    // (`sdc/datatypes/hpat_pandas_rolling_types.py:52-81` win_type
+    // param): a weighted window is Σ w_k·x_{i-k} / Σ w_k — for a FIXED
+    // window that is a lag composition, one window pass producing the
+    // lags and a plain codegen projection for the weighted sum (no
+    // per-row array building). Triangular weights [1,2,3,2,1] are used
+    // in integer form (proportional to scipy's [1/3,2/3,1,2/3,1/3] —
+    // normalization cancels in the mean), so every product/sum is exact
+    // integer-in-double and engine-order independent; min_periods
+    // defaults to the window size for weighted windows (lag(4) null ⇒
+    // result null, which the when() makes explicit).
+    "q_rolling_wintype" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      val x = col("l_quantity")
+      def lg(k: Int) = lag(x, k).over(w)
+      val wsum = lg(4) * 1 + lg(3) * 2 + lg(2) * 3 + lg(1) * 2 + x * 1
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), x, col("l_shipdate"))
+        .withColumn("roll_wmean", when(lg(4).isNotNull, wsum / 9.0))
+        .drop("l_shipdate", "l_partkey")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // rolling('7D', closed=...) (`hpat_pandas_rolling_types.py:52-81`
+    // closed param): offset windows with each endpoint open or closed.
+    // On the integer day grid the four pandas frames map exactly onto
+    // inclusive RANGE bounds: right (t-7D,t] = [-6,0] (q_rolling_time),
+    // left [t-7D,t) = [-7,-1], both [t-7D,t] = [-7,0], neither
+    // (t-7D,t) = [-6,-1]. min_periods defaults to 1 for offset windows;
+    // an empty left/neither frame yields null (sum over zero rows) on
+    // both engines.
+    "q_rolling_closed" -> ((s, dir) => {
+      val days = unix_date(col("l_shipdate").cast("date"))
+      def w(lo: Int, hi: Int) = Window.partitionBy(col("l_suppkey"))
+        .orderBy(days).rangeBetween(lo, hi)
+      val xl = col("l_quantity").cast("long")
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+        .withColumn("wl_sum", sum(xl).over(w(-7, -1)).cast("double"))
+        .withColumn("wl_n", count(xl).over(w(-7, -1)))
+        .withColumn("wb_n", count(xl).over(w(-7, 0)))
+        .withColumn("wn_n", count(xl).over(w(-6, -1)))
+        .drop("l_shipdate")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // rolling.apply(func): arbitrary lambda folded over the ordered frame
     // — `collect_list` preserves frame order, `aggregate` runs the JVM
     // lambda; here func = sum of squared deviations from the frame's
@@ -441,6 +491,39 @@ object Rolling {
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // same left-assoc literal-order weighted sum as the Spark side —
+    // all terms are integers in double, so the fold is exact
+    "q_rolling_wintype" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN LAG(l_quantity, 4) OVER w IS NOT NULL THEN
+        |    (LAG(l_quantity, 4) OVER w * 1 + LAG(l_quantity, 3) OVER w * 2
+        |     + LAG(l_quantity, 2) OVER w * 3 + LAG(l_quantity, 1) OVER w * 2
+        |     + l_quantity * 1) / 9.0
+        |  END AS roll_wmean
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rolling_closed" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER wl AS DOUBLE) AS wl_sum,
+        |  COUNT(l_quantity) OVER wl AS wl_n,
+        |  COUNT(l_quantity) OVER wb AS wb_n,
+        |  COUNT(l_quantity) OVER wn AS wn_n
+        |FROM lineitem
+        |WINDOW
+        |  wl AS (PARTITION BY l_suppkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING),
+        |  wb AS (PARTITION BY l_suppkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY l_suppkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_expanding" ->
