@@ -111,6 +111,14 @@ package object api {
     def simhashed(idCol: String, textCol: String): DataFrame =
       Dedup.simhashDF(df, idCol, textCol)
 
+    /** Blocked n-gram Jaccard near-dup pairs (no LSH): all-pairs within
+      * (lang, length-bucket) blocks, `maxBlock`-capped — right for
+      * modest blocks; use [[nearDupPairs]] when blocks outgrow the cap. */
+    def ngramNearDups(idCol: String, textCol: String, langCol: String,
+                      threshold: Double = 0.5, maxBlock: Int = 1000): DataFrame =
+      Dedup.ngramJaccardPairs(df, idCol, textCol, langCol,
+        threshold = threshold, maxBlock = maxBlock)
+
     /** Which of this frame's docs share a w-shingle with `train`'s docs,
       * and how much — (idCol, n_shingles, n_hit) per doc of `df`. */
     def contaminationAgainst(train: DataFrame, idCol: String,

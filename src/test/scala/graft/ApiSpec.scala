@@ -39,6 +39,15 @@ class ApiSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { v("sideways") }
   }
 
+  test("ngramNearDups via the façade equals the operator result") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents")
+    val got = docs.ngramNearDups("doc_id", "text", "lang", threshold = 0.2)
+    val want = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      threshold = 0.2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("dedupExact via the façade equals the operator result") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
