@@ -46,6 +46,61 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-level exact dedup (the paragraph-dedup stage of production
+    // corpus pipelines, run here on fixed 10-word spans — the synthetic
+    // fixture has no newline paragraph structure): codegen span explode
+    // (posexplode + get, the shingleRows stride pattern) → md5 per span
+    // → global span-occurrence counts → per-doc duplicated-span tally.
+    // Scale shape: after the one hashing pass only (doc_id, 128-bit
+    // digest) rows move; the count agg and the count join are both
+    // keyed on the digest, the final agg on doc_id — no text crosses a
+    // shuffle. The span frame feeds the count subtree AND the join, so
+    // it is checkpointed once (TF-checkpoint pattern).
+    "q_span_dedup" -> ((s, dir) => {
+      val W = 10
+      val spans = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(col("doc_id"), TextOps.normWords(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws"), posexplode(col("ws")))
+        .filter(col("pos") % W === 0)
+        .select(col("doc_id"), md5(concat_ws(" ",
+          Seq(col("col")) ++ (1 until W).map(j => get(col("ws"), col("pos") + j)): _*))
+          .as("h"))
+        .localCheckpoint(true)
+      val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      spans.join(counts, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction (the C4/Dolma-style scrubbing pass): email / phone /
+    // IPv4 patterns replaced with typed tokens, plus per-doc match
+    // counts. One projection over one scan — regexes are RE2-compatible
+    // so both engines match identically. The fixture text carries no
+    // PII, so deterministic doc_id-derived contacts are appended first
+    // (both engines construct the identical string) — the redaction is
+    // then verified to actually fire on every row.
+    "q_pii_redact" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val withPii = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".1")).as("text"))
+      withPii.select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).as("n_email"),
+          regexp_count(col("text"), lit(phoneRe)).as("n_phone"),
+          regexp_count(col("text"), lit(ipRe)).as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+            .as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals: duplicate-word ratio (1 −
     // distinct/total) from the array alone, and top-bigram fraction via
     // explode → (doc, bigram) count → per-doc max/total. Two hash aggs
@@ -435,6 +490,40 @@ object Extras {
   private val qvList = "[" + Seq.fill(64)("0.1").mkString(", ") + "]::DOUBLE[]"
 
   val oracle: Map[String, String] = Map(
+    // span construction replica: same normalization, 1-based 10-word
+    // slices (DuckDB list slicing truncates past the end exactly like
+    // concat_ws skipping null get()s); FLOOR before the INT cast since
+    // DuckDB CAST rounds where Spark floors
+    "q_span_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g')), '\s+') AS ws
+        |  FROM documents),
+        |sp AS (SELECT doc_id, md5(array_to_string(ws[i*10+1 : i*10+10], ' ')) AS h
+        |  FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(0, CAST(FLOOR((len(ws)-1)/10.0) AS INT))) AS i
+        |        FROM w)),
+        |c AS (SELECT h, COUNT(*) AS c FROM sp GROUP BY h)
+        |SELECT sp.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |FROM sp JOIN c USING (h)
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com'
+        |       || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' from 10.0.' || (doc_id % 256) || '.1' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         |  LENGTH(text) AS n_char,
