@@ -94,7 +94,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // A failed query must poison the headline number, not subtract its
+    // -1.0 sentinel from it (which would make a BROKEN round bench
+    // faster than a working one).
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -153,7 +153,11 @@ object Aggregates {
         .otherwise(round(col("value"), 0) % 4)
       Tables(s, dir, "events")
         .select(v.as("v"))
-        .filter(!isnan(col("v")))
+        // isNotNull too: IsNaN(null) is false in Spark, so a bare
+        // !isnan would KEEP a null row (pandas drops missing whether
+        // it arrives as NaN or as null; the oracle's WHERE NOT isnan
+        // also drops nulls via SQL null semantics)
+        .filter(col("v").isNotNull && !isnan(col("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("v"))
     }),

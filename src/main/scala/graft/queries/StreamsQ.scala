@@ -72,8 +72,11 @@ object StreamsQ {
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // the bounded variant re-distincts after possible re-emissions, so
-    // its end-to-end result is the same distinct count for any batching
+    // the bounded variant re-distincts after possible re-emissions;
+    // equality with the exact distinct count additionally needs the
+    // watermark delay to cover arrival disorder (here: a single-file
+    // single-batch replay, so nothing is ever dropped as late — see
+    // Streams.dedupStreamBounded's scaladoc for the trade)
     "q_stream_dedup_bounded" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

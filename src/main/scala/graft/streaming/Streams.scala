@@ -71,13 +71,15 @@ object Streams {
     // eviction/append-emission bookkeeping; it changes no result for
     // the streams routed through here — Complete-output aggregations
     // (all windows re-emitted each batch), stateless append streams
-    // (emit on data only), and INNER stream-stream joins (matches emit
-    // in the data batch that completes them) — so skip its full
-    // state-store commit cycle. An OUTER stream-stream join or an
-    // Append-mode windowed aggregate would NOT be safe: their final
-    // watermark-gated emissions (null-padded rows / closed windows)
-    // fire only in that trailing batch — re-enable the conf before
-    // routing one through here.
+    // (emit on data only), INNER stream-stream joins (matches emit
+    // in the data batch that completes them), and watermark-evicted
+    // dedup (dropDuplicatesWithinWatermark EMITS on arrival; the
+    // watermark gates only state eviction, which changes no emitted
+    // row) — so skip its full state-store commit cycle. An OUTER
+    // stream-stream join or an Append-mode windowed aggregate would
+    // NOT be safe: their final watermark-gated emissions (null-padded
+    // rows / closed windows) fire only in that trailing batch —
+    // re-enable the conf before routing one through here.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = stream.writeStream
@@ -142,10 +144,17 @@ object Streams {
     * key that re-arrives after its state was evicted is re-emitted, so
     * the sink holds at-least-once distinct keys rather than exactly-once.
     * Downstream must therefore re-distinct — the finishing aggregation
-    * here does exactly that, which is why this query's oracle is the
-    * same COUNT(DISTINCT) as the exact variant's for any batching.
+    * here does exactly that. Re-emission is recoverable; LATENESS is
+    * not: an event older than the watermark when it arrives is dropped
+    * before reaching the dedup state at all, so a key whose only
+    * occurrences are later than the delay undercounts. The query
+    * matches the COUNT(DISTINCT) oracle because the fixture replays as
+    * ONE file (single batch — the watermark never advances mid-run);
+    * at scale the delay must cover the log's event-time disorder
+    * bound, the same dial [[clickAttribution]] documents.
     * [[dedupStreamBoundedCore]] is the source-agnostic core the
-    * multi-batch incremental spec drives directly. */
+    * multi-batch incremental specs drive directly (both the
+    * generous-delay equality and the eviction/re-emission trade). */
   def dedupStreamBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val src = normalize(

@@ -9,9 +9,14 @@ import graft.operators.GlobalOrder
 /** GlobalOrder offset composition under adversarial partition counts:
   * the two-pass prefix machinery must give bit-identical results with
   * ONE partition (no composition at all), TWO (a single boundary), and
-  * 97 (more partitions than rows fill — most are empty, offsets compose
-  * across holes). Every op is checked against its sequential
-  * single-threaded definition. */
+  * 97 (more partitions than the range sampler needs — composition must
+  * hold on whatever layout the partitioner actually produces, with a
+  * handful of rows per partition). Note empty MIDDLE partitions cannot
+  * arise from repartitionByRange over unique order keys — every sampled
+  * bound is itself a key and inhabits its own partition — which is why
+  * withLag's previous-partition patch can key the summary at pid+1.
+  * Every op is checked against its sequential single-threaded
+  * definition. */
 class GlobalOrderPartitionSpec extends SparkSpecBase {
 
   // Shuffled distinct keys; values derived so the sequential reference
