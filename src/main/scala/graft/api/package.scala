@@ -111,6 +111,12 @@ package object api {
     def simhashed(idCol: String, textCol: String): DataFrame =
       Dedup.simhashDF(df, idCol, textCol)
 
+    /** SimHash near-dup pairs within a Hamming ball — banded equi-join,
+      * bit_count-verified → (id_a, id_b, hamming). */
+    def simhashNearDups(idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame =
+      Dedup.simhashPairs(df, idCol, textCol, maxHamming = maxHamming)
+
     /** Blocked n-gram Jaccard near-dup pairs (no LSH): all-pairs within
       * (lang, length-bucket) blocks, `maxBlock`-capped — right for
       * modest blocks; use [[nearDupPairs]] when blocks outgrow the cap. */

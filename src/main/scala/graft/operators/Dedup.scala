@@ -295,6 +295,79 @@ object Dedup {
       .select(col(idCol), simhash.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs by banded Hamming search: split the
+    * 64-bit signature into `maxHamming + 1` equal bit-bands — by
+    * pigeonhole, any pair within the Hamming budget agrees EXACTLY on at
+    * least one band — equi-join ids within (band, bandValue) buckets,
+    * then verify `bit_count(xor) <= maxHamming` on the candidates.
+    * Returns (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * Scale: the signature frame is |docs| × (id + one long) — tiny next
+    * to the corpus — and is the ONLY thing banded, joined, or verified;
+    * text never crosses a shuffle after the one simhashDF pass. The
+    * band join is an equi-join on (band, bandValue), so cost is driven
+    * by bucket sizes, not |D|²; the same window-count cap minhashPairs
+    * uses drops degenerate buckets (identical boilerplate signatures)
+    * before anything quadratic. Verification is a projection over the
+    * candidate pairs — no re-hash of any document.
+    *
+    * Reference behavior: near-dup detection via 64-bit fingerprint
+    * Hamming balls (Manku et al., WWW'07 — the SimHash dedup paper);
+    * the reference exposes the signature, this adds the scale pairing.
+    *
+    * @param maxHamming inclusive Hamming-distance cut; bands =
+    *                   maxHamming + 1 must divide 64 (3 → 4×16-bit bands)
+    * @param maxBucket  per-(band, value) membership cap, as in
+    *                   [[minhashPairs]]
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0, s"maxHamming + 1 = $bands must divide 64")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    // Three consumers (banding + two verification joins) — persist so the
+    // explode/md5 signature pass runs once; released after the (tiny)
+    // verified result materializes.
+    val sig = simhashDF(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Arithmetic shiftright sign-fill is masked off, so band values are
+    // the raw bit slices regardless of the signature's sign.
+    val bandVals = array((0 until bands).map { b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))
+    }: _*)
+    val banded = sig.select(col(idCol).as("id"), posexplode(bandVals))
+      .select(col("id"), col("pos").as("band"), col("col").as("bv"))
+    // Bucket-size gate riding the banding shuffle (one pass, no
+    // count-frame join), exactly as in minhashPairs.
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bv"))
+    val member = banded
+      .withColumn("__bn", count(lit(1)).over(bucketW))
+      .filter(col("__bn").between(2, maxBucket))
+      .select(col("id"), col("band"), col("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = member.select(col("band"), col("bv"), col("id").as("id_a"))
+      .join(member.select(col("band"), col("bv"), col("id").as("id_b")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val result = cand
+      .join(sig.select(col(idCol).as("id_a"), col("simhash").as("__sa")),
+        Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("simhash").as("__sb")),
+        Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    member.unpersist(false)
+    result
+  }
+
   /** Connected components over an undirected (id_a, id_b) pair frame by
     * iterative min-label propagation: each round every vertex takes the
     * minimum label among itself and its neighbors, so the smallest id in

@@ -303,6 +303,13 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // banded Hamming near-dup pairs over the 64-bit SimHash
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3, maxBucket = 200)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // blocked n-gram Jaccard near-dup pairs (oracle-able in SQL)
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
@@ -488,6 +495,32 @@ object Extras {
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
 
   private val qvList = "[" + Seq.fill(64)("0.1").mkString(", ") + "]::DOUBLE[]"
+
+  /** DuckDB fragment: simhashDF replica as CTE text ending in
+    * sig(doc_id, simhash) — same md5-nibble token hash, same per-bit ±1
+    * sums, same signed bit-63 composition (1L<<63 is −2^63, so the
+    * signed value is a plain BIGINT sum of per-bit terms). Shared by the
+    * signature dump (q_simhash) and the banded pairing (q_simhash_pairs). */
+  private def simhashSigCtes: String = {
+    def nib(from: Int) =
+      s"list_reduce(list_transform(string_split(substr(md5(w),$from,8),''), " +
+        "c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)"
+    val sums = (0 until 64).map { b =>
+      val half = if (b < 32) "lo" else "hi"
+      s"SUM(CASE WHEN ($half >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n  ")
+    val terms = (0 until 64).map { b =>
+      s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" +\n  ")
+    s"""t AS (SELECT doc_id,
+      |  unnest(regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, ${nib(1)} AS hi, ${nib(9)} AS lo FROM t),
+      |s AS (SELECT doc_id,
+      |  $sums
+      |FROM h GROUP BY doc_id),
+      |sig AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // span construction replica: same normalization, 1-based 10-word
@@ -683,30 +716,30 @@ object Extras {
         |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
     },
 
-    // simhashDF replica: same md5-nibble token hash, same per-bit ±1 sums,
-    // same signed bit-63 composition (1L<<63 is −2^63, so the signed value
-    // is a plain BIGINT sum of per-bit terms). 64 terms generated.
-    "q_simhash" -> {
-      def nib(from: Int) =
-        s"list_reduce(list_transform(string_split(substr(md5(w),$from,8),''), " +
-          "c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)"
-      val sums = (0 until 64).map { b =>
-        val half = if (b < 32) "lo" else "hi"
-        s"SUM(CASE WHEN ($half >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
-      }.mkString(",\n  ")
-      val terms = (0 until 64).map { b =>
-        s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
-      }.mkString(" +\n  ")
-      s"""WITH t AS (SELECT doc_id,
-        |  unnest(regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id, ${nib(1)} AS hi, ${nib(9)} AS lo FROM t),
-        |s AS (SELECT doc_id,
-        |  $sums
-        |FROM h GROUP BY doc_id)
-        |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
-        |FROM s ORDER BY doc_id""".stripMargin
-    },
+    // simhashDF replica — sig CTE shared with q_simhash_pairs
+    "q_simhash" ->
+      s"""WITH $simhashSigCtes
+        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+
+    // simhashPairs replica: same 4×16-bit band split (mask after the
+    // arithmetic shift, so sign-fill cancels exactly as in Spark), the
+    // [2, maxBucket] window gate, candidate pairs, and the
+    // bit_count(xor) <= maxHamming verification
+    "q_simhash_pairs" ->
+      s"""WITH $simhashSigCtes,
+        |b AS (SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS bv
+        |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+        |m AS (SELECT doc_id, band, bv FROM b
+        |  QUALIFY COUNT(*) OVER (PARTITION BY band, bv) BETWEEN 2 AND 200),
+        |c AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM m x JOIN m y ON x.band = y.band AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+        |FROM c JOIN sig sa ON sa.doc_id = c.id_a
+        |       JOIN sig sb ON sb.doc_id = c.id_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // minhashPairs replica: every stage of the LSH pipeline — shingle
     // construction, md5-nibble base hash, the same k affine permutations
