@@ -125,6 +125,12 @@ package object api {
       Dedup.ngramJaccardPairs(df, idCol, textCol, langCol,
         threshold = threshold, maxBlock = maxBlock)
 
+    /** Classify this frame's rows against an already-ingested base
+      * corpus: (idCol, status) with dup_base / dup_batch / keep. */
+    def incrementalDedupAgainst(base: DataFrame, idCol: String,
+                                textCol: String): DataFrame =
+      Dedup.incremental(df, base, idCol, textCol)
+
     /** Which of this frame's docs share a w-shingle with `train`'s docs,
       * and how much — (idCol, n_shingles, n_hit) per doc of `df`. */
     def contaminationAgainst(train: DataFrame, idCol: String,

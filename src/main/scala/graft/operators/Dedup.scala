@@ -90,6 +90,33 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental (cross-corpus) exact dedup: classify each incoming row
+    * against an already-ingested base corpus — the shape every recurring
+    * crawl ingest runs. Returns (idCol, status) with status one of
+    * `dup_base` (digest already in base), `dup_batch` (first occurrence
+    * is another incoming row — min id keeps), `keep`.
+    *
+    * Scale: the base side collapses to DISTINCT 128-bit digests before
+    * anything joins (text never leaves its scan), so the join key frame
+    * is |unique base docs| × 16 bytes; the in-batch first-occurrence
+    * window rides the same digest shuffle as the join. At 100 TB the
+    * base digest set is exactly what a production pipeline persists
+    * between ingests (bucketed by digest, so this join is co-located). */
+  def incremental(incoming: DataFrame, base: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val baseDg = base.select(md5(col(textCol)).as("__dg")).distinct()
+      .withColumn("__seen", lit(1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__dg"))
+    incoming.select(col(idCol), md5(col(textCol)).as("__dg"))
+      .withColumn("__first", min(col(idCol)).over(w))
+      .join(baseDg, Seq("__dg"), "left")
+      .withColumn("status",
+        when(col("__seen").isNotNull, "dup_base")
+          .when(col(idCol) =!= col("__first"), "dup_batch")
+          .otherwise("keep"))
+      .select(col(idCol), col("status"))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs with Jaccard verification.
     *
     * 100 TB shape (each stage's shuffle carries the minimum possible,

@@ -188,6 +188,36 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-size deterministic uniform sample: lowest-100 salted hash
+    // priorities. Plans as TakeOrderedAndProject — the distributed
+    // bounded-priority reservoir (each partition keeps its local top-k,
+    // the driver merges k-sized heaps) — so no global sort and no
+    // shuffle of anything but 32 candidate sets of 100 rows at ANY
+    // corpus size. The salted md5 priority makes the sample identical
+    // across engines, runs, and partitionings; doc_id breaks 32-bit
+    // hash ties totally.
+    "q_reservoir_sample" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5Bucket(col("doc_id"), 4294967296L, salt = "res:").as("pri"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(100)
+    }),
+
+    // incremental ingest dedup: incoming split (md5 bucket >= 80)
+    // classified against the already-ingested base corpus (< 80) —
+    // dup_base / dup_batch / keep per incoming doc. Scale notes on
+    // Dedup.incremental (base collapses to distinct digests; the
+    // window rides the join's digest shuffle).
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("__b", md5Bucket(col("doc_id"), 100L))
+      Dedup.incremental(
+          d.filter(col("__b") >= 80), d.filter(col("__b") < 80),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // train/eval contamination scan: which held-out ("test" split) docs
     // share a 3-word shingle with the training split, and how much —
     // Dedup.contaminationScan over the md5-bucket splits (scale notes
@@ -608,6 +638,28 @@ object Extras {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // salted 32-bit priority, lowest 100, doc_id tie-break — the exact
+    // TakeOrderedAndProject selection
+    "q_reservoir_sample" ->
+      s"""SELECT doc_id, lang,
+        |  ${hex8("'res:' || doc_id::VARCHAR")} AS pri
+        |FROM documents ORDER BY pri, doc_id LIMIT 100""".stripMargin,
+
+    // Dedup.incremental replica: base = distinct digests of buckets
+    // < 80, incoming rows classified dup_base / dup_batch / keep with
+    // the same min-id first-occurrence rule
+    "q_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS dg,
+        |  ${hex8("doc_id::VARCHAR")} % 100 AS b FROM documents),
+        |base AS (SELECT DISTINCT dg FROM d WHERE b < 80),
+        |inc AS (SELECT doc_id, dg,
+        |  MIN(doc_id) OVER (PARTITION BY dg) AS mn FROM d WHERE b >= 80)
+        |SELECT doc_id,
+        |  CASE WHEN dg IN (SELECT dg FROM base) THEN 'dup_base'
+        |       WHEN doc_id <> mn THEN 'dup_batch'
+        |       ELSE 'keep' END AS status
+        |FROM inc ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,

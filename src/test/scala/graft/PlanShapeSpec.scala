@@ -50,6 +50,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), "salted agg must not plan a join")
   }
 
+  test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
+    val p = plan(graft.queries.Extras.queries("q_reservoir_sample")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "exact-n sample must be a bounded top-k, not sort+limit:\n" + p.take(800))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range-partitioned global sort defeats the reservoir shape")
+  }
+
   test("no benched query plans an interpreted lambda (CodegenFallback HOF)") {
     // higher-order functions (transform/aggregate/filter lambdas) run
     // interpreted — 46s vs 2.4s on ngram-Jaccard at sf0.1 — so none may
