@@ -204,6 +204,28 @@ object Extras {
         .limit(100)
     }),
 
+    // temperature-scaled language rebalancing (the multinomial
+    // alpha-sampling of the multilingual-pretraining recipes): keep
+    // rate r_l = min(1, K/sqrt(n_l)) per language (K = 10), so expected kept
+    // counts grow as n_l^0.5 — dominant languages downsampled, tails
+    // kept whole. alpha = 0.5 deliberately: sqrt and IEEE divide are
+    // correctly rounded in BOTH engines, so the rate doubles are
+    // bit-identical and the salted-hash threshold decides identically
+    // (a pow()-based alpha could differ in the last ulp). The per-lang
+    // count frame is a handful of rows — broadcast, never a shuffle of
+    // the corpus; the keep decision is a pure projection.
+    "q_temperature_sample" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+        .withColumn("rate",
+          least(lit(1.0), lit(10.0) / sqrt(col("n_l").cast("double"))))
+      val u = md5Fold32(concat(lit("temp:"), col("doc_id").cast("string")))
+      d.join(broadcast(counts), Seq("lang"))
+        .filter(u.cast("double") < col("rate") * lit(4294967296.0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental ingest dedup: incoming split (md5 bucket >= 80)
     // classified against the already-ingested base corpus (< 80) —
     // dup_base / dup_batch / keep per incoming doc. Scale notes on
@@ -638,6 +660,19 @@ object Extras {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // temperature-sample replica: same sqrt-rate (LEAST over DOUBLE
+    // operands — both engines' sqrt/divide are correctly rounded, so
+    // the threshold doubles are bit-identical), same salted 32-bit hash
+    "q_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |  LEAST(CAST(1 AS DOUBLE), CAST(10 AS DOUBLE) / sqrt(CAST(n_l AS DOUBLE))) AS rate
+        |  FROM c)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE CAST(${hex8("'temp:' || doc_id::VARCHAR")} AS DOUBLE)
+        |      < rate * 4294967296.0
+        |ORDER BY doc_id""".stripMargin,
 
     // salted 32-bit priority, lowest 100, doc_id tie-break — the exact
     // TakeOrderedAndProject selection
