@@ -12,17 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Full-whitespace trim: Spark's `trim()` (and DuckDB's `TRIM`)
+    * strip only ASCII spaces, but pandas `str.strip()`/`str.split()`
+    * treat ANY whitespace as padding — a tab-padded doc would otherwise
+    * grow a phantom empty token (Spark's split keeps trailing empties).
+    * Oracles mirror this with `TRIM(x, ' '||chr(9..13))`. */
+  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Whitespace tokens (pandas-ish `str.split()` with no args). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(wsTrim(text), "\\s+")
 
   /** Case-folded, punctuation-stripped word array (the normalization
     * the dedup shingles use — one definition both subsystems share). */
   def normWords(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+")
+    split(wsTrim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+")
 
   /** Token count (whitespace tokenization; 0 for empty/blank). */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+    when(length(wsTrim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
   /** BPE-ish subword count estimate: word-piece regex splits on
     * letter/digit/punct boundaries (a cheap stand-in for a real tokenizer
@@ -43,7 +50,7 @@ object TextOps {
   def meanTokenLen(text: Column): Column =
     // Σ token lengths ≡ the non-whitespace chars of the trimmed text —
     // one codegen regex instead of an interpreted aggregate() lambda
-    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
       greatest(size(tokens(text)), lit(1)).cast("double")
 
   /** Punctuation character ratio. */
@@ -64,7 +71,7 @@ object TextOps {
     val pat = "(?:^|\\s)(?:" +
       stopwords.map(java.util.regex.Pattern.quote).mkString("|") +
       ")(?=\\s|$)"
-    regexp_count(trim(lower(text)), lit(pat)).cast("double") /
+    regexp_count(wsTrim(lower(text)), lit(pat)).cast("double") /
       greatest(size(tokens(lower(text))), lit(1)).cast("double")
   }
 
@@ -98,7 +105,7 @@ object TextOps {
     * lambda spelling is interpreted CodegenFallback — same rewrite as
     * [[stopwordRatio]]). */
   def langId(text: Column): Column = {
-    val lowered = trim(lower(text))
+    val lowered = wsTrim(lower(text))
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
       val pat = "(?:^|\\s)(?:" +
         markers.map(java.util.regex.Pattern.quote).mkString("|") +
@@ -118,7 +125,7 @@ object TextOps {
     * collapse whitespace, md5. Identical fingerprints ⇒ near-identical
     * docs under formatting noise. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", "")),
+    md5(regexp_replace(wsTrim(regexp_replace(lower(text), "[^a-z0-9\\s]", "")),
       "\\s+", " "))
 
   /** Top-k TF-IDF terms per document.

@@ -507,7 +507,7 @@ object Extras {
       |                i -> array_to_string(ws[i:i+2], ' '))
       |    END) AS sh
       |  FROM (SELECT doc_id,
-      |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS ws
+      |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\\s+') AS ws
       |    FROM documents)),
       |hs AS (SELECT id, sh, list_transform(sh, s ->
       |  list_reduce(list_transform(string_split(substr(md5(s),1,8),''),
@@ -565,7 +565,7 @@ object Extras {
       s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
     }.mkString(" +\n  ")
     s"""t AS (SELECT doc_id,
-      |  unnest(regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) AS w
+      |  unnest(regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\\s+')) AS w
       |  FROM documents),
       |h AS (SELECT doc_id, ${nib(1)} AS hi, ${nib(9)} AS lo FROM t),
       |s AS (SELECT doc_id,
@@ -581,7 +581,7 @@ object Extras {
     // DuckDB CAST rounds where Spark floors
     "q_span_dedup" ->
       """WITH w AS (SELECT doc_id,
-        |  regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g')), '\s+') AS ws
+        |  regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+') AS ws
         |  FROM documents),
         |sp AS (SELECT doc_id, md5(array_to_string(ws[i*10+1 : i*10+10], ' ')) AS h
         |  FROM (SELECT doc_id, ws,
@@ -612,25 +612,25 @@ object Extras {
     "q_text_stats" ->
       """SELECT doc_id,
         |  LENGTH(text) AS n_char,
-        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-        |    ELSE CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS INT)
+        |  CASE WHEN LENGTH(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11))) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')) AS INT)
         |  END AS n_tok,
         |  ROUND(CAST(list_sum(list_transform(
-        |      regexp_split_to_array(TRIM(text), '\s+'), x -> LENGTH(x))) AS DOUBLE)
-        |    / GREATEST(len(regexp_split_to_array(TRIM(text), '\s+')), 1), 6)
+        |      regexp_split_to_array(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+'), x -> LENGTH(x))) AS DOUBLE)
+        |    / GREATEST(len(regexp_split_to_array(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')), 1), 6)
         |    AS mean_tok_len,
-        |  ROUND(CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+        |  ROUND(CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+'),
         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it',
         |                 'that','for','on','with','as','was','at','by','be')))
         |      AS DOUBLE)
-        |    / GREATEST(len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')), 1), 6)
+        |    / GREATEST(len(regexp_split_to_array(TRIM(LOWER(text), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')), 1), 6)
         |    AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,
-        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-        |    ELSE CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS INT)
+        |  CASE WHEN LENGTH(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11))) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')) AS INT)
         |  END AS n_ws,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |    AS INT) AS n_bpe
@@ -638,7 +638,7 @@ object Extras {
 
     "q_text_repetition" ->
       """WITH w AS (SELECT doc_id,
-        |  regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g')), '\s+') AS ws
+        |  regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+') AS ws
         |  FROM documents),
         |s AS (SELECT doc_id, len(ws) AS n_words,
         |  len(list_distinct(ws)) AS n_distinct FROM w),
@@ -698,8 +698,8 @@ object Extras {
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
-        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-        |    ELSE CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS INT)
+        |  CASE WHEN LENGTH(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11))) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')) AS INT)
         |  END AS n_tok FROM documents),
         |c AS (SELECT doc_id, n_tok,
         |  CAST(SUM(n_tok) OVER (ORDER BY doc_id
@@ -726,7 +726,7 @@ object Extras {
         |                  i -> array_to_string(ws[i:i+2], ' '))
         |      END) AS sh
         |  FROM (SELECT doc_id,
-        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS ws
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\\s+') AS ws
         |    FROM documents)),
         |hs AS (SELECT doc_id, bucket, unnest(list_transform(sh, s ->
         |  ${hex8("s")})) AS h
@@ -760,11 +760,11 @@ object Extras {
       """WITH q AS (SELECT doc_id,
         |  ((CASE WHEN LENGTH(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
         |   + (CASE WHEN
-        |        CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+        |        CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+'),
         |          x -> x IN ('the','a','an','and','or','of','to','in','is','it',
         |                     'that','for','on','with','as','was','at','by','be')))
         |          AS DOUBLE)
-        |        / GREATEST(len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')), 1)
+        |        / GREATEST(len(regexp_split_to_array(TRIM(LOWER(text), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')), 1)
         |        > 0.05 THEN 1.0 ELSE 0.0 END)
         |   + (CASE WHEN
         |        CAST(LENGTH(text) -
@@ -778,7 +778,7 @@ object Extras {
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(TRIM(
-        |    regexp_replace(LOWER(text), '[^a-z0-9\s]', '', 'g')), '\s+', ' ', 'g')) AS fp
+        |    regexp_replace(LOWER(text), '[^a-z0-9\s]', '', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
@@ -795,7 +795,7 @@ object Extras {
         s"{'neg': -len(list_filter(toks, x -> x IN ($inList))), 'code': '$code'}"
       }.mkString(",\n  ")
       s"""WITH t AS (SELECT lang,
-        |  regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks FROM documents),
+        |  regexp_split_to_array(TRIM(LOWER(text), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\\s+') AS toks FROM documents),
         |s AS (SELECT lang, list_sort([
         |  $markers
         |  ])[1].code AS pred FROM t)
@@ -873,7 +873,7 @@ object Extras {
         |                  i -> array_to_string(ws[i:i+2], ' '))
         |      END, s -> ${hex8("s")})) AS sh
         |  FROM (SELECT doc_id, lang, text,
-        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS ws
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\\s+') AS ws
         |    FROM documents)),
         |capped AS (
         |  SELECT * FROM base
@@ -975,11 +975,11 @@ object Extras {
         |s AS (SELECT lang, n_chars,
         |  ((CASE WHEN LENGTH(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
         |   + (CASE WHEN
-        |        CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+        |        CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+'),
         |          x -> x IN ('the','a','an','and','or','of','to','in','is','it',
         |                     'that','for','on','with','as','was','at','by','be')))
         |          AS DOUBLE)
-        |        / GREATEST(len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')), 1)
+        |        / GREATEST(len(regexp_split_to_array(TRIM(LOWER(text), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')), 1)
         |        > 0.05 THEN 1 ELSE 0 END)
         |   + (CASE WHEN
         |        CAST(LENGTH(text) -

@@ -102,7 +102,7 @@ object Strings {
           word1.rlike("^[0-9]+$").as("isdigit"),
           word1.rlike("^[a-z]+$").as("islower"),
           word1.rlike("^[A-Z]+$").as("isupper"),
-          trim(col("p_name")).as("stripped"),
+          regexp_replace(col("p_name"), "^\\s+|\\s+$", "").as("stripped"),
           concat(upper(substring(word1, 1, 1)),
             lower(substring(word1, 2, 1000))).as("capitalized"))
         .orderBy(col("p_partkey"))
@@ -194,7 +194,7 @@ object Strings {
         |  regexp_matches(split_part(p_name, ' ', 1), '^[0-9]+$') AS isdigit,
         |  regexp_matches(split_part(p_name, ' ', 1), '^[a-z]+$') AS islower,
         |  regexp_matches(split_part(p_name, ' ', 1), '^[A-Z]+$') AS isupper,
-        |  TRIM(p_name) AS stripped,
+        |  TRIM(p_name, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)) AS stripped,
         |  UPPER(SUBSTRING(split_part(p_name, ' ', 1), 1, 1)) ||
         |    LOWER(SUBSTRING(split_part(p_name, ' ', 1), 2, 1000)) AS capitalized
         |FROM part ORDER BY p_partkey""".stripMargin,
