@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, GlobalOrder, Skew}
+
+/** The iterative/two-phase distributed algorithms vs sequential
+  * references on generated inputs: min-label propagation vs union-find,
+  * the two-pass exact quantile vs a sorted-pick lerp, and the salted
+  * two-phase aggregation vs the direct groupBy it must equal. */
+class DistributedAlgoPropertySpec extends SparkSpecBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(31L + i)))
+
+  test("connectedComponents equals sequential union-find on random graphs") {
+    val graphs: Seq[List[(Long, Long)]] = samples(for {
+      n <- Gen.chooseNum(2, 24)
+      m <- Gen.chooseNum(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct, 6).filter(_.nonEmpty)
+
+    for (edges <- graphs) {
+      val schema = StructType(Seq(
+        StructField("id_a", LongType, nullable = false),
+        StructField("id_b", LongType, nullable = false)))
+      val pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          edges.map { case (a, b) => Row(a, b) }, 3), schema)
+      val got = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // sequential union-find with min-id labels
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
+  test("exactQuantiles equals a sequential sorted-pick lerp") {
+    val lists: Seq[List[Int]] = samples(
+      Gen.listOf(Gen.chooseNum(-1000, 1000)), 6).filter(_.size >= 2)
+    val qs = Seq("q10" -> 0.1, "q25" -> 0.25, "q50" -> 0.5,
+      "q75" -> 0.75, "q99" -> 0.99)
+    for (xs <- lists) {
+      val schema = StructType(Seq(StructField("v", DoubleType, nullable = false)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.map(x => Row(x.toDouble)), 4), schema)
+      val row = GlobalOrder.exactQuantiles(df, col("v"), qs).collect()(0)
+      val sorted = xs.sorted.map(_.toDouble)
+      for (((name, q), idx) <- qs.zipWithIndex) {
+        val k = (sorted.size - 1).toDouble * q
+        val lo = sorted(math.floor(k).toInt)
+        val hi = sorted(math.ceil(k).toInt)
+        val want = lo + (hi - lo) * (k - math.floor(k))
+        assert(row.getDouble(idx) == want, s"$name over n=${xs.size}")
+      }
+    }
+  }
+
+  test("salted two-phase aggregation equals the direct groupBy exactly") {
+    // skewed generator: ~60% of rows land on one hot key
+    val rows: Seq[(String, Double)] = samples(Gen.listOfN(80, for {
+      hot <- Gen.frequency(3 -> Gen.const("hot"), 2 -> Gen.oneOf("a", "b", "c"))
+      v <- Gen.chooseNum(-10000, 10000)
+    } yield (hot, v / 100.0)), 4).flatten
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, v) => Row(k, v) }, 5),
+      schema)
+    val salted = Skew.saltedSumCount(df, "k", "v", col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val dec = DecimalType(30, 2)
+    val direct = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v").cast(dec)).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == direct, s"salted=$salted direct=$direct")
+  }
+}
