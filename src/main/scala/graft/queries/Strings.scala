@@ -46,13 +46,20 @@ object Strings {
       val w = 30
       val len = length(col("p_brand"))
       val padTotal = greatest(lit(w) - len, lit(0))
+      // pandas ljust/rjust/zfill/center NEVER truncate a string already
+      // at/over the width (Spark's lpad/rpad DO) — hence the len guards.
+      // Unexercised on p_brand (<= 10 chars), pinned by the pad property
+      // suite on generated strings.
+      def noTrunc(w2: Int, padded: org.apache.spark.sql.Column) =
+        when(len >= w2, col("p_brand")).otherwise(padded)
       Tables(s, dir, "part")
         .select(col("p_partkey"),
-          rpad(col("p_brand"), w, " ").as("ljust"),
-          lpad(col("p_brand"), w, " ").as("rjust"),
-          lpad(col("p_brand"), 12, "0").as("zfill"),
-          rpad(lpad(col("p_brand"),
-            (len + floor(padTotal / 2)).cast("int"), lit(" ")), lit(w), lit(" ")).as("centered"))
+          noTrunc(w, rpad(col("p_brand"), w, " ")).as("ljust"),
+          noTrunc(w, lpad(col("p_brand"), w, " ")).as("rjust"),
+          noTrunc(12, lpad(col("p_brand"), 12, "0")).as("zfill"),
+          noTrunc(w, rpad(lpad(col("p_brand"),
+            (len + floor(padTotal / 2)).cast("int"), lit(" ")), lit(w), lit(" ")))
+            .as("centered"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -173,12 +180,16 @@ object Strings {
 
     "q_str_pad" ->
       """SELECT p_partkey,
-        |  rpad(p_brand, 30, ' ') AS ljust,
-        |  lpad(p_brand, 30, ' ') AS rjust,
-        |  lpad(p_brand, 12, '0') AS zfill,
-        |  rpad(lpad(p_brand,
+        |  CASE WHEN LENGTH(p_brand) >= 30 THEN p_brand
+        |       ELSE rpad(p_brand, 30, ' ') END AS ljust,
+        |  CASE WHEN LENGTH(p_brand) >= 30 THEN p_brand
+        |       ELSE lpad(p_brand, 30, ' ') END AS rjust,
+        |  CASE WHEN LENGTH(p_brand) >= 12 THEN p_brand
+        |       ELSE lpad(p_brand, 12, '0') END AS zfill,
+        |  CASE WHEN LENGTH(p_brand) >= 30 THEN p_brand
+        |       ELSE rpad(lpad(p_brand,
         |    CAST(LENGTH(p_brand) + FLOOR(GREATEST(30 - LENGTH(p_brand), 0) / 2) AS INT),
-        |    ' '), 30, ' ') AS centered
+        |    ' '), 30, ' ') END AS centered
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_str_split_replace" ->
