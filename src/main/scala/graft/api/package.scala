@@ -125,6 +125,15 @@ package object api {
       Dedup.ngramJaccardPairs(df, idCol, textCol, langCol,
         threshold = threshold, maxBlock = maxBlock)
 
+    /** Cluster this frame of (id_a, id_b) near-dup pairs into
+      * components → (id, cluster = component min id). Diameter-bound
+      * label propagation; use [[nearDupClustersStar]] for adversarial
+      * chain-shaped graphs (O(log n) rounds). */
+    def nearDupClusters(): DataFrame = Dedup.connectedComponents(df)
+
+    /** [[nearDupClusters]] by large-star/small-star contraction. */
+    def nearDupClustersStar(): DataFrame = Dedup.connectedComponentsStar(df)
+
     /** Classify this frame's rows against an already-ingested base
       * corpus: (idCol, status) with dup_base / dup_batch / keep. */
     def incrementalDedupAgainst(base: DataFrame, idCol: String,

@@ -412,8 +412,8 @@ object Dedup {
     * handful of rounds. Each round eagerly localCheckpoints — the loop
     * would otherwise double plan depth per iteration, and the
     * convergence count would replay the whole history. For adversarial
-    * long-chain graphs swap the body for large-star/small-star (Kiveris
-    * et al., MapReduce CC) — O(log²) rounds, same per-round join shape.
+    * long-chain graphs use [[connectedComponentsStar]] — O(log) rounds
+    * regardless of diameter, same equi-join shape per round.
     *
     * Reference scope: the reference's dedup surface is
     * `drop_duplicates` (`sdc/datatypes/hpat_pandas_dataframe_functions
@@ -451,6 +451,70 @@ object Dedup {
       round += 1
     }
     lab.select(col("id"), col("lab").as("cluster"))
+  }
+
+  /** Connected components by alternating large-star/small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round rewires every edge toward the
+    * smallest id seen in its endpoint's neighborhood, so components
+    * collapse into stars centered at their minimum in O(log n) rounds
+    * EVEN on a path/chain graph — where [[connectedComponents]]' label
+    * propagation needs O(diameter) rounds. Same (id, cluster) contract.
+    *
+    * Per round: two groupBy-min aggregations + two equi-joins on vertex
+    * id over the CURRENT edge set — no per-node neighbor lists are ever
+    * collected (the degenerate high-degree node that breaks the naive
+    * MR formulation is just a big group in a hash aggregate here).
+    * Edge count never grows (each directed edge maps to one rewired
+    * edge, minus self-loops), so every round's shuffle is bounded by
+    * the LSH pair count. localCheckpoint per round severs the
+    * exponential plan; convergence = the rewired edge set equals the
+    * previous one (two anti-join counts over checkpointed blocks).
+    *
+    * Large-star from each edge's SMALLER endpoint u: (v, min Γ(u)∪{u})
+    * for v > u; small-star from the LARGER endpoint u: each smaller
+    * neighbor and u itself connect to min Γ≤(u). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def norm(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def dir(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    var e = norm(pairs.select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v")))
+      .localCheckpoint(true)
+    var stable = e.isEmpty
+    var round = 0
+    while (!stable && round < maxIter) {
+      // large-star: every larger neighbor v of u rewires to the
+      // neighborhood minimum m(u) = min(Γ(u) ∪ {u})
+      val d = dir(e)
+      val mins = d.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val ls = norm(d.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star: every smaller neighbor of u (and u itself) rewires
+      // to the minimum among the smaller neighbors
+      val sm = dir(ls).filter(col("v") < col("u"))
+      val mins2 = sm.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = norm(
+          sm.join(mins2, Seq("u")).select(col("v").as("u"), col("m").as("v"))
+            .union(mins2.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      round += 1
+    }
+    // converged: every edge is (center, v) with center the component
+    // min; centers label themselves, original singleton-side vertices
+    // (none by construction of `pairs`) would coalesce to their own id
+    val verts = pairs.select(col("id_a").cast("long").as("id"))
+      .union(pairs.select(col("id_b").cast("long").as("id"))).distinct()
+    val labels = e.select(col("v").as("id"), col("u").as("cluster"))
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Train/eval contamination scan: for each doc of `test`, how many of

@@ -348,6 +348,22 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // same pipeline, clustered by large-star/small-star contraction —
+    // identical result (same components, same min-id labels), O(log n)
+    // rounds instead of O(diameter); shares the q_dedup_cluster oracle
+    "q_dedup_cluster_star" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.5)
+      val cc = Dedup.connectedComponentsStar(pairs)
+      d.select(col("doc_id"))
+        .join(cc, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("is_rep", (col("doc_id") === col("cluster")).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash signatures (md5-derived bits — hash-checked against the
     // DuckDB replica below)
     "q_simhash" -> ((s, dir) => {
@@ -573,6 +589,21 @@ object Extras {
       |FROM h GROUP BY doc_id),
       |sig AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM s)""".stripMargin
   }
+
+  /** DuckDB replica of the minhash-pairs -> connected-components ->
+    * keeper pipeline — shared by q_dedup_cluster (label propagation)
+    * and q_dedup_cluster_star (star contraction), which must agree. */
+  private def clusterOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+      |e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE j >= 0.5
+      |      UNION ALL SELECT id_b, id_a FROM pairs WHERE j >= 0.5),
+      |reach AS (SELECT a AS node, a AS lab FROM e
+      |          UNION SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node),
+      |cc AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
+      |SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster,
+      |  CAST(d.doc_id = COALESCE(cc.cluster, d.doc_id) AS INT) AS is_rep
+      |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // span construction replica: same normalization, 1-based 10-word
@@ -844,17 +875,10 @@ object Extras {
     // closure) → every doc labeled with its cluster's minimum doc_id;
     // singletons are their own cluster. Replays the full LSH pipeline
     // as CTEs, then closes it recursively.
-    "q_dedup_cluster" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
-        |e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE j >= 0.5
-        |      UNION ALL SELECT id_b, id_a FROM pairs WHERE j >= 0.5),
-        |reach AS (SELECT a AS node, a AS lab FROM e
-        |          UNION SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node),
-        |cc AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
-        |SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster,
-        |  CAST(d.doc_id = COALESCE(cc.cluster, d.doc_id) AS INT) AS is_rep
-        |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_cluster" -> clusterOracleSql,
+
+    // the star-contraction variant computes the SAME clustering
+    "q_dedup_cluster_star" -> clusterOracleSql,
 
     // ngramJaccardPairs replica: same normalization, 3-word shingles,
     // (lang, len/100) blocking with the same [2, maxBlock=1000] block

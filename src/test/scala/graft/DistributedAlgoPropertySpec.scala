@@ -52,6 +52,42 @@ class DistributedAlgoPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("large-star/small-star CC equals union-find, including path graphs") {
+    // a 40-node path is the adversarial case: label propagation needs
+    // 40 rounds, star contraction O(log 40)
+    val path = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toList
+    val graphs = path :: samples(for {
+      n <- Gen.chooseNum(2, 24)
+      m <- Gen.chooseNum(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct, 5).filter(_.nonEmpty).toList
+
+    for (edges <- graphs) {
+      val schema = StructType(Seq(
+        StructField("id_a", LongType, nullable = false),
+        StructField("id_b", LongType, nullable = false)))
+      val pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          edges.map { case (a, b) => Row(a, b) }, 3), schema)
+      val got = Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("exactQuantiles equals a sequential sorted-pick lerp") {
     val lists: Seq[List[Int]] = samples(
       Gen.listOf(Gen.chooseNum(-1000, 1000)), 6).filter(_.size >= 2)
