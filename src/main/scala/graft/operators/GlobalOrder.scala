@@ -219,4 +219,50 @@ object GlobalOrder {
       .withColumn(name, when(col(LOCAL) === 1, col("__last")).otherwise(col(name)))
       .drop(PID, LOCAL, "__last")
   }
+
+  /** Global forward-fill (pandas `ffill`): nulls take the last non-null
+    * over the total order, as column `name`. Partition-local running
+    * `last(ignoreNulls)` over the frozen range partitioning; a row
+    * still null after the local pass (an all-null partition prefix) is
+    * patched from the nearest PRECEDING partition's last non-null. The
+    * carry is a running ignore-nulls window over the numPartitions-row
+    * summary frame (runs of entirely-null partitions chain through it),
+    * broadcast back on pid — the table itself never funnels through a
+    * single-partition window. */
+  def withFfill(df: DataFrame, order: Seq[Column], value: Column,
+                name: String, parts: Int = 0): DataFrame =
+    fillDirected(df, order, value, name, parts, forward = true)
+
+  /** Global backward-fill (pandas `bfill`): the mirror of [[withFfill]]
+    * on the same ascending range partitioning — only the window
+    * directions flip, so ffill and bfill of one frame share a shuffle. */
+  def withBfill(df: DataFrame, order: Seq[Column], value: Column,
+                name: String, parts: Int = 0): DataFrame =
+    fillDirected(df, order, value, name, parts, forward = false)
+
+  private def fillDirected(df: DataFrame, order: Seq[Column], value: Column,
+                           name: String, parts: Int,
+                           forward: Boolean): DataFrame = {
+    val r = ranged(df, order, parts)
+    val ord = if (forward) order else order.map(_.desc)
+    val pidOrd = if (forward) col(PID).asc else col(PID).desc
+    val wLocal = Window.partitionBy(col(PID)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = r
+      .withColumn(LOCAL, row_number().over(
+        Window.partitionBy(col(PID)).orderBy(ord: _*)))
+      .withColumn(name, last(value, ignoreNulls = true).over(wLocal))
+    // per-partition last non-null = the filled value on the final row
+    // of the directed local order
+    val lasts = local.groupBy(col(PID))
+      .agg(max_by(col(name), col(LOCAL)).as("__pl"))
+    val wCarry = Window.orderBy(pidOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = lasts
+      .withColumn("__carry", last(col("__pl"), ignoreNulls = true).over(wCarry))
+      .select(col(PID), col("__carry"))
+    local.join(broadcast(carry), Seq(PID), "left")
+      .withColumn(name, coalesce(col(name), col("__carry")))
+      .drop(PID, LOCAL, "__carry")
+  }
 }

@@ -77,6 +77,30 @@ class GlobalOrderPartitionSpec extends SparkSpecBase {
       assert(got == want)
     }
 
+    test(s"withFfill/withBfill patch across partition boundaries at $parts partitions") {
+      // ~1/3 nulls, including long runs (k % 13 < 4 nulls out 4 adjacent
+      // residues), so carries must chain across whole null stretches —
+      // and, at 97 partitions, across entirely-null partitions.
+      val dfn = df.withColumn("v",
+        when(col("k") % 13 < 4, lit(null)).otherwise(col("v")))
+      val got = GlobalOrder.withBfill(
+          GlobalOrder.withFfill(dfn, Seq(col("k")), col("v"), "ff", parts),
+          Seq(col("k")), col("v"), "bf", parts)
+        .select(col("k"), col("ff"), col("bf"))
+        .collect().map(r => (r.getLong(0),
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+      val vals = sortedKeys.map(k =>
+        if (k % 13 < 4) None else Some((k % 13).toDouble))
+      val ffWant = vals.scanLeft(Option.empty[Double])(
+        (acc, v) => v.orElse(acc)).tail
+      val bfWant = vals.scanRight(Option.empty[Double])(
+        (v, acc) => v.orElse(acc)).init
+      val want = sortedKeys.lazyZip(ffWant).lazyZip(bfWant)
+        .map((k, f, b) => k -> (f, b)).toMap
+      assert(got == want)
+    }
+
     test(s"exactQuantiles matches the sequential lerp at $parts partitions") {
       val qs = Seq(("q25", 0.25), ("q50", 0.5), ("q90", 0.9))
       val row = GlobalOrder.exactQuantiles(df, col("v"), qs, parts).collect().head
