@@ -295,4 +295,71 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  /** Distributed Lloyd's k-means over an embedding column, with every
+    * number cross-engine deterministic — the capability behind the
+    * reference's (skipped) k-means kernel (`sdc/tests/test_ml.py:131`).
+    *
+    * Determinism recipe: vectors are quantized once to SCALED integer-
+    * valued doubles (floor(x·1e6 + 0.5) — the explicit op sequence, not
+    * round(), which is decimal HALF_UP in Spark but float-multiply in
+    * DuckDB). Per-dim sums of those integers stay < 2^53, so the
+    * centroid means are exact double functions of the data in ANY
+    * summation order — the one FP hazard of a distributed k-means (the
+    * reduction tree) is gone by construction. Distances run in scaled
+    * space (argmin is scale-invariant): ‖x‖² − 2·x·c + ‖c‖² via the
+    * ordered `graft_dot` fold, ties broken by centroid id.
+    *
+    * Scale shape per iteration: centroids broadcast (k × dim doubles),
+    * assignment is a projection + min_by hash-agg keyed on id, update
+    * is a (cent, pos) hash-agg — the table crosses the wire once per
+    * iteration, as (id, k-assignments); classic Lloyd on Spark.
+    * Seeds = the k smallest ids (deterministic, replayable by SQL).
+    * Returns (cent, n, c_sum): cluster sizes + centroid checksum. */
+  def kmeans(df: DataFrame, idCol: String, embCol: String,
+             dim: Int = 64, k: Int = 4, iters: Int = 2): DataFrame = {
+    val eq = array((0 until dim).map { d =>
+      floor(element_at(col(embCol), d + 1).cast("double") * lit(1e6) + lit(0.5))
+        .cast("double")
+    }: _*)
+    val pts = Parallelism.fanOut(df)
+      .select(col(idCol).cast("long").as("id"), eq.as("e"))
+      .withColumn("xx", dotp(col("e"), col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: DataFrame = pts.filter(col("id") < k)
+      .select(col("id").cast("int").as("cent"), col("e").as("ce"))
+    def assign(c: DataFrame): DataFrame = {
+      val scored = pts.crossJoin(
+          broadcast(c.withColumn("cc", dotp(col("ce"), col("ce")))))
+        .withColumn("dist",
+          col("xx") - lit(2.0) * dotp(col("e"), col("ce")) + col("cc"))
+      scored.groupBy(col("id"))
+        .agg(min_by(struct(col("cent"), col("e")),
+          struct(col("dist"), col("cent"))).as("b"))
+        .select(col("id"), col("b.cent").as("cent"), col("b.e").as("e"))
+    }
+    def update(a: DataFrame): DataFrame =
+      a.select(col("cent"), posexplode(col("e")))
+        .groupBy(col("cent"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("col")).as("s"))
+        .withColumn("c", col("s") / col("n"))
+        .groupBy(col("cent"))
+        // k rows — the sort_array/getField rebuild is driver-scale work
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cent"), col("pc").getField("c").as("ce"))
+    var a: DataFrame = null
+    for (_ <- 0 until iters) {
+      a = assign(cents).localCheckpoint(true)
+      cents = update(a).localCheckpoint(true)
+    }
+    val cSum = (0 until dim).map(d => element_at(col("ce"), d + 1))
+      .reduce(_ + _)
+    val res = a.groupBy(col("cent")).agg(count(lit(1)).as("n"))
+      .join(cents.select(col("cent"),
+        round(cSum / lit(1e6), 6).as("c_sum")), Seq("cent"))
+      .orderBy(col("cent"))
+      .localCheckpoint(true)
+    pts.unpersist(false)
+    res
+  }
 }

@@ -226,6 +226,35 @@ object Aggregates {
           expr("""round((n*sxy - sx*sy) /
             (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)""").as("corr_qp"),
           expr("round((sxy - sx*sy/n) / (n-1), 4)").as("cov_qp"))
+    }),
+
+    // Simple least-squares regression (l_quantity → l_extendedprice) in
+    // closed form over the same exact decimal power sums as q_corr_cov:
+    // one aggregation pass, slope/intercept/r² as pure double arithmetic
+    // on identical operands in both engines (r² is the squared-corr
+    // PRODUCT — not pow(), which has no cross-engine rounding
+    // guarantee). The reference ships this as the distributed-ML shape
+    // (`sdc/tests/test_ml.py:90-108` linear regression; its MPI-era
+    // kernels are skipped tests, the capability is the point). At 100 TB
+    // this is the canonical map-side-combine aggregate: 6 partials per
+    // partition, one tiny final reduce.
+    "q_linreg" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      Tables(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(x).as("sx"),
+          dsum(y).as("sy"),
+          sum((x * x).cast(DecimalType(34, 4))).cast("double").as("sxx"),
+          sum((y * y).cast(DecimalType(38, 4))).cast("double").as("syy"),
+          sum((x * y).cast(DecimalType(38, 4))).cast("double").as("sxy"))
+        .select(
+          expr("round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6)").as("slope"),
+          expr("""round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n,
+            4)""").as("intercept"),
+          expr("""round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+            ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)""").as("r2"))
     })
   )
 
@@ -373,6 +402,21 @@ object Aggregates {
         |  FROM lineitem)
         |SELECT ROUND((n*sxy - sx*sy) /
         |         (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 6) AS corr_qp,
-        |       ROUND((sxy - sx*sy/n) / (n-1), 4) AS cov_qp FROM s""".stripMargin
+        |       ROUND((sxy - sx*sy/n) / (n-1), 4) AS cov_qp FROM s""".stripMargin,
+
+    "q_linreg" ->
+      """WITH s AS (SELECT
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(34,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |       ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n,
+        |         4) AS intercept,
+        |       ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+        |         ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2 FROM s""".stripMargin
   )
 }

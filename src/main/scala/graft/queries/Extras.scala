@@ -476,6 +476,13 @@ object Extras {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // distributed Lloyd's k-means, 2 iterations, k=4 — quantize-exact
+    // arithmetic end to end (scale notes on Similarity.kmeans)
+    "q_kmeans" -> ((s, dir) => {
+      Similarity.kmeans(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 4, iters = 2)
+    }),
+
     // ——— streaming shape (batch-equivalent of the windowed agg) ———
     "q_events_window" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -778,6 +785,43 @@ object Extras {
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
+
+    // Similarity.kmeans replica, unrolled for 2 iterations: same
+    // floor-quantized scaled space, same xx − 2·dot + cc distance with
+    // the ordered fold, same (dist, cent) tie-break, per-dim means as
+    // exact integer-double sums (< 2^53 in any order) — every double
+    // bit-identical, so sizes AND the centroid checksum hash-match.
+    "q_kmeans" -> {
+      def assign(prev: String, out: String) =
+        s"""$out AS (SELECT id, cent, e FROM (
+           |  SELECT p.id, c.cent, p.e,
+           |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+           |      p.xx - 2.0*${foldDot("p.e", "c.ce")}
+           |        + ${foldDot("c.ce", "c.ce")}, c.cent) AS rn
+           |  FROM ptx p CROSS JOIN $prev c) t WHERE rn = 1)""".stripMargin
+      def upd(a: String, outd: String, out: String) =
+        s"""$outd AS (SELECT cent, i AS pos, SUM(e[i]) / COUNT(*) AS c
+           |  FROM $a, (SELECT unnest(generate_series(1, 64)) AS i) s
+           |  GROUP BY cent, i),
+           |$out AS (SELECT cent, list(c ORDER BY pos) AS ce
+           |  FROM $outd GROUP BY cent)""".stripMargin
+      val cSum = "list_reduce(list_transform(generate_series(1, 64), " +
+        "i -> CAST(ce[i] AS DOUBLE)), (x,y) -> x+y)"
+      s"""WITH pts AS (SELECT CAST(vec_id AS BIGINT) AS id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)) AS e
+        |  FROM embeddings),
+        |ptx AS (SELECT id, e, ${foldDot("e", "e")} AS xx FROM pts),
+        |c0 AS (SELECT CAST(id AS INT) AS cent, e AS ce FROM pts WHERE id < 4),
+        |${assign("c0", "a1")},
+        |${upd("a1", "c1d", "c1")},
+        |${assign("c1", "a2")},
+        |${upd("a2", "c2d", "c2")}
+        |SELECT t.cent, t.n, ROUND($cSum / 1e6, 6) AS c_sum
+        |FROM (SELECT cent, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM a2 GROUP BY cent) t
+        |JOIN c2 USING (cent) ORDER BY cent""".stripMargin
+    },
 
     "q_get_dummies" -> {
       val cols = TextOps.langMarkers.keys.toSeq.sorted
