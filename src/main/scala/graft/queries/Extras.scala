@@ -483,6 +483,36 @@ object Extras {
         dim = 64, k = 4, iters = 2)
     }),
 
+    // Kernel density estimation over events.value at a fixed grid —
+    // the reference's KDE kernel (`sdc/tests/test_ml.py:110`) with an
+    // Epanechnikov kernel instead of its Gaussian: K(u) = 0.75·(1 − u²)
+    // on |u| < 1 is pure polynomial arithmetic, so unlike exp() every
+    // intermediate double is bit-identical across engines. The kernel
+    // values are quantized to longs (floor(k·1e12 + 0.5)) before the
+    // sum, making the reduction exact in ANY order/partitioning — the
+    // same recipe as q_kmeans' centroid sums. Scale shape: the 21-point
+    // grid broadcasts; one projection + hash-agg pass over events.
+    "q_kde" -> ((s, dir) => {
+      val h = 25.0
+      val grid = (0 to 20).map(i => i * 25.0)
+      val gridDf = s.createDataFrame(
+        s.sparkContext.parallelize(grid.map(org.apache.spark.sql.Row(_)), 1),
+        StructType(Seq(StructField("x", DoubleType, nullable = false))))
+      val u = (col("x") - col("value")) / lit(h)
+      val k = when(u * u < 1.0, lit(0.75) * (lit(1.0) - u * u))
+        .otherwise(lit(0.0))
+      Tables(s, dir, "events").select(col("value"))
+        .crossJoin(broadcast(gridDf))
+        .select(col("x"),
+          floor(k * lit(1e12) + lit(0.5)).cast("long").as("kq"))
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("n"), sum(col("kq")).as("sk"))
+        .select(col("x"),
+          round(col("sk").cast("double") / lit(1e12) /
+            (col("n").cast("double") * lit(h)), 9).as("density"))
+        .orderBy(col("x"))
+    }),
+
     // ——— streaming shape (batch-equivalent of the windowed agg) ———
     "q_events_window" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -785,6 +815,21 @@ object Extras {
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
+
+    // q_kde replica: same grid, same polynomial kernel, same
+    // quantize-before-sum — the decimal literals (25.0, 0.75, 0.5) are
+    // all exactly representable doubles, so the promotion to DOUBLE
+    // costs nothing and every product matches Spark bit for bit
+    "q_kde" ->
+      """WITH g AS (SELECT CAST(unnest(generate_series(0, 20)) * 25 AS DOUBLE) AS x),
+        |u AS (SELECT g.x, (g.x - e.value) / 25.0 AS u
+        |      FROM events e CROSS JOIN g),
+        |kq AS (SELECT x, CAST(FLOOR(
+        |    (CASE WHEN u*u < 1.0 THEN 0.75 * (1.0 - u*u) ELSE 0.0 END)
+        |      * 1e12 + 0.5) AS BIGINT) AS kq FROM u)
+        |SELECT x, ROUND(CAST(SUM(kq) AS DOUBLE) / 1e12 /
+        |    (CAST(COUNT(*) AS DOUBLE) * 25.0), 9) AS density
+        |FROM kq GROUP BY x ORDER BY x""".stripMargin,
 
     // Similarity.kmeans replica, unrolled for 2 iterations: same
     // floor-quantized scaled space, same xx − 2·dot + cc distance with
