@@ -35,7 +35,7 @@ object ProfileMain {
     // Stage 1+2: shingle rows → base hash → 16 min-aggs
     val toksOnly = fanned
       .select(col("doc_id").as("id"),
-        split(trim(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " ")), "\\s+").as("ws"))
+        graft.operators.TextOps.normWords(col("text")).as("ws"))
       .select(col("id"), col("ws"), posexplode(col("ws")))
     time("words+posexplode")(toksOnly.select(col("id"), col("col")))
     val sh = toksOnly

@@ -352,7 +352,10 @@ object Dedup {
     val bands = maxHamming + 1
     require(64 % bands == 0, s"maxHamming + 1 = $bands must divide 64")
     val width = 64 / bands
-    val mask = (1L << width) - 1
+    // width = 64 (maxHamming = 0, exact-signature pairing) needs the
+    // all-ones mask spelled -1L: Scala shifts are mod 64, so
+    // (1L << 64) - 1 would be 0 and collapse every band value
+    val mask = if (width == 64) -1L else (1L << width) - 1
     // Three consumers (banding + two verification joins) — persist so the
     // explode/md5 signature pass runs once; released after the (tiny)
     // verified result materializes.

@@ -234,11 +234,45 @@ object GlobalOrder {
     fillDirected(df, order, value, name, parts, forward = true)
 
   /** Global backward-fill (pandas `bfill`): the mirror of [[withFfill]]
-    * on the same ascending range partitioning — only the window
-    * directions flip, so ffill and bfill of one frame share a shuffle. */
+    * — the same ascending range partitioning with both window
+    * directions flipped. Each call pays its own range shuffle; to fill
+    * BOTH directions over one shuffle use [[withFills]]. */
   def withBfill(df: DataFrame, order: Seq[Column], value: Column,
                 name: String, parts: Int = 0): DataFrame =
     fillDirected(df, order, value, name, parts, forward = false)
+
+  /** ffill AND bfill of one value column over a SINGLE range shuffle:
+    * both directed local windows and both carry frames ride the same
+    * frozen partitioning (composing withBfill(withFfill(...)) would
+    * range-shuffle and checkpoint-materialize the table twice). */
+  def withFills(df: DataFrame, order: Seq[Column], value: Column,
+                ffName: String, bfName: String, parts: Int = 0): DataFrame = {
+    val r = ranged(df, order, parts)
+    val wf = Window.partitionBy(col(PID)).orderBy(order: _*)
+    val wb = Window.partitionBy(col(PID)).orderBy(order.map(_.desc): _*)
+    val local = r
+      .withColumn(LOCAL, row_number().over(wf))
+      .withColumn("__bl", row_number().over(wb))
+      .withColumn(ffName, last(value, ignoreNulls = true)
+        .over(wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(bfName, last(value, ignoreNulls = true)
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lasts = local.groupBy(col(PID)).agg(
+      max_by(col(ffName), col(LOCAL)).as("__fl"),
+      max_by(col(bfName), col("__bl")).as("__bfirst"))
+    val wcF = Window.orderBy(col(PID).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wcB = Window.orderBy(col(PID).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = lasts
+      .withColumn("__cf", last(col("__fl"), ignoreNulls = true).over(wcF))
+      .withColumn("__cb", last(col("__bfirst"), ignoreNulls = true).over(wcB))
+      .select(col(PID), col("__cf"), col("__cb"))
+    local.join(broadcast(carry), Seq(PID), "left")
+      .withColumn(ffName, coalesce(col(ffName), col("__cf")))
+      .withColumn(bfName, coalesce(col(bfName), col("__cb")))
+      .drop(PID, LOCAL, "__bl", "__cf", "__cb")
+  }
 
   private def fillDirected(df: DataFrame, order: Seq[Column], value: Column,
                            name: String, parts: Int,

@@ -318,6 +318,7 @@ object Similarity {
     * Returns (cent, n, c_sum): cluster sizes + centroid checksum. */
   def kmeans(df: DataFrame, idCol: String, embCol: String,
              dim: Int = 64, k: Int = 4, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val eq = array((0 until dim).map { d =>
       floor(element_at(col(embCol), d + 1).cast("double") * lit(1e6) + lit(0.5))
         .cast("double")
@@ -326,7 +327,9 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), eq.as("e"))
       .withColumn("xx", dotp(col("e"), col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents: DataFrame = pts.filter(col("id") < k)
+    // the k smallest ids, whatever the id space — TakeOrderedAndProject
+    // over (id), not a filter(id < k) that assumes ids start at 0
+    var cents: DataFrame = pts.orderBy(col("id")).limit(k)
       .select(col("id").cast("int").as("cent"), col("e").as("ce"))
     def assign(c: DataFrame): DataFrame = {
       val scored = pts.crossJoin(

@@ -501,7 +501,11 @@ object Extras {
       val u = (col("x") - col("value")) / lit(h)
       val k = when(u * u < 1.0, lit(0.75) * (lit(1.0) - u * u))
         .otherwise(lit(0.0))
+      // drop missing BEFORE the density denominator — a null/NaN value
+      // would contribute kernel 0 (null condition → otherwise branch)
+      // while still inflating n, deflating every density
       Tables(s, dir, "events").select(col("value"))
+        .filter(col("value").isNotNull && !isnan(col("value")))
         .crossJoin(broadcast(gridDf))
         .select(col("x"),
           floor(k * lit(1e12) + lit(0.5)).cast("long").as("kq"))
@@ -823,7 +827,8 @@ object Extras {
     "q_kde" ->
       """WITH g AS (SELECT CAST(unnest(generate_series(0, 20)) * 25 AS DOUBLE) AS x),
         |u AS (SELECT g.x, (g.x - e.value) / 25.0 AS u
-        |      FROM events e CROSS JOIN g),
+        |      FROM events e CROSS JOIN g
+        |      WHERE e.value IS NOT NULL AND NOT isnan(e.value)),
         |kq AS (SELECT x, CAST(FLOOR(
         |    (CASE WHEN u*u < 1.0 THEN 0.75 * (1.0 - u*u) ELSE 0.0 END)
         |      * 1e12 + 0.5) AS BIGINT) AS kq FROM u)
@@ -857,7 +862,8 @@ object Extras {
         |      i -> FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)) AS e
         |  FROM embeddings),
         |ptx AS (SELECT id, e, ${foldDot("e", "e")} AS xx FROM pts),
-        |c0 AS (SELECT CAST(id AS INT) AS cent, e AS ce FROM pts WHERE id < 4),
+        |c0 AS (SELECT CAST(id AS INT) AS cent, e AS ce FROM pts
+        |       ORDER BY id LIMIT 4),
         |${assign("c0", "a1")},
         |${upd("a1", "c1d", "c1")},
         |${assign("c1", "a2")},
@@ -1080,7 +1086,7 @@ object Extras {
 
     "q_corpus_clean" ->
       """WITH f AS (SELECT doc_id, lang, n_chars, text,
-        |  md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')),
+        |  md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
         |    '\s+', ' ', 'g')) AS fp
         |FROM documents),
         |keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp),

@@ -99,6 +99,14 @@ class GlobalOrderPartitionSpec extends SparkSpecBase {
       val want = sortedKeys.lazyZip(ffWant).lazyZip(bfWant)
         .map((k, f, b) => k -> (f, b)).toMap
       assert(got == want)
+      // the one-shuffle combined form must agree with the composition
+      val combined = GlobalOrder.withFills(
+          dfn, Seq(col("k")), col("v"), "ff", "bf", parts)
+        .select(col("k"), col("ff"), col("bf"))
+        .collect().map(r => (r.getLong(0),
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+      assert(combined == want)
     }
 
     test(s"exactQuantiles matches the sequential lerp at $parts partitions") {

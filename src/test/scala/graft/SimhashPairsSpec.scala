@@ -28,8 +28,19 @@ class SimhashPairsSpec extends SparkSpecBase {
     val banded = Dedup.simhashPairs(docs, "doc_id", "text",
         maxHamming = 3, maxBucket = 1000000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(banded == brute(3), s"banded=$banded brute=${brute(3)}")
+    val want = brute(3)
+    assert(banded == want, s"banded=$banded brute=$want")
     assert(banded.nonEmpty, "fixture must exercise the pairing")
+  }
+
+  test("maxHamming = 0 (single 64-bit band) pairs exact-signature duplicates") {
+    val dup = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "something else entirely")
+    )).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(dup, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0)), got.toString)
   }
 
   test("every reported pair respects the Hamming budget") {
