@@ -274,6 +274,37 @@ object GlobalOrder {
       .drop(PID, LOCAL, "__bl", "__cf", "__cb")
   }
 
+  /** pandas `interpolate(method='linear')` over the total order:
+    * interior nulls take the position-weighted blend of the surrounding
+    * non-nulls, trailing nulls repeat the last valid value, leading
+    * nulls stay null (pandas' default limit_direction='forward', which
+    * still interpolates interior gaps from both sides).
+    *
+    * Built on the one-shuffle fill machinery: the global row number
+    * (two-pass, no single-partition window) is attached first, then
+    * [[withFills]] carries (value, position) STRUCTS — a null value
+    * yields a null struct, so ignore-nulls fills propagate both the
+    * neighbor value and its position — and the blend
+    * `fv + (bv − fv) · (rn − fp)/(bp − fp)` is a pure projection. */
+  def withInterpolate(df: DataFrame, order: Seq[Column], value: Column,
+                      name: String, parts: Int = 0): DataFrame = {
+    val rn = "__go_rn"
+    val carried = when(value.isNotNull,
+      struct(value.as("v"), col(rn).as("p")))
+    val filled = withFills(
+      withRowNumber(df, order, rn, parts).withColumn("__sv", carried),
+      order, col("__sv"), "__f", "__b", parts)
+    val (fv, fp) = (col("__f.v"), col("__f.p"))
+    val (bv, bp) = (col("__b.v"), col("__b.p"))
+    val w = (col(rn) - fp).cast("double") / (bp - fp).cast("double")
+    filled
+      .withColumn(name,
+        when(value.isNotNull, value)
+          .when(fv.isNotNull && bv.isNotNull, fv + (bv - fv) * w)
+          .when(fv.isNotNull, fv))
+      .drop(rn, "__sv", "__f", "__b")
+  }
+
   private def fillDirected(df: DataFrame, order: Seq[Column], value: Column,
                            name: String, parts: Int,
                            forward: Boolean): DataFrame = {

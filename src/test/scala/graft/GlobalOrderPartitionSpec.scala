@@ -109,6 +109,36 @@ class GlobalOrderPartitionSpec extends SparkSpecBase {
       assert(combined == want)
     }
 
+    test(s"withInterpolate blends across partition boundaries at $parts partitions") {
+      val dfn = df.withColumn("v",
+        when(col("k") % 13 < 4, lit(null)).otherwise(col("k").cast("double")))
+      val got = GlobalOrder.withInterpolate(
+          dfn, Seq(col("k")), col("v"), "vi", parts)
+        .select(col("k"), col("vi"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      // sequential reference: pandas linear interpolate over positions
+      val vals = sortedKeys.map(k =>
+        if (k % 13 < 4) None else Some(k.toDouble)).toArray
+      val want = vals.indices.map { i =>
+        vals(i) match {
+          case Some(v) => sortedKeys(i) -> Some(v)
+          case None =>
+            val fi = (i - 1 to 0 by -1).find(vals(_).isDefined)
+            val bi = (i + 1 until vals.length).find(vals(_).isDefined)
+            val r = (fi, bi) match {
+              case (Some(f), Some(b)) =>
+                val w = (i - f).toDouble / (b - f).toDouble
+                Some(vals(f).get + (vals(b).get - vals(f).get) * w)
+              case (Some(f), None) => vals(f)
+              case _ => None
+            }
+            sortedKeys(i) -> r
+        }
+      }.toMap
+      assert(got == want)
+    }
+
     test(s"exactQuantiles matches the sequential lerp at $parts partitions") {
       val qs = Seq(("q25", 0.25), ("q50", 0.5), ("q90", 0.9))
       val row = GlobalOrder.exactQuantiles(df, col("v"), qs, parts).collect().head
