@@ -170,6 +170,21 @@ class GlobalOrderPartitionSpec extends SparkSpecBase {
     assert(rdds.head.rdd.getNumPartitions == 4)
   }
 
+  test("withFills runs both directions over ONE frozen range shuffle") {
+    // the single-shuffle claim: every branch (both local fills, both
+    // carries) must scan the SAME checkpointed range partitioning —
+    // composing withBfill(withFfill(...)) would show two RDD ids
+    val dfn = df.withColumn("v",
+      when(col("k") % 13 < 4, lit(null)).otherwise(col("v")))
+    val r = GlobalOrder.withFills(dfn, Seq(col("k")), col("v"), "ff", "bf", 4)
+    val rdds = r.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(rdds.nonEmpty, "expected the checkpointed ranged scan")
+    assert(rdds.map(_.rdd.id).distinct.size == 1,
+      s"fills scan different RDDs: ${rdds.map(_.rdd.id)}")
+  }
+
   test("positional plans contain no Row decode/encode seam") {
     // Guards against reintroducing a df.rdd/createDataFrame round-trip:
     // the physical plan must stay in Tungsten format end to end.
