@@ -45,6 +45,53 @@ object GroupBy {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // TPC-H Q3 (shipping-priority variant on the fixture's columns):
+    // the canonical 3-table join + agg + top-k. Plan shape at scale:
+    // the BUILDING customers (1/5 of a small dim) broadcast into
+    // orders, the orders×lineitem equi-join shuffles on orderkey (the
+    // fact-fact join — no way around it), revenue is an exact decimal
+    // sum, and the top-10 is TakeOrderedAndProject, never a global
+    // sort. Fixture dates run 1995..2001, so the classic 1995-03-15
+    // split becomes 1997-01-01.
+    "q_tpch_q3" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
+            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q6 (forecast revenue change): the pushdown showcase — all
+    // three filters reach the parquet scan, the aggregate is one exact
+    // decimal sum with map-side partials; zero shuffles beyond the
+    // final single-row reduce.
+    "q_tpch_q6" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
+            col("l_discount").cast(dec2))
+          .cast("double").as("revenue"))
+    }),
+
     // groupby multi-agg: count/min/max/sum/mean per single key
     "q_groupby_agg" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -226,6 +273,29 @@ object GroupBy {
 
   val oracle: Map[String, String] = Map(
     "q_tpch_q1" -> q1Sql,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |    CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_groupby_agg" ->
       """SELECT o_orderpriority,

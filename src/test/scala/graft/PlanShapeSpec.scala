@@ -50,6 +50,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), "salted agg must not plan a join")
   }
 
+  test("TPC-H q3 broadcasts the dim, pushes filters, and bounds the top-k") {
+    val df = GroupBy.queries("q_tpch_q3")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "BUILDING customers must broadcast:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be bounded, not a global sort")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "date filters should reach the scans:\n" + p.take(1200))
+  }
+
+  test("TPC-H q6 pushes all scan filters and reads only the needed columns") {
+    val p = plan(GroupBy.queries("q_tpch_q6")(spark, sf))
+    // the PushedFilters list is string-truncated mid-token by Spark, so
+    // match the prefix that always survives
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") &&
+      p.contains("GreaterThanOrEqual(l_shipda"),
+      "q6 filters must push to parquet:\n" + p.take(1200))
+    assert(!p.contains("Join"), "q6 is a pure scan+agg")
+  }
+
   test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
     val p = plan(graft.queries.Extras.queries("q_reservoir_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
