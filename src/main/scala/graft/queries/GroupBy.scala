@@ -92,6 +92,115 @@ object GroupBy {
           .cast("double").as("revenue"))
     }),
 
+    // TPC-H Q5 (local supplier volume): the 6-table join. Scale shape:
+    // region→nation→supplier and customer are all dims — they broadcast;
+    // the one real shuffle is orders×lineitem on orderkey. The
+    // c_nationkey = s_nationkey "local" constraint is a post-join filter
+    // between two broadcast-sourced columns, so it costs nothing extra.
+    "q_tpch_q5" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      val supp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
+            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc)
+    }),
+
+    // TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    // customer, top 20. One orderkey shuffle (lineitem×orders); customer
+    // and nation broadcast; the top-20 is TakeOrderedAndProject with
+    // c_custkey as the deterministic tiebreak.
+    "q_tpch_q10" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
+            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 (promotion effect): conditional-aggregate ratio over a
+    // broadcast part join. Numerator and denominator are exact decimal
+    // sums cast to double; the final (100·num)/den is two correctly-
+    // rounded IEEE double ops, bit-identical on any engine.
+    "q_tpch_q14" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      val rev = col("l_extendedprice").cast(DecimalType(30, 2)) *
+        (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(30, 2))))
+            .cast("double").as("promo_revenue_abs"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(
+          ((lit(100.0) * col("promo_revenue_abs")) / col("total_revenue"))
+            .as("promo_pct"),
+          col("total_revenue"))
+    }),
+
+    // TPC-H Q18 (large-volume customers): HAVING over a fact aggregate,
+    // then join back. The qualifying-order set (sum qty > 300) is tiny
+    // after the first shuffle, so AQE broadcasts it into orders; customer
+    // broadcasts; top-100 is TakeOrderedAndProject with o_orderkey as
+    // the deterministic tiebreak. l_quantity is integral (1..50), so the
+    // double sum is exact in any order.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // groupby multi-agg: count/min/max/sum/mean per single key
     "q_groupby_agg" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -296,6 +405,62 @@ object GroupBy {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |      AS rev
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT (100.0 * promo_revenue_abs) / total_revenue AS promo_pct,
+        |  total_revenue
+        |FROM (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+        |      AS promo_revenue_abs,
+        |    CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        |  FROM j)""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM orders, customer,
+        |  (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
+        |WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_groupby_agg" ->
       """SELECT o_orderpriority,

@@ -72,6 +72,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), "q6 is a pure scan+agg")
   }
 
+  test("TPC-H q5 broadcasts every dim — the only shuffle join is orders×lineitem") {
+    val p = plan(GroupBy.queries("q_tpch_q5")(spark, sf))
+    val bcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcast >= 3,
+      s"region/nation/supplier/customer must broadcast (saw $bcast):\n" + p.take(1200))
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"at most the fact-fact join may shuffle (saw $smj)")
+  }
+
+  test("TPC-H q18 bounds the top-100 and keeps the HAVING on the agg side") {
+    val p = plan(GroupBy.queries("q_tpch_q18")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be bounded, not a global sort:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "customer (and the small qualifying set under AQE) should broadcast")
+  }
+
   test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
     val p = plan(graft.queries.Extras.queries("q_reservoir_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
