@@ -174,6 +174,54 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source domain cap (the data-mix governor of corpus
+    // pipelines: at most 20 docs per source, lowest doc_id kept —
+    // deterministic under any partitioning). Scale shape: only the
+    // narrow (source, doc_id, n_chars) columns enter the rank shuffle
+    // — text never moves — and the per-source aggregate rides the
+    // window's source partitioning, so the whole query is ONE shuffle.
+    // A pathologically hot source serializes its own rank (windows
+    // can't split a partition), but the rows it ranks are 3 scalars
+    // wide; reroute via salted pre-count only if a source exceeds
+    // partition memory.
+    "q_domain_caps" -> ((s, dir) => {
+      val cap = 20
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= cap, col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // overlapping chunking (the context-window packer's front half:
+    // chunk_size = 50 tokens, stride = 40 → 10-token overlap). Same
+    // codegen stride pattern as q_span_dedup (posexplode + 50 get()s,
+    // no interpreted slice()); the output carries md5(chunk) instead
+    // of chunk text, so only (doc_id, 2 longs, one digest) leave the
+    // scan stage — at corpus scale the chunk payload would be written
+    // columnar from this same projection, still shuffle-free.
+    "q_doc_chunks" -> ((s, dir) => {
+      val C = 50; val S = 40
+      Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(col("doc_id"), TextOps.normWords(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).as("n"),
+          posexplode(col("ws")))
+        .filter(col("pos") % S === 0)
+        .select(col("doc_id"),
+          (col("pos") / S).cast("long").as("chunk_idx"),
+          least(lit(C.toLong), (col("n") - col("pos")).cast("long")).as("n_tok"),
+          md5(concat_ws(" ",
+            Seq(col("col")) ++ (1 until C).map(j => get(col("ws"), col("pos") + j)): _*))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // stratified sampling: per-language keep rates (downsample the
     // dominant 'en') via a SALTED md5 bucket — deterministic across
     // engines, runs, and partitionings, unlike df.sample's RNG, and a
@@ -362,6 +410,24 @@ object Extras {
           coalesce(col("cluster"), col("doc_id")).as("cluster"))
         .withColumn("is_rep", (col("doc_id") === col("cluster")).cast("int"))
         .orderBy(col("doc_id"))
+    }),
+
+    // end-to-end dedup apply (the "materialize the clean corpus"
+    // step): minhash pairs → connected components → keep each
+    // cluster's min-id representative → per-language accounting of
+    // the survivors. The label table is bounded by the near-dup doc
+    // count (tiny vs |D|) — AQE broadcasts the left join; the final
+    // agg is the only corpus-wide shuffle after the LSH stages.
+    "q_dedup_apply" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs)
+      d.join(cc, col("doc_id") === col("id"), "left")
+        .filter(col("doc_id") === coalesce(col("cluster"), col("doc_id")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
     }),
 
     // SimHash signatures (md5-derived bits — hash-checked against the
@@ -631,16 +697,22 @@ object Extras {
       |sig AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM s)""".stripMargin
   }
 
-  /** DuckDB replica of the minhash-pairs -> connected-components ->
-    * keeper pipeline — shared by q_dedup_cluster (label propagation)
-    * and q_dedup_cluster_star (star contraction), which must agree. */
-  private def clusterOracleSql: String =
-    s"""WITH RECURSIVE $minhashPairsCte,
+  /** DuckDB fragment: minhash pairs → CC labels as CTE text ending in
+    * `cc(node, cluster)` — shared by the cluster queries and the
+    * end-to-end dedup apply. */
+  private def ccCtes: String =
+    s"""$minhashPairsCte,
       |e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE j >= 0.5
       |      UNION ALL SELECT id_b, id_a FROM pairs WHERE j >= 0.5),
       |reach AS (SELECT a AS node, a AS lab FROM e
       |          UNION SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node),
-      |cc AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
+      |cc AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)""".stripMargin
+
+  /** DuckDB replica of the minhash-pairs -> connected-components ->
+    * keeper pipeline — shared by q_dedup_cluster (label propagation)
+    * and q_dedup_cluster_star (star contraction), which must agree. */
+  private def clusterOracleSql: String =
+    s"""WITH RECURSIVE $ccCtes
       |SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster,
       |  CAST(d.doc_id = COALESCE(cc.cluster, d.doc_id) AS INT) AS is_rep
       |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
@@ -970,6 +1042,41 @@ object Extras {
     // closure) → every doc labeled with its cluster's minimum doc_id;
     // singletons are their own cluster. Replays the full LSH pipeline
     // as CTEs, then closes it recursively.
+    "q_domain_caps" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // chunk replica: same normalization, 1-based 50-token slices with
+    // stride 40 (list slicing truncates past the end exactly like
+    // concat_ws skipping null get()s); FLOOR before the INT cast since
+    // DuckDB CAST rounds where Spark floors
+    "q_doc_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+') AS ws
+        |  FROM documents),
+        |ch AS (SELECT doc_id, i, len(ws) AS n,
+        |    md5(array_to_string(ws[i*40+1 : i*40+50], ' ')) AS chunk_md5
+        |  FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(0, CAST(FLOOR((len(ws)-1)/40.0) AS INT))) AS i
+        |        FROM w))
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(50, n - i*40) AS BIGINT) AS n_tok, chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE $ccCtes,
+        |keep AS (SELECT d.lang, d.n_chars FROM documents d
+        |  LEFT JOIN cc ON cc.node = d.doc_id
+        |  WHERE d.doc_id = COALESCE(cc.cluster, d.doc_id))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_dedup_cluster" -> clusterOracleSql,
 
     // the star-contraction variant computes the SAME clustering

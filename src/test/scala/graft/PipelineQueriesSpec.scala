@@ -38,6 +38,53 @@ class PipelineQueriesSpec extends SparkSpecBase {
       s"en rate $enRate should be below the others' ${otherKept / otherAll}")
   }
 
+  test("domain caps keep at most 20 per source and account chars exactly") {
+    val got = SparkEntry.queries("q_domain_caps")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, n, k, _) => k == math.min(20L, n) })
+    // kept_chars must equal the n_chars sum of the 20 lowest doc_ids
+    val docs = Tables(spark, sf, "documents")
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    got.foreach { case (src, n, _, chars) =>
+      val rows = docs(src).sortBy(_._2)
+      assert(n == rows.size)
+      assert(chars == rows.take(20).map(_._3).sum)
+    }
+  }
+
+  test("doc chunks tile each document with stride 40 and a full-width body") {
+    val got = SparkEntry.queries("q_doc_chunks")(spark, sf)
+      .select("doc_id", "chunk_idx", "n_tok")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(graft.operators.TextOps.normWords(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == toks.keySet)
+    got.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val len = toks(id)
+      // chunk indices are 0..ceil(len/40)-1; each chunk takes
+      // min(50, len - 40*idx) tokens (a trailing window of 41..49
+      // can immediately precede the final sub-stride tail)
+      assert(sorted.map(_._2).toSeq == (0L until ((len + 39) / 40)).toList)
+      sorted.foreach { case (_, i, n) =>
+        assert(n == math.min(50L, len - 40 * i))
+      }
+    }
+  }
+
+  test("dedup apply totals equal the cluster representatives") {
+    val applied = SparkEntry.queries("q_dedup_apply")(spark, sf)
+      .agg(sum(col("n_docs"))).as[Long].head()
+    val reps = SparkEntry.queries("q_dedup_cluster")(spark, sf)
+      .filter(col("is_rep") === 1).count()
+    assert(applied == reps)
+  }
+
   test("contamination scan covers exactly the test split and bounds the ratio") {
     val got = SparkEntry.queries("q_contamination")(spark, sf)
       .select(col("doc_id"), col("n_shingles"), col("n_hit"))
