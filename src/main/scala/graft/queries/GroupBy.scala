@@ -201,6 +201,49 @@ object GroupBy {
         .limit(100)
     }),
 
+    // TPC-H Q4 (order priority checking), adapted: the fixture lacks
+    // l_commitdate/l_receiptdate, so "late" = EXISTS a lineitem shipped
+    // more than 30 days after the order date — same decorrelated-EXISTS
+    // shape. The date window prunes orders at the scan (pushed filter);
+    // the left-semi shuffle carries only (l_orderkey, l_shipdate) on
+    // the probe side and stops at the first match per order.
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q12 (shipping-mode priority split), adapted: the fixture
+    // lacks l_shipmode, so l_returnflag plays the mode column — same
+    // fact-fact equi-join + conditional-count shape. Both sides project
+    // to two columns before the orderkey shuffle; the CASE counts are
+    // map-side partial longs.
+    "q_tpch_q12" -> ((s, dir) => {
+      val hi = Seq("1-URGENT", "2-HIGH")
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // groupby multi-agg: count/min/max/sum/mean per single key
     "q_groupby_agg" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -452,6 +495,28 @@ object GroupBy {
         |      AS promo_revenue_abs,
         |    CAST(SUM(rev) AS DOUBLE) AS total_revenue
         |  FROM j)""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

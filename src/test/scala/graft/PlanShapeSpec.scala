@@ -89,6 +89,25 @@ class PlanShapeSpec extends SparkSpecBase {
       "customer (and the small qualifying set under AQE) should broadcast")
   }
 
+  test("TPC-H q4 plans a semi-join with the date window pushed to the orders scan") {
+    val p = plan(GroupBy.queries("q_tpch_q4")(spark, sf))
+    assert(p.contains("LeftSemi"),
+      "EXISTS must plan as a semi-join (probe stops at first match):\n" + p.take(1200))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "the order-date window must reach the parquet scan:\n" + p.take(1200))
+  }
+
+  test("TPC-H q12 projects both facts to two columns before the orderkey shuffle") {
+    val df = GroupBy.queries("q_tpch_q12")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "the ship-date window must reach the lineitem scan:\n" + p.take(1200))
+    // neither scan may read more than its two needed columns
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(_.split(",").length <= 3),
+      s"fact scans must be column-pruned, saw: $reads")
+  }
+
   test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
     val p = plan(graft.queries.Extras.queries("q_reservoir_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
