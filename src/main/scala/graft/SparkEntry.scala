@@ -48,6 +48,7 @@ object SparkEntry {
   /** Headline queries benchmarked by Bench (one per subsystem). */
   val benchQueries: Seq[String] = Seq(
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q18",
+    "q_tpch_q13", "q_tpch_q17", "q_tpch_q21",
     "q_agg_quantile", "q_groupby_agg", "q_join_inner", "q_join_multi_key",
     "q_merge_asof", "q_rolling_basic", "q_rolling_skew_kurt",
     "q_sort_values", "q_value_counts", "q_str_classify",

@@ -244,6 +244,238 @@ object GroupBy {
         .orderBy(col("l_returnflag"))
     }),
 
+    // TPC-H Q7 (volume shipping between two nations): revenue flow
+    // supplier-nation → customer-nation per shipment year, both
+    // directions. Scale shape: both nation paths are broadcast dims
+    // (suppliers and customers pre-filtered to the two nations, so the
+    // supplier broadcast prunes lineitem to ~2/25 of its rows BEFORE
+    // the one real shuffle, lineitem×orders on orderkey); the
+    // different-nation constraint is a post-join filter between two
+    // broadcast-sourced columns.
+    "q_tpch_q7" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      val nats = Seq("NATION_3", "NATION_7")
+      val supp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .filter(col("n_name").isin(nats: _*))
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")
+            .filter(col("n_name").isin(nats: _*))
+            .select(col("n_nationkey").as("cn_key"),
+              col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
+            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): left outer join +
+    // two-level aggregate. The first groupBy keys on the JOIN key, so
+    // it rides the join's hash partitioning — one custkey shuffle
+    // total; the histogram re-agg is |distinct counts| rows, free.
+    // The priority exclusion lives on the orders side BEFORE the join
+    // so excluded-only customers still appear with c_count = 0.
+    "q_tpch_q13" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables(s, dir, "customer").select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 (top supplier): max join-back. Per-supplier revenue is
+    // kept DECIMAL through the max and the equality compare — exact, so
+    // FP ties can't split the answer across engines — and cast to
+    // double only at output (scaled value < 2^53 ⇒ exact conversion).
+    // The agg frame feeds two consumers (the 1-row max and the probe),
+    // so it is localCheckpoint'd: ONE lineitem scan, not two plans.
+    "q_tpch_q15" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
+            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+          .as("total_rev"))
+        .localCheckpoint(true)
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship), adapted: the fixture has
+    // no partsupp, so "suppliers of a part" comes from lineitem, and
+    // the complaint exclusion is s_acctbal < 0. Plan shape: the
+    // exclusion list and the filtered part dim both broadcast (the
+    // anti-join build side is a handful of keys); COUNT(DISTINCT) is
+    // Spark's two-phase distinct aggregate — partial de-dup on
+    // (brand, type, size, suppkey) map-side, then the count.
+    "q_tpch_q16" -> ((s, dir) => {
+      val excl = Tables(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val pt = Tables(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" &&
+          col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      Tables(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(excl),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the decorrelated
+    // per-part average. The brand's parts broadcast-semi-join prunes
+    // lineitem BEFORE the partkey shuffle, so both the avg aggregate
+    // and the probe carry only the brand's lines (~1/25 of the table);
+    // the pruned frame feeds both, so it's localCheckpoint'd — one
+    // scan. threshold = 0.2·avg is two correctly-rounded IEEE ops on
+    // an exact sum/count (l_quantity is integral, group sums < 2^53),
+    // so the comparison is bit-identical cross-engine.
+    "q_tpch_q17" -> ((s, dir) => {
+      val pt = Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#5").select(col("p_partkey"))
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(pt),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .localCheckpoint(true)
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity")) / count(col("l_quantity")))
+          .as("avg_qty"))
+        .withColumnRenamed("l_partkey", "ap_partkey")
+      li.join(avgq, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(30, 2)))
+          .cast("double") / 7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 (discounted revenue): the disjunctive-predicate join.
+    // part broadcasts; the OR-of-ANDs over (brand, size, quantity)
+    // evaluates inside the broadcast join's codegen stage; the common
+    // quantity range (1..30) is factored out of the disjunction so it
+    // pushes to the lineitem parquet scan.
+    "q_tpch_q19" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      val pt = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 20)))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
+            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+          .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" =
+    // shipped > 60 days after the order date on an 'F' order (the
+    // fixture has no commit/receipt dates). The late frame is built
+    // once — one orderkey fact-fact shuffle — and localCheckpoint'd
+    // because it feeds both the probe and the NOT-EXISTS side.
+    // EXISTS / NOT EXISTS are a left-semi and a left-anti join on
+    // orderkey with the supplier inequality in the join condition;
+    // the probe is one nation's suppliers (broadcast), so the semi/
+    // anti shuffles carry two narrow long columns each.
+    "q_tpch_q21" -> ((s, dir) => {
+      val ordF = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .localCheckpoint(true)
+      val suppN = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val others = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o2_okey"), col("l_suppkey").as("o2_skey"))
+      val lateOthers = late
+        .select(col("l_orderkey").as("o3_okey"), col("l_suppkey").as("o3_skey"))
+      late.join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(others, col("l_orderkey") === col("o2_okey") &&
+          col("l_suppkey") =!= col("o2_skey"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3_okey") &&
+          col("l_suppkey") =!= col("o3_skey"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // TPC-H Q22 (global sales opportunity), adapted: nationkey plays
+    // the phone country code, and — because the fixture's custkeys are
+    // dense (every customer has SOME order) — "never ordered" becomes
+    // "no order since 1999", i.e. lapsed customers. The positive-
+    // balance average is one exact scalar (decimal sum / count, IEEE
+    // divide — deterministic) cross-joined as a 1-row broadcast; the
+    // lapse test is a custkey anti-join against the date-pruned
+    // two-column orders projection.
+    "q_tpch_q22" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgPos = cust.filter(col("c_acctbal") > 0)
+        .agg((dsum(col("c_acctbal")) / count(col("c_acctbal")))
+          .as("avg_bal"))
+      cust.join(broadcast(avgPos))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // groupby multi-agg: count/min/max/sum/mean per single key
     "q_groupby_agg" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -526,6 +758,123 @@ object GroupBy {
         |   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
         |WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |      AS rev
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev, supplier
+        |WHERE l_suppkey = s_suppkey
+        |  AND total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey AND p_brand = 'Brand#5'),
+        |avgq AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |    SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly
+        |FROM li, avgq
+        |WHERE l_partkey = ap_partkey AND l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_quantity >= 1 AND l_quantity <= 30
+        |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |      AND l_quantity <= 11)
+        |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |      AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |      AND l_quantity >= 20))""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, nation, lineitem l1, orders
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  AND l1.l_suppkey = s_suppkey AND l1.l_orderkey = o_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        |  AND c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+        |      / COUNT(c_acctbal)
+        |    FROM customer
+        |    WHERE c_nationkey IN (1, 3, 5, 7, 9) AND c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_groupby_agg" ->
       """SELECT o_orderpriority,

@@ -108,6 +108,83 @@ class PlanShapeSpec extends SparkSpecBase {
       s"fact scans must be column-pruned, saw: $reads")
   }
 
+  test("TPC-H q7 pushes the ship-date window and broadcasts both nation paths") {
+    val p = plan(GroupBy.queries("q_tpch_q7")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "the two-year window must reach the lineitem scan:\n" + p.take(1200))
+    val bcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcast >= 2,
+      s"supplier-nation and customer-nation must broadcast (saw $bcast):\n" + p.take(1200))
+  }
+
+  test("TPC-H q13's order-count agg rides the join key — one custkey shuffle") {
+    val p = plan(GroupBy.queries("q_tpch_q13")(spark, sf))
+    assert(p.contains("LeftOuter"),
+      "customers with only excluded orders must survive at c_count=0:\n" + p.take(1200))
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      "the priority exclusion must reach the orders scan:\n" + p.take(1200))
+    // groupBy(c_custkey) reuses the join partitioning; only the custkey
+    // exchange and the |distinct counts|-row histogram exchange remain
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2,
+      s"expected <=2 hash exchanges (custkey agg + tiny histogram), saw $hashEx:\n" + p.take(1600))
+  }
+
+  test("TPC-H q15 scans lineitem once — the checkpointed agg feeds max AND probe") {
+    val p = plan(GroupBy.queries("q_tpch_q15")(spark, sf))
+    assert(!p.contains("lineitem.parquet"),
+      "per-supplier revenue must come from the checkpoint, not a re-scan:\n" + p.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2,
+      "both consumers (1-row max, equality probe) must read the shared checkpoint")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 1-row max and the supplier dim must broadcast")
+  }
+
+  test("TPC-H q16 broadcasts the anti-join exclusion and plans a two-phase distinct agg") {
+    val p = plan(GroupBy.queries("q_tpch_q16")(spark, sf))
+    assert(p.contains("LeftAnti"),
+      "NOT IN (complaint suppliers) must plan as an anti-join:\n" + p.take(1200))
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 4,
+      s"COUNT(DISTINCT) needs the partial de-dup + count phases (saw $hashAggs)")
+  }
+
+  test("TPC-H q17 reuses one checkpointed brand-pruned scan for avg and probe") {
+    val p = plan(GroupBy.queries("q_tpch_q17")(spark, sf))
+    assert(!p.contains("lineitem.parquet"),
+      "both consumers must read the semi-join-pruned checkpoint:\n" + p.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2,
+      "avg aggregate and probe must share the one checkpoint")
+  }
+
+  test("TPC-H q19 pushes the factored quantity range below the disjunction") {
+    val p = plan(GroupBy.queries("q_tpch_q19")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,1.0), LessThanOrEqual(l_quantity,30.0)"),
+      "the common 1..30 conjunct must reach the parquet scan:\n" + p.take(1600))
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join for a broadcast-able dim")
+  }
+
+  test("TPC-H q21 plans EXISTS as semi, NOT EXISTS as anti, and bounds the top-k") {
+    val p = plan(GroupBy.queries("q_tpch_q21")(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS must be semi/anti joins:\n" + p.take(1600))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be bounded, not a global sort")
+  }
+
+  test("TPC-H q22 anti-joins one orders column and broadcasts the 1-row average") {
+    val p = plan(GroupBy.queries("q_tpch_q22")(spark, sf))
+    assert(p.contains("LeftAnti"),
+      "never-ordered must plan as an anti-join:\n" + p.take(1200))
+    assert(p.contains("In(c_nationkey"),
+      "the nation list must reach the customer scan:\n" + p.take(1200))
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp"),
+      "the anti-join build side must read only custkey + the pruning date")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1999-01-01"),
+      "the lapse window must reach the orders scan")
+  }
+
   test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
     val p = plan(graft.queries.Extras.queries("q_reservoir_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
