@@ -476,6 +476,185 @@ object GroupBy {
         .orderBy(col("c_nationkey"))
     }),
 
+    // TPC-H Q2 (minimum-cost supplier), adapted: the fixture has no
+    // partsupp, so "can supply part p" = "has shipped part p" (distinct
+    // (l_partkey, l_suppkey) pairs — ONE shuffle over two long columns)
+    // and s_acctbal plays ps_supplycost. The region-filtered
+    // supplier⋈nation dim and the size/type part filter both broadcast;
+    // the per-part minimum is a tiny agg over the candidate pairs that
+    // broadcasts back for the equality probe (min is a SELECTION, not
+    // arithmetic — double equality is exact cross-engine). Top-100 is
+    // bounded (TakeOrderedAndProject), never a global sort.
+    "q_tpch_q2" -> ((s, dir) => {
+      val pt = Tables(s, dir, "part")
+        .filter(col("p_size") === 9 && col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val supp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .join(broadcast(Tables(s, dir, "region")
+                .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val cand = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+        .localCheckpoint(true)
+      val mins = cand.groupBy(col("p_partkey").as("mp_partkey"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      cand.join(broadcast(mins),
+          col("p_partkey") === col("mp_partkey") &&
+            col("s_acctbal") === col("min_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q8 (national market share): one nation's share of a
+    // region's PROMO-part volume per order year. Scale shape: part
+    // filter and the customer→nation→region path broadcast-prune the
+    // lineitem side BEFORE the one real shuffle (lineitem×orders on
+    // orderkey); supplier→nation broadcasts to tag each line with its
+    // supplier nation. share = conditional decimal sum / total decimal
+    // sum — both exact, one IEEE divide at output.
+    "q_tpch_q8" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      val zero = lit(BigDecimal(0)).cast(DecimalType(30, 2))
+      val pt = Tables(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val cust = Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")
+            .join(broadcast(Tables(s, dir, "region")
+                .filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-12-31").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      val vol = col("l_extendedprice").cast(DecimalType(30, 2)) *
+        (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_4", vol)
+              .otherwise(zero)).cast("double") /
+            sum(vol).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 (product-type profit), adapted: no partsupp, so unit
+    // cost = p_retailprice / 2 (exact in DECIMAL: retailprice has one
+    // decimal digit). profit = extendedprice·(1−discount) −
+    // cost·quantity, all DECIMAL until the output cast, so group sums
+    // are order-independent and cross-engine exact. part (name LIKE)
+    // and supplier→nation broadcast; the one real shuffle is
+    // lineitem×orders on orderkey, then a (nation, year) hash agg.
+    "q_tpch_q9" -> ((s, dir) => {
+      val dec2 = DecimalType(12, 2)
+      val profit =
+        col("l_extendedprice").cast(DecimalType(30, 2)) *
+          (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)) -
+        col("p_retailprice").cast(dec2) * lit(BigDecimal(0.5)).cast(DecimalType(2, 1)) *
+          col("l_quantity").cast(dec2)
+      val pt = Tables(s, dir, "part")
+        .filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 (important stock), adapted: inventory value per part =
+    // decimal sum of l_extendedprice over one nation's suppliers
+    // (partsupp's availqty·supplycost is absent). The nation's supplier
+    // keys broadcast as a semi-join, the per-part agg is the one
+    // shuffle, and the grand total is a 1-row broadcast probe against
+    // the same checkpointed agg — one lineitem scan. The threshold
+    // compare stays DECIMAL (total × 0.001 is exact), so no FP tie can
+    // split the answer.
+    "q_tpch_q11" -> ((s, dir) => {
+      val suppN = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2))).as("value"))
+        .localCheckpoint(true)
+      val thresh = value
+        .agg((sum(col("value")) *
+          lit(BigDecimal(0.001)).cast(DecimalType(4, 3))).as("min_value"))
+      value.join(broadcast(thresh))
+        .filter(col("value") > col("min_value"))
+        .select(col("l_partkey"), col("value").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q20 (excess-stock suppliers), adapted: a supplier "holds
+    // excess stock" when some small-named part shipped > 40 units total
+    // in 1997–98 (availqty is absent). Chain of prunes: part filter
+    // broadcasts into a semi-join, the date window pushes to the scan,
+    // the (suppkey, partkey) agg is the one shuffle, and the surviving
+    // supplier keys — a handful — broadcast into the final semi-join
+    // against the nation's suppliers. Integer quantity sums are exact.
+    "q_tpch_q20" -> ((s, dir) => {
+      val pt = Tables(s, dir, "part")
+        .filter(col("p_name").like("small%")).select(col("p_partkey"))
+      val excess = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 40)
+        .select(col("l_suppkey")).distinct()
+      Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"))
+    }),
+
     // groupby multi-agg: count/min/max/sum/mean per single key
     "q_groupby_agg" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -875,6 +1054,85 @@ object GroupBy {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH cand AS (
+        |  SELECT p_partkey, s_name, s_acctbal, n_name
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs,
+        |    part, supplier, nation, region
+        |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND p_size = 9 AND p_type = 'LARGE' AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey
+        |FROM cand c
+        |WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM cand m
+        |                   WHERE m.p_partkey = c.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_4' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |      AS rev,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem, orders, customer, supplier, part,
+        |    nation n1, nation n2, region
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |    AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+        |    AND l_partkey = p_partkey AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate <= TIMESTAMP '1996-12-31') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, CAST(SUM(profit) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(30,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(2,1))
+        |      * CAST(l_quantity AS DECIMAL(12,2)) AS profit
+        |  FROM lineitem, orders, part, supplier, nation
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        |    AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%gear%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS value
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+        |FROM v
+        |WHERE value > (SELECT SUM(value) * CAST(0.001 AS DECIMAL(4,3)) FROM v)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem, part
+        |    WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1999-01-01'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) > 40)
+        |ORDER BY s_name""".stripMargin,
 
     "q_groupby_agg" ->
       """SELECT o_orderpriority,

@@ -185,6 +185,56 @@ class PlanShapeSpec extends SparkSpecBase {
       "the lapse window must reach the orders scan")
   }
 
+  test("TPC-H q2 shares one checkpointed candidate frame and bounds the top-100") {
+    val p = plan(GroupBy.queries("q_tpch_q2")(spark, sf))
+    assert(!p.contains("lineitem.parquet"),
+      "per-part min and probe must read the shared checkpoint, not re-scan:\n" + p.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2,
+      "both consumers (per-part min, equality probe) must read the checkpoint")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be bounded, not a global sort")
+  }
+
+  test("TPC-H q8 broadcast-prunes lineitem and pushes the order-date window") {
+    val p = plan(GroupBy.queries("q_tpch_q8")(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1995-01-01"),
+      "the two-year window must reach the orders scan:\n" + p.take(1600))
+    val bcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcast >= 3,
+      s"part, supplier-nation and customer-region must all broadcast (saw $bcast)")
+  }
+
+  test("TPC-H q9 broadcasts both dims — the only shuffle join is lineitem×orders") {
+    val p = plan(GroupBy.queries("q_tpch_q9")(spark, sf))
+    val bcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcast >= 2,
+      s"part and supplier-nation must broadcast (saw $bcast):\n" + p.take(1200))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp"),
+      "orders must be pruned to the join key + date")
+  }
+
+  test("TPC-H q11 scans lineitem once — threshold and values share the checkpoint") {
+    val p = plan(GroupBy.queries("q_tpch_q11")(spark, sf))
+    assert(!p.contains("lineitem.parquet"),
+      "grand total and per-part values must share the checkpointed agg:\n" + p.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2,
+      "both consumers must read the shared checkpoint")
+    // the nation-supplier semi-join sits BELOW the checkpoint (not in
+    // this plan); what's visible is the 1-row threshold, which must
+    // broadcast rather than shuffle
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row threshold must broadcast:\n" + p.take(1200))
+  }
+
+  test("TPC-H q20 pushes the ship window and chains broadcast semi-joins") {
+    val p = plan(GroupBy.queries("q_tpch_q20")(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"),
+      "the 1997-98 window must reach the lineitem scan:\n" + p.take(1600))
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "part filter and excess-supplier probe must both be semi-joins")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join: every dim side is tiny")
+  }
+
   test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
     val p = plan(graft.queries.Extras.queries("q_reservoir_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
