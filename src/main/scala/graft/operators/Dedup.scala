@@ -544,6 +544,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
   }
 
+  /** [[contaminationScan]] with a bloom prefilter on the probe side —
+    * the 100 TB default. [[contaminationScan]] shuffles EVERY distinct
+    * test shingle into the equi-join; here the train side first folds
+    * into one fixed-size bloom sketch (Spark's own runtime-filter
+    * aggregate, surfaced as `graft_bloom_agg`), the sketch lands on the
+    * driver as a constant (O(MB) — the same move Spark's injected
+    * runtime filters make via their subquery exchange), and the test
+    * side splits on `graft_might_contain`: bloom-misses are definitive
+    * non-hits (no false negatives) and skip the join entirely, so the
+    * confirm shuffle carries only bloom-surviving candidates (true hits
+    * + the ~1% false-positive tail). The exact semi-confirm join makes
+    * the final answer independent of the bloom's false-positive rate —
+    * identical to [[contaminationScan]] row for row.
+    *
+    * The distinct test-shingle frame feeds two branches (miss counting,
+    * candidate join), so it is localCheckpoint'd — one shingle explode
+    * pass, not two plans (the q_text_repetition materialization trade:
+    * O(test-split tokens) to block storage buys a single scan).
+    *
+    * @param expectedItems sizing hint for the sketch (train-side
+    *                      distinct shingles); overestimating costs
+    *                      sketch bytes, underestimating costs
+    *                      false-positive candidates, never correctness. */
+  def contaminationScanBloom(test: DataFrame, train: DataFrame,
+                             idCol: String, textCol: String, w: Int = 3,
+                             expectedItems: Long = 1000000L): DataFrame = {
+    def hashes(src: DataFrame) =
+      shingleRows(Parallelism.fanOut(src), idCol, textCol, w)
+        .select(col("id"), shingleBaseHash(col("shingle")).as("h"))
+    val trainH = hashes(train).select(col("h")).distinct()
+      .localCheckpoint(true) // feeds the sketch build AND the confirm join
+    val bloom = trainH
+      .agg(call_function("graft_bloom_agg", xxhash64(col("h")),
+        lit(expectedItems)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val testH = hashes(test).distinct()
+      .withColumn("__cand",
+        call_function("graft_might_contain", lit(bloom), xxhash64(col("h"))))
+      .localCheckpoint(true)
+    val misses = testH.filter(!col("__cand"))
+      .select(col("id"), lit(null).cast("int").as("__hit"))
+    val hits = testH.filter(col("__cand"))
+      .join(trainH.withColumn("__hit", lit(1)), Seq("h"), "left")
+      .select(col("id"), col("__hit"))
+    misses.unionByName(hits)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+  }
+
   /** n-gram Jaccard dedup without LSH: blocks by (lang, length bucket) and
     * verifies all pairs inside a block. Right for modest block sizes;
     * use [[minhashPairs]] when blocks get large.

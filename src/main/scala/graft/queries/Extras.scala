@@ -306,6 +306,23 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // bloom-prefiltered twin of q_contamination — same answer, but the
+    // train side folds into one broadcast-able sketch and only
+    // bloom-surviving test shingles reach the confirm shuffle (the
+    // 100 TB default; scale notes on the operator).
+    "q_contamination_bloom" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          md5Bucket(col("doc_id"), 100L).as("__b"))
+      Dedup.contaminationScanBloom(
+          d.filter(col("__b") >= 90), d.filter(col("__b") < 80),
+          "doc_id", "text", w = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"))
+        .withColumn("contamination",
+          round(col("n_hit").cast("double") / col("n_shingles"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // one-hot encoding (pd.get_dummies) over the closed lang vocabulary —
     // a fixed-width projection (no pivot shuffle; the vocabulary is a
     // compile-time constant exactly as get_dummies' column set is).
@@ -861,6 +878,29 @@ object Extras {
 
     // same shingle construction + md5-fold hash as the minhash CTEs;
     // split buckets replay q_split_hash's md5 bucketing
+    // the bloom prefilter is answer-invariant (no false negatives +
+    // exact confirm), so the oracle is q_contamination's, verbatim
+    "q_contamination_bloom" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, ${hex8("doc_id::VARCHAR")} % 100 AS bucket,
+        |    list_distinct(
+        |      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |           ELSE list_transform(generate_series(1, len(ws)-2),
+        |                  i -> array_to_string(ws[i:i+2], ' '))
+        |      END) AS sh
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\\s+') AS ws
+        |    FROM documents)),
+        |hs AS (SELECT doc_id, bucket, unnest(list_transform(sh, s ->
+        |  ${hex8("s")})) AS h
+        |  FROM base),
+        |train AS (SELECT DISTINCT h FROM hs WHERE bucket < 80),
+        |test AS (SELECT DISTINCT doc_id, h FROM hs WHERE bucket >= 90)
+        |SELECT test.doc_id, COUNT(*) AS n_shingles, COUNT(train.h) AS n_hit,
+        |  ROUND(CAST(COUNT(train.h) AS DOUBLE) / COUNT(*), 6) AS contamination
+        |FROM test LEFT JOIN train ON test.h = train.h
+        |GROUP BY test.doc_id ORDER BY test.doc_id""".stripMargin,
+
     "q_contamination" ->
       s"""WITH base AS (
         |  SELECT doc_id, ${hex8("doc_id::VARCHAR")} % 100 AS bucket,

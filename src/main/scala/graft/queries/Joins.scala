@@ -22,6 +22,41 @@ import graft.operators.MergeAsof
   */
 object Joins {
 
+  /** Registers lineitem + orders as BUCKETED external tables (8 buckets
+    * on the join key, sorted within buckets) and returns their names.
+    * Bucketing is THE shuffle-elimination tool for repeated fact-fact
+    * joins at 100 TB: both sides pre-hash-partitioned on disk means the
+    * orderkey join plans with ZERO exchanges — the join happens
+    * bucket-by-bucket at scan time, every run, forever. The write
+    * itself costs one shuffle (paid once, amortized over every
+    * downstream join); catalog registration is per-session, the data
+    * lands once per JVM under java.io.tmpdir.
+    *
+    * Scale note: 8 buckets fits the sf0.1 fixture; a 100 TB table wants
+    * O(10k) buckets — the mechanics (and this plan shape) are identical.
+    */
+  private def bucketedTables(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (liName, ordName) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
+    val tmp = System.getProperty("java.io.tmpdir")
+    if (!s.catalog.tableExists(liName)) {
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/graft_li_bkt_$tag")
+        .mode("overwrite").saveAsTable(liName)
+    }
+    if (!s.catalog.tableExists(ordName)) {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/graft_ord_bkt_$tag")
+        .mode("overwrite").saveAsTable(ordName)
+    }
+    (liName, ordName)
+  }
+
   val queries: Map[String, Q] = Map(
     // inner join fact→dim with broadcast; aggregated revenue per segment
     "q_join_inner" -> ((s, dir) => {
@@ -95,6 +130,23 @@ object Joins {
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
         .orderBy(col("r_name"))
+    }),
+
+    // bucketed co-located fact-fact join: both sides pre-bucketed on the
+    // join key, so the orderkey join plans with ZERO exchanges (plan
+    // pinned) — the repeated-join workhorse at 100 TB. The merge hint
+    // keeps the shape deterministic (a broadcast would also skip the
+    // shuffle here, but only because the fixture's orders side is small).
+    "q_bucketed_join" -> ((s, dir) => {
+      val (liName, ordName) = bucketedTables(s, dir)
+      s.table(liName)
+        .join(s.table(ordName).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // merge_asof: for each click, the user's most recent prior view value.
@@ -214,6 +266,16 @@ object Joins {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // the bucketed copies hold the same rows as the source parquet, so
+    // the oracle joins the originals
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_merge_asof" ->
       """WITH clicks AS (

@@ -235,6 +235,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), "no shuffle join: every dim side is tiny")
   }
 
+  test("bucketed join plans with zero exchanges on the join key") {
+    val p = plan(graft.queries.Joins.queries("q_bucketed_join")(spark, sf))
+    assert(p.contains("SortMergeJoin"),
+      "the co-located join must be sort-merge:\n" + p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketing must eliminate the join shuffle on BOTH sides:\n" + p.take(1600))
+    assert(p.contains("SelectedBucketsCount"),
+      "both scans must be bucket-aware:\n" + p.take(1600))
+    // the only exchange left is the tiny priority agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "only the 5-row priority agg may shuffle:\n" + p.take(1600))
+  }
+
+  test("bloom contamination splits on the prefilter — only candidates reach the join") {
+    val p = plan(graft.queries.Extras.queries("q_contamination_bloom")(spark, sf))
+    assert(p.contains("Union"),
+      "bloom-misses must bypass the confirm join via the union branch:\n" + p.take(1200))
+    // checkpointed test-shingle frame read by both branches + train side
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 3,
+      "both branches + train must read checkpoints, not re-shingle")
+    assert(p.contains("__cand"),
+      "the might_contain verdict must gate the join branch:\n" + p.take(1200))
+  }
+
   test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
     val p = plan(graft.queries.Extras.queries("q_reservoir_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
