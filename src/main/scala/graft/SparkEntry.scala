@@ -48,13 +48,15 @@ object SparkEntry {
   /** Headline queries benchmarked by Bench (one per subsystem). */
   val benchQueries: Seq[String] = Seq(
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q18",
-    "q_tpch_q13", "q_tpch_q17", "q_tpch_q21",
+    "q_tpch_q13", "q_tpch_q17", "q_tpch_q21", "q_tpch_q9",
+    "q_bucketed_join",
     "q_agg_quantile", "q_groupby_agg", "q_join_inner", "q_join_multi_key",
     "q_merge_asof", "q_rolling_basic", "q_rolling_skew_kurt",
     "q_sort_values", "q_value_counts", "q_str_classify",
     "q_dt_trunc_month", "q_dedup_exact", "q_dedup_minhash",
     "q_simhash_pairs", "q_incremental_dedup", "q_kmeans", "q_ffill_bfill",
     "q_ann_brute", "q_ann_ivf", "q_salted_agg", "q_text_stats",
-    "q_tfidf", "q_corpus_clean", "q_contamination", "q_apply_lambda", "q_cumsum",
+    "q_tfidf", "q_corpus_clean", "q_contamination", "q_contamination_bloom",
+    "q_apply_lambda", "q_cumsum",
     "q_media_decode", "q_emb_neardup", "q_events_stream", "q_sessionize")
 }
