@@ -257,6 +257,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materializes the IVF assignment as a parquet index PARTITIONED BY
+    * centroid — the on-disk layout [[ivfTopK]]'s scaladoc promises at
+    * scale. Each inverted list is its own partition directory, so a
+    * probe touches exactly its nprobe directories and query cost is
+    * O(probed lists), independent of |index|. Write once (one
+    * assignment pass + one shuffle-free partitioned write), probe
+    * forever. */
+  def ivfWriteIndex(df: DataFrame, idCol: String, embCol: String,
+                    nCents: Int, path: String): Unit = {
+    val cents = ivfSeedCentroids(df, idCol, embCol, nCents)
+    ivfAssign(df, idCol, embCol, cents)
+      .write.mode("overwrite").partitionBy("cent").parquet(path)
+  }
+
+  /** Probes a [[ivfWriteIndex]] index. Centroid ranking runs on the
+    * metadata-sized centroid frame and the nprobe winners land in the
+    * scan filter as LITERALS — partition pruning happens at planning
+    * time (PartitionFilters in the scan node, pinned in PlanShapeSpec),
+    * so unprobed lists are never read, or even listed. The nprobe-int
+    * collect is sketch-sized driver traffic, the same move Spark's own
+    * dynamic partition pruning makes with its subquery broadcast.
+    * Scoring replays [[ivfTopK]]'s ordered-fold dot products on the
+    * read-back vectors — bit-identical results. */
+  def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession,
+                    df: DataFrame, idCol: String, embCol: String,
+                    path: String, query: Seq[Double], k: Int,
+                    nCents: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfSeedCentroids(df, idCol, embCol, nCents)
+    val q = array(query.map(lit): _*)
+    val nq = lit(math.sqrt(query.map(x => x * x).sum))
+    val probeIds = cents
+      .withColumn("__cos_q", dotp(col("cemb"), q) / (col("cnrm") * nq))
+      .orderBy(col("__cos_q").desc, col("cent_id"))
+      .limit(nprobe)
+      .select(col("cent_id")).collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .filter(col("cent").isin(probeIds: _*))
+      .select(col("id").as(idCol),
+        (dotp(col("e"), q) / (col("nrm") * nq)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine within LSH
     * buckets (bucket equi-join, verified exactly). `maxBucket` caps
     * per-bucket membership — one degenerate bucket (e.g. the all-zeros

@@ -506,6 +506,20 @@ object Extras {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
+    // IVF with the index MATERIALIZED partitioned-by-centroid on disk —
+    // the deployment shape the in-memory q_ann_ivf stands in for: the
+    // probe's scan lists only its nprobe partition directories
+    // (partition pruning pinned in PlanShapeSpec). Same answer as
+    // q_ann_ivf by construction.
+    "q_ann_ivf_partitioned" -> ((s, dir) => {
+      val path = ivfIndexPath(s, dir)
+      Similarity.ivfQueryIndex(s, Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", path, embQuery(s, dir),
+          k = 20, nCents = 16, nprobe = 4)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
     // JSON column extraction (§2.9 parity-plus — reference has no JSON
     // surface; events.props is a JSON string): typed from_json pulls a
     // field that then drives a grouped aggregate. At scale this is a
@@ -616,6 +630,20 @@ object Extras {
     * so the oracle can hardcode the same constant). */
   private def embQuery(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
     Seq.fill(64)(0.1)
+
+  private val ivfPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialized IVF index location, written once per (JVM, dir). */
+  private def ivfIndexPath(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String =
+    ivfPaths.computeIfAbsent(dir, { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.ivfWriteIndex(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", nCents = 16, path = tmp)
+      tmp
+    })
 
   private val dot64 = "list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
 
@@ -1205,6 +1233,34 @@ object Extras {
     // ivfTopK replica: same seed centroids (vec_id < 16), same
     // ordered-fold dots for assignment rank, probe rank, and final
     // scoring — identical row sets by construction.
+    // materialization is answer-invariant: same assignment, same probe
+    // ranking, same ordered-fold scoring — q_ann_ivf's oracle verbatim
+    "q_ann_ivf_partitioned" ->
+      s"""WITH q AS (SELECT $qvList AS qv),
+        |base AS (SELECT vec_id, embedding,
+        |  sqrt(${foldDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |  FROM base WHERE vec_id < 16),
+        |scored AS (SELECT b.vec_id, c.cent_id,
+        |  ${foldDot("b.embedding", "c.cemb")} / (b.nrm * c.cnrm) AS cos_c
+        |  FROM base b CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_c DESC, cent_id) AS rk
+        |  FROM scored) t WHERE rk = 1),
+        |probed AS (SELECT cent_id FROM cents, q
+        |  ORDER BY ${foldDot("cemb", "qv")} /
+        |    (cnrm * sqrt(${foldDot("qv", "qv")})) DESC, cent_id
+        |  LIMIT 4),
+        |sims AS (SELECT b.vec_id,
+        |  ${foldDot("b.embedding", "qv")} /
+        |    (b.nrm * sqrt(${foldDot("qv", "qv")})) AS cs
+        |  FROM base b JOIN assigned a USING (vec_id)
+        |    JOIN probed p ON a.cent_id = p.cent_id, q)
+        |SELECT vec_id, ROUND(cs, 6) AS cos_sim FROM sims
+        |ORDER BY cs DESC, vec_id LIMIT 20""".stripMargin,
+
     "q_ann_ivf" ->
       s"""WITH q AS (SELECT $qvList AS qv),
         |base AS (SELECT vec_id, embedding,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions._
-import graft.operators.MergeAsof
+import graft.operators.{MergeAsof, Skew}
 
 /** SURVEY §2.3 joins.
   *
@@ -149,6 +149,26 @@ object Joins {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // salted skew join: l_returnflag has THREE distinct values, so an
+    // unsalted shuffle join funnels the whole fact table through three
+    // reducers. Skew.saltedJoin spreads each key over 16 content-derived
+    // salt buckets (dim side exploded ×16 — 48 rows), restoring
+    // parallelism; the output row multiset equals the plain join
+    // (oracle). The plan pin asserts the shuffle key carries the salt.
+    "q_salted_join" -> ((s, dir) => {
+      val dim = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag")).distinct()
+        .withColumn("mult", (ascii(col("flag")) % 5 + 1).cast("long"))
+      val big = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+          col("l_extendedprice"))
+      Skew.saltedJoin(big, dim, "flag", col("l_orderkey"), buckets = 16)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * col("mult")).as("weighted"))
+        .orderBy(col("flag"))
+    }),
+
     // merge_asof: for each click, the user's most recent prior view value.
     // Right side deduped per (user, ts) so ties are deterministic.
     "q_merge_asof" -> ((s, dir) => {
@@ -276,6 +296,17 @@ object Joins {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // salting is answer-invariant: the oracle is the plain join
+    "q_salted_join" ->
+      """SELECT flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * mult AS DECIMAL(30,2))) AS DOUBLE)
+        |    AS weighted
+        |FROM (SELECT l_returnflag AS flag, l_extendedprice FROM lineitem) b
+        |JOIN (SELECT DISTINCT l_returnflag AS flag,
+        |        ascii(l_returnflag) % 5 + 1 AS mult FROM lineitem) d
+        |  USING (flag)
+        |GROUP BY flag ORDER BY flag""".stripMargin,
 
     "q_merge_asof" ->
       """WITH clicks AS (

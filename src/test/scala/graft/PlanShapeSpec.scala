@@ -260,6 +260,20 @@ class PlanShapeSpec extends SparkSpecBase {
       "the might_contain verdict must gate the join branch:\n" + p.take(1200))
   }
 
+  test("partitioned IVF probe prunes to the nprobe centroid partitions") {
+    val p = plan(graft.queries.Extras.queries("q_ann_ivf_partitioned")(spark, sf))
+    assert(p.contains("PartitionFilters: [cent"),
+      "the probe list must prune partitions at planning time:\n" + p.take(1600))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be bounded, not a global sort")
+  }
+
+  test("salted join shuffles on (key, salt) — parallelism restored for 3-value keys") {
+    val p = plan(graft.queries.Joins.queries("q_salted_join")(spark, sf))
+    assert(p.contains("Exchange hashpartitioning(flag") && p.contains("__salt"),
+      "the join shuffle must carry the salt in its key:\n" + p.take(1600))
+  }
+
   test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
     val p = plan(graft.queries.Extras.queries("q_reservoir_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
