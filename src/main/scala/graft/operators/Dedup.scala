@@ -587,9 +587,14 @@ object Dedup {
       .agg(call_function("graft_bloom_agg", xxhash64(col("h")),
         lit(expectedItems)).as("bf"))
       .head().getAs[Array[Byte]](0)
+    // an EMPTY train side aggregates to a null sketch; might_contain
+    // would then return null and silently drop every test row — the
+    // correct verdict for "nothing to hit" is candidate=false everywhere
+    val candidate =
+      if (bloom == null) lit(false)
+      else call_function("graft_might_contain", lit(bloom), xxhash64(col("h")))
     val testH = hashes(test).distinct()
-      .withColumn("__cand",
-        call_function("graft_might_contain", lit(bloom), xxhash64(col("h"))))
+      .withColumn("__cand", candidate)
       .localCheckpoint(true)
     val misses = testH.filter(!col("__cand"))
       .select(col("id"), lit(null).cast("int").as("__hit"))
