@@ -102,6 +102,22 @@ object Sources {
       tmp
     })
 
+  /** Customer written as a MULTI-PART CSV dataset — the reference's
+    * parallelized `df.to_csv` (`sdc/distributed_analysis.py:604-605`
+    * "to_csv() can be parallelized"): every partition writes its own
+    * part file concurrently, no driver funnel, which is the only write
+    * shape that survives 100 TB. Doubles round-trip exactly (Spark
+    * emits shortest-round-trip decimal strings). */
+  private def customerCsvOut(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"csvout:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvout_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      tmp
+    })
+
   /** Orders written as a partitioned parquet dataset (hive layout,
     * `o_orderpriority=<v>/` directories) — the sink side of §2.1 plus
     * the partition-pruned scan the round-trip query exercises. */
@@ -216,6 +232,32 @@ object Sources {
         .orderBy(col("o_custkey"))
     }),
 
+    // df.to_csv round-trip: distributed multi-part CSV write, schema'd
+    // read-back, aggregate — proves the write is lossless (doubles
+    // round-trip via shortest-repr strings) and driver-free.
+    "q_to_csv" -> ((s, dir) => {
+      val path = customerCsvOut(s, dir)
+      s.read.option("header", "true")
+        .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+        .csv(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // the spark.sql surface: the same engine (extensions included) is
+    // reachable as ANSI SQL over registered views — a reference user's
+    // SQL workflows port verbatim.
+    "q_sql_api" -> ((s, dir) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("graft_nation_v")
+      Tables(s, dir, "supplier").createOrReplaceTempView("graft_supplier_v")
+      s.sql("""SELECT n_name, COUNT(*) AS n_supp,
+              |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal
+              |FROM graft_supplier_v JOIN graft_nation_v
+              |  ON s_nationkey = n_nationkey
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
     // JSON-lines source with explicit schema (no sampling-based
     // inference pass — one scan, not two)
     "q_read_json" -> ((s, dir) => {
@@ -298,6 +340,20 @@ object Sources {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // the CSV round-trip is lossless, so the oracle aggregates the
+    // original table
+    "q_to_csv" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sql_api" ->
+      """SELECT n_name, COUNT(*) AS n_supp,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_read_json" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
