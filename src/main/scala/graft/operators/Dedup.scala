@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val bloomViewId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Normalized word array — the ONE normalization definition, shared
     * with the text subsystem (TF-IDF tokens == shingle words by
     * construction, not by parallel regex copies). */
@@ -548,10 +550,10 @@ object Dedup {
     * the 100 TB default. [[contaminationScan]] shuffles EVERY distinct
     * test shingle into the equi-join; here the train side first folds
     * into one fixed-size bloom sketch (Spark's own runtime-filter
-    * aggregate, surfaced as `graft_bloom_agg`), the sketch lands on the
-    * driver as a constant (O(MB) — the same move Spark's injected
-    * runtime filters make via their subquery exchange), and the test
-    * side splits on `graft_might_contain`: bloom-misses are definitive
+    * aggregate, surfaced as `graft_bloom_agg`), the sketch ships as an
+    * uncorrelated scalar subquery (evaluated once, broadcast into the
+    * probe plan — the same move Spark's injected runtime filters make),
+    * and the test side splits on `graft_might_contain`: bloom-misses are definitive
     * non-hits (no false negatives) and skip the join entirely, so the
     * confirm shuffle carries only bloom-surviving candidates (true hits
     * + the ~1% false-positive tail). The exact semi-confirm join makes
@@ -583,16 +585,25 @@ object Dedup {
         .select(col("id"), shingleBaseHash(col("shingle")).as("h"))
     val trainH = hashes(train).select(col("h")).distinct()
       .localCheckpoint(true) // feeds the sketch build AND the confirm join
-    val bloom = trainH
+    // The sketch travels as an UNCORRELATED SCALAR SUBQUERY — evaluated
+    // once, broadcast into the probe plan — exactly how Spark's own
+    // injected runtime filters ship their blooms. Keeping the bytes out
+    // of the expression tree matters at scale: an O(100 MB) sketch as a
+    // Literal would be cloned by every plan transform and stringified by
+    // every explain/event-log render. The view name is unique per call
+    // so concurrent scans in one session can't collide.
+    val viewName = s"graft_bloom_sketch_${bloomViewId.incrementAndGet()}"
+    trainH
       .agg(call_function("graft_bloom_agg", xxhash64(col("h")),
         lit(expectedItems)).as("bf"))
-      .head().getAs[Array[Byte]](0)
+      .createOrReplaceTempView(viewName)
     // an EMPTY train side aggregates to a null sketch; might_contain
-    // would then return null and silently drop every test row — the
-    // correct verdict for "nothing to hit" is candidate=false everywhere
-    val candidate =
-      if (bloom == null) lit(false)
-      else call_function("graft_might_contain", lit(bloom), xxhash64(col("h")))
+    // then returns null — coalesce to false: the correct verdict for
+    // "nothing to hit" is candidate=false everywhere
+    val candidate = coalesce(
+      call_function("graft_might_contain",
+        expr(s"(SELECT bf FROM $viewName)"), xxhash64(col("h"))),
+      lit(false))
     val testH = hashes(test).distinct()
       .withColumn("__cand", candidate)
       .localCheckpoint(true)

@@ -269,22 +269,28 @@ object Similarity {
     val cents = ivfSeedCentroids(df, idCol, embCol, nCents)
     ivfAssign(df, idCol, embCol, cents)
       .write.mode("overwrite").partitionBy("cent").parquet(path)
+    // centroids persist WITH the index (underscore-prefixed, so the data
+    // scan never lists them) — a probe must not touch the base table
+    cents.coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
   /** Probes a [[ivfWriteIndex]] index. Centroid ranking runs on the
-    * metadata-sized centroid frame and the nprobe winners land in the
-    * scan filter as LITERALS — partition pruning happens at planning
-    * time (PartitionFilters in the scan node, pinned in PlanShapeSpec),
-    * so unprobed lists are never read, or even listed. The nprobe-int
-    * collect is sketch-sized driver traffic, the same move Spark's own
-    * dynamic partition pruning makes with its subquery broadcast.
-    * Scoring replays [[ivfTopK]]'s ordered-fold dot products on the
-    * read-back vectors — bit-identical results. */
+    * index's OWN persisted centroid sidecar (metadata-sized — the base
+    * table is never listed, let alone scanned, so query cost really is
+    * O(probed lists), independent of |base|) and the nprobe winners
+    * land in the scan filter as LITERALS — partition pruning happens at
+    * planning time (PartitionFilters in the scan node, pinned in
+    * PlanShapeSpec), so unprobed lists are never read, or even listed.
+    * The nprobe-int collect is sketch-sized driver traffic, the same
+    * move Spark's own dynamic partition pruning makes with its subquery
+    * broadcast. Scoring replays [[ivfTopK]]'s ordered-fold dot products
+    * on the read-back vectors — bit-identical results. */
   def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession,
-                    df: DataFrame, idCol: String, embCol: String,
+                    idCol: String, embCol: String,
                     path: String, query: Seq[Double], k: Int,
-                    nCents: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = ivfSeedCentroids(df, idCol, embCol, nCents)
+                    nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/_centroids")
     val q = array(query.map(lit): _*)
     val nq = lit(math.sqrt(query.map(x => x * x).sum))
     val probeIds = cents

@@ -513,9 +513,8 @@ object Extras {
     // q_ann_ivf by construction.
     "q_ann_ivf_partitioned" -> ((s, dir) => {
       val path = ivfIndexPath(s, dir)
-      Similarity.ivfQueryIndex(s, Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", path, embQuery(s, dir),
-          k = 20, nCents = 16, nprobe = 4)
+      Similarity.ivfQueryIndex(s, "vec_id", "embedding", path,
+          embQuery(s, dir), k = 20, nprobe = 4)
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),

@@ -35,8 +35,14 @@ object Joins {
     * Scale note: 8 buckets fits the sf0.1 fixture; a 100 TB table wants
     * O(10k) buckets — the mechanics (and this plan shape) are identical.
     */
+  private val bucketLock = new Object
+
   private def bucketedTables(s: org.apache.spark.sql.SparkSession,
-                             dir: String): (String, String) = {
+                             dir: String): (String, String) = bucketLock.synchronized {
+    // serialized check-and-create: catalog state is per-SESSION (a
+    // ConcurrentHashMap keyed on dir would wrongly skip creation in a
+    // second session of the same JVM), so a lock guards the
+    // tableExists→saveAsTable window against concurrent suites instead
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val (liName, ordName) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
     val tmp = System.getProperty("java.io.tmpdir")

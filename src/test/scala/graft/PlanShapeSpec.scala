@@ -269,9 +269,18 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("salted join shuffles on (key, salt) — parallelism restored for 3-value keys") {
-    val p = plan(graft.queries.Joins.queries("q_salted_join")(spark, sf))
-    assert(p.contains("Exchange hashpartitioning(flag") && p.contains("__salt"),
-      "the join shuffle must carry the salt in its key:\n" + p.take(1600))
+    // at fixture scale the 48-row dim auto-broadcasts (which ALSO skips
+    // the skewed shuffle, but only because the dim is tiny); force the
+    // shuffle-join path the operator exists for, then require ONE
+    // exchange keyed on (flag, __salt) — not flag alone
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val p = plan(graft.queries.Joins.queries("q_salted_join")(spark, sf))
+      assert("Exchange hashpartitioning\\(flag#\\d+, __salt#\\d+".r
+          .findFirstIn(p).isDefined,
+        "the join shuffle must carry the salt in its key:\n" + p.take(1600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
