@@ -39,7 +39,13 @@ object StreamsQ {
 
     // stream-stream inner join with watermark-bounded state on both
     // sides: purchases × trailing-hour clicks per user
-    "q_stream_stream_join" -> ((s, dir) => Streams.clickAttribution(s, dir))
+    "q_stream_stream_join" -> ((s, dir) => Streams.clickAttribution(s, dir)),
+
+    // streaming ingestion gate: arriving docs contamination-scored
+    // against the frozen train corpus in foreachBatch — zero streaming
+    // state, exact under any batching (doc-local work); same answer as
+    // the q_contamination batch sweep, same oracle
+    "q_stream_contamination" -> ((s, dir) => Streams.contaminationIngest(s, dir))
   )
 
   private val sessionSql =
@@ -94,6 +100,10 @@ object StreamsQ {
         |FROM e p JOIN e c ON c.user_id = p.user_id
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
-        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+
+    // the ingestion gate computes exactly the batch contamination scan
+    // (same splits, same shingles) — its oracle, verbatim
+    "q_stream_contamination" -> Extras.oracle("q_contamination")
   )
 }

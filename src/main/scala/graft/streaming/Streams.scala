@@ -181,6 +181,87 @@ object Streams {
     * only stateful shuffle is the grouped aggregation that follows. The
     * batch twin is the identical join+agg, which is what the oracle
     * replays. */
+  /** documents.parquet copied to a one-file streaming directory, like
+    * [[eventsDir]]. */
+  private def docsDir(sfDir: String): String =
+    streamDirs.computeIfAbsent(s"docs:$sfDir", { _ =>
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_docstream_$tag")
+      Files.createDirectories(dir)
+      Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+        dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
+
+  /** The frozen train corpus's distinct shingle hashes — built ONCE and
+    * reused by every micro-batch of the ingestion gate. */
+  private def trainShingleHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b = graft.functions.md5Bucket(col("doc_id"), 100L)
+    graft.operators.Dedup.shingleRows(
+        graft.operators.Parallelism.fanOut(docs.filter(b < 80)),
+        "doc_id", "text", 3)
+      .select(graft.operators.Dedup.shingleBaseHash(col("shingle")).as("h"))
+      .distinct().localCheckpoint(true)
+  }
+
+  /** Streaming ingestion gate: each arriving document is
+    * contamination-scored against the FROZEN train corpus inside
+    * `foreachBatch` — the check runs at ingest time instead of as a
+    * batch sweep over the accumulated corpus. Per-batch BATCH semantics
+    * are exact here because a doc's shingles live entirely in its own
+    * row: any batching produces the same per-doc result (the
+    * incremental spec replays 3 micro-batches against the one-shot
+    * answer). The stream carries ZERO state — per-row explode/hash
+    * work, one equi-join per batch against the static hash set, results
+    * appended to a parquet sink — so throughput scales with executors
+    * and the state store never enters the picture. At 100 TB the train
+    * side would additionally be bloom-fronted
+    * ([[graft.operators.Dedup.contaminationScanBloom]]'s sketch) and
+    * bucketed on `h` so each micro-batch's join is co-located. */
+  def contaminationIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docsDir(sfDir)
+    val schema = spark.read.parquet(d).schema
+    val src = spark.readStream.schema(schema).parquet(d)
+    contaminationIngestRun(spark, src, trainShingleHashes(spark, sfDir))
+      .orderBy(col("doc_id"))
+  }
+
+  /** foreachBatch core of [[contaminationIngest]], taking the stream
+    * source explicitly so the incremental spec can drive a multi-file
+    * (multi-batch) replay. */
+  def contaminationIngestRun(spark: SparkSession, src: DataFrame,
+                             trainH: DataFrame): DataFrame = {
+    val b = graft.functions.md5Bucket(col("doc_id"), 100L)
+    val th = trainH.withColumn("__hit", lit(1))
+    val outDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ingest_${ProcessHandle.current().pid()}_${sinkSeq.incrementAndGet()}")
+      .toString
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(outPath, true) // stale dir from a recycled pid must not merge in
+    val q = src.filter(b >= 90)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.shingleRows(batch.toDF(), "doc_id", "text", 3)
+          .select(col("id"),
+            graft.operators.Dedup.shingleBaseHash(col("shingle")).as("h"))
+          .distinct()
+          .join(th, Seq("h"), "left")
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+          .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_shingles"), 6)
+              .as("contamination"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dim = graft.Tables(spark, sfDir, "customer")

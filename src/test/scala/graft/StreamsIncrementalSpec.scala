@@ -228,4 +228,31 @@ class StreamsIncrementalSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
+
+  test("contamination ingestion gate over >=3 micro-batches equals the batch scan") {
+    import graft.streaming.Streams
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = Files.createTempDirectory("graft_ingest_inc").toString
+    docs.withColumn("__b", pmod(col("doc_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+
+    val b = graft.functions.md5Bucket(col("doc_id"), 100L)
+    val trainH = Dedup.shingleRows(docs.filter(b < 80), "doc_id", "text", 3)
+      .select(Dedup.shingleBaseHash(col("shingle")).as("h"))
+      .distinct().localCheckpoint(true)
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val streamed = Streams.contaminationIngestRun(spark, src, trainH)
+    val direct = Dedup.contaminationScan(
+        docs.filter(b >= 90), docs.filter(b < 80), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_shingles"), 6))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
 }
