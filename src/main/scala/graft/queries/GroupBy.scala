@@ -655,6 +655,24 @@ object GroupBy {
         .orderBy(col("s_name"))
     }),
 
+    // per-group top-k (groupby.head/nlargest-per-group): top-3 orders
+    // by price within each priority. The rank filter plans as Spark's
+    // WindowGroupLimit (pinned): every MAP task keeps only its local
+    // top-3 per group BEFORE the shuffle, so a 5-value partition key —
+    // normally a 5-reducer funnel — receives ≤ 3·numMapTasks rows per
+    // group, not the table. That partial/final split is exactly the
+    // hand-built two-phase top-k, supplied by the optimizer.
+    "q_groupby_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
     // groupby multi-agg: count/min/max/sum/mean per single key
     "q_groupby_agg" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -1133,6 +1151,15 @@ object GroupBy {
         |    GROUP BY l_suppkey, l_partkey
         |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) > 40)
         |ORDER BY s_name""".stripMargin,
+
+    "q_groupby_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rk AS INT) AS rk
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
 
     "q_groupby_agg" ->
       """SELECT o_orderpriority,

@@ -372,6 +372,27 @@ object Rolling {
             6)))
         .drop("l_shipdate", "l_partkey", "frame")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // per-key lead/lag (pandas shift ±1 within groupby): inter-shipment
+    // gap and the next line's quantity per supplier. One suppkey
+    // shuffle + in-partition sort; no global window, no funnel.
+    "q_lead_lag" -> ((s, dir) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture at
+      // sf0.1 — l_partkey completes the total order (a tied order key
+      // would let the two engines pick different lead/lag neighbors)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_shipdate"), col("l_quantity"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), lag(col("l_shipdate"), 1).over(w))
+            .as("gap_days"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -553,6 +574,17 @@ object Rolling {
         |    list_sum(list_transform(frame,
         |      v -> (v - frame[1]) * (v - frame[1]))), 6)
         |  END AS roll_apply
-        |FROM t ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+        |FROM t ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_lead_lag" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(datediff('day',
+        |    CAST(lag(l_shipdate, 1) OVER w AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS INT) AS gap_days,
+        |  lead(l_quantity, 1) OVER w AS next_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -283,6 +283,14 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("per-group top-k plans a map-side WindowGroupLimit before the shuffle") {
+    val p = plan(GroupBy.queries("q_groupby_topk")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must push a partial per-group limit below the exchange " +
+        "(each map task keeps its local top-3, so a low-cardinality " +
+        "partition key is not a full-table funnel):\n" + p.take(1600))
+  }
+
   test("reservoir sample plans as TakeOrderedAndProject — no global sort") {
     val p = plan(graft.queries.Extras.queries("q_reservoir_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
