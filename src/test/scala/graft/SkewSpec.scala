@@ -39,4 +39,20 @@ class SkewSpec extends SparkSpecBase {
       .distinct().count()
     assert(spread == 8)
   }
+
+  test("salted join drops null keys exactly like the direct inner join") {
+    val withNulls = skewed.withColumn("k",
+      when(col("id") % 13 === 0, lit(null)).otherwise(col("k")))
+    val dim = Seq(("heavy", "H"), ("key_0", "A")).toDF("k", "label")
+    val direct = withNulls.join(dim, Seq("k")).select("k", "id", "v", "label")
+    val salted = Skew.saltedJoin(withNulls, dim, "k", col("id"), buckets = 8)
+      .select("k", "id", "v", "label")
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+    assert(direct.filter(col("k").isNull).count() == 0)
+  }
+
+  test("salted join against an empty dim returns zero rows, not an error") {
+    val dim = Seq.empty[(String, String)].toDF("k", "label")
+    assert(Skew.saltedJoin(skewed, dim, "k", col("id"), buckets = 8).count() == 0)
+  }
 }
