@@ -93,6 +93,12 @@ package object api {
                        buckets: Int = 16): DataFrame =
       Skew.saltedSumCount(df, keyCol, valueCol, saltFrom, buckets)
 
+    /** Skew-safe equi-join against a small dim (salted both sides;
+      * row multiset equals the plain inner join). */
+    def saltedJoinWith(small: DataFrame, key: String, saltFrom: Column,
+                       buckets: Int = 16): DataFrame =
+      Skew.saltedJoin(df, small, key, saltFrom, buckets)
+
     /** Repartition only when the scan under-parallelizes the session. */
     def fanOut: DataFrame = Parallelism.fanOut(df)
 
@@ -147,6 +153,15 @@ package object api {
       Dedup.contaminationScan(df, train, idCol, textCol, w)
         .withColumnRenamed("id", idCol)
 
+    /** [[contaminationAgainst]] with a broadcast bloom prefilter — only
+      * sketch-surviving shingles reach the confirm shuffle; identical
+      * answer (the 100 TB default when `df` dwarfs `train`). */
+    def contaminationAgainstBloom(train: DataFrame, idCol: String,
+                                  textCol: String, w: Int = 3,
+                                  expectedItems: Long = 1000000L): DataFrame =
+      Dedup.contaminationScanBloom(df, train, idCol, textCol, w, expectedItems)
+        .withColumnRenamed("id", idCol)
+
     // ——— LLM-pipeline: similarity (embeddings-shaped frames) ———
 
     /** Exact cosine top-k against a literal query vector. */
@@ -163,6 +178,14 @@ package object api {
     def annIvf(idCol: String, embCol: String, query: Seq[Double], k: Int,
                nCents: Int = 16, nprobe: Int = 4): DataFrame =
       Similarity.ivfTopK(df, idCol, embCol, query, k, nCents, nprobe)
+
+    /** Materialize this frame's IVF index partitioned by centroid (with
+      * its `_centroids` sidecar); probe it with
+      * [[Similarity.ivfQueryIndex]] — partition-pruned, base never
+      * rescanned. */
+    def annIvfWriteIndex(idCol: String, embCol: String, nCents: Int,
+                         path: String): Unit =
+      Similarity.ivfWriteIndex(df, idCol, embCol, nCents, path)
 
     /** Embedding-cosine near-duplicate pairs within LSH buckets. */
     def embNearDups(idCol: String, embCol: String, dim: Int,

@@ -80,5 +80,19 @@ class ApiSpec extends SparkSpecBase {
       .select("doc_id", "n_shingles", "n_hit").as[(Long, Long, Long)]
       .collect().toSeq
     assert(got == Seq((10L, 3L, 2L), (11L, 3L, 0L)))
+    val bloomed = test.contaminationAgainstBloom(train, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_hit").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(bloomed == got, "bloom façade must be answer-identical")
+  }
+
+  test("saltedJoinWith equals the plain join through the façade") {
+    val big = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "id")
+    val dim = Seq(("a", "A")).toDF("k", "label")
+    val got = big.saltedJoinWith(dim, "k", col("id"), buckets = 4)
+      .orderBy("id").select("k", "id", "label").as[(String, Long, String)]
+      .collect().toSeq
+    assert(got == Seq(("a", 1L, "A"), ("a", 2L, "A")))
   }
 }
