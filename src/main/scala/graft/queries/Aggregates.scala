@@ -135,6 +135,23 @@ object Aggregates {
         .orderBy(col("cnt").desc, col("c_mktsegment"))
     }),
 
+    // value_counts(normalize=True, ascending=True) — the remaining
+    // params of the reference's matrix (`hpat_pandas_series_functions
+    // .py:1376`; bins=N is q_histogram's machinery). freq = cnt/total:
+    // one IEEE divide of exact counts, computed over the 5-row
+    // AGGREGATED frame (the unpartitioned window touches 5 rows, never
+    // the table).
+    "q_value_counts_norm" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .withColumn("freq",
+          col("cnt").cast("double") /
+            sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()))
+        .orderBy(col("cnt").asc, col("c_mktsegment"))
+        .select(col("c_mktsegment"), col("freq"))
+    }),
+
     // value_counts on a FLOAT column with pandas' two float quirks
     // (`hpat_pandas_series_functions.py:1505-1516`, SURVEY §7 hard part):
     // NaN is DROPPED (dropna=True default), and +0.0/-0.0 count as ONE
@@ -332,6 +349,13 @@ object Aggregates {
     "q_value_counts" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
         |GROUP BY c_mktsegment ORDER BY cnt DESC, c_mktsegment""".stripMargin,
+
+    "q_value_counts_norm" ->
+      """SELECT c_mktsegment,
+        |  CAST(cnt AS DOUBLE) / SUM(cnt) OVER () AS freq
+        |FROM (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+        |      GROUP BY c_mktsegment) t
+        |ORDER BY cnt ASC, c_mktsegment""".stripMargin,
 
     // `v0 + 0.0` collapses -0.0 into +0.0 (IEEE: -0.0 + 0.0 = +0.0) so
     // DuckDB's grouping agrees with Spark's normalized float keys.
