@@ -55,6 +55,15 @@ package object functions {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(30, scale))).cast("double")
 
+  /** TPC-H's discounted line revenue `price · (1 − discount)` as EXACT
+    * decimal arithmetic — the one expression every revenue query sums.
+    * Keep it decimal through the aggregate; cast to double at output
+    * (DecimalExactnessPropertySpec pins the recipe vs BigDecimal). */
+  def discountedRevenue(price: Column, discount: Column): Column =
+    price.cast(DecimalType(30, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(12, 2)) -
+        discount.cast(DecimalType(12, 2)))
+
   /** Exact-numerator mean: decimal sum divided by count, as double.
     * Deterministic across partitionings (same two doubles divided). */
   def dmean(c: Column, scale: Int = 2): Column =

@@ -69,8 +69,7 @@ object GroupBy {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
-            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+        .agg(sum(discountedRevenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -120,8 +119,7 @@ object GroupBy {
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
-            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+        .agg(sum(discountedRevenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc)
     }),
@@ -146,8 +144,7 @@ object GroupBy {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("n_name"))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
-            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+        .agg(sum(discountedRevenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -158,9 +155,7 @@ object GroupBy {
     // sums cast to double; the final (100·num)/den is two correctly-
     // rounded IEEE double ops, bit-identical on any engine.
     "q_tpch_q14" -> ((s, dir) => {
-      val dec2 = DecimalType(12, 2)
-      val rev = col("l_extendedprice").cast(DecimalType(30, 2)) *
-        (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2))
+      val rev = discountedRevenue(col("l_extendedprice"), col("l_discount"))
       Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
@@ -253,7 +248,6 @@ object GroupBy {
     // different-nation constraint is a post-join filter between two
     // broadcast-sourced columns.
     "q_tpch_q7" -> ((s, dir) => {
-      val dec2 = DecimalType(12, 2)
       val nats = Seq("NATION_3", "NATION_7")
       val supp = Tables(s, dir, "supplier")
         .join(broadcast(Tables(s, dir, "nation")
@@ -281,8 +275,7 @@ object GroupBy {
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
-            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+        .agg(sum(discountedRevenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
@@ -313,13 +306,11 @@ object GroupBy {
     // The agg frame feeds two consumers (the 1-row max and the probe),
     // so it is localCheckpoint'd: ONE lineitem scan, not two plans.
     "q_tpch_q15" -> ((s, dir) => {
-      val dec2 = DecimalType(12, 2)
       val rev = Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
-            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+        .agg(sum(discountedRevenue(col("l_extendedprice"), col("l_discount")))
           .as("total_rev"))
         .localCheckpoint(true)
       val top = rev.agg(max(col("total_rev")).as("max_rev"))
@@ -390,7 +381,6 @@ object GroupBy {
     // quantity range (1..30) is factored out of the disjunction so it
     // pushes to the lineitem parquet scan.
     "q_tpch_q19" -> ((s, dir) => {
-      val dec2 = DecimalType(12, 2)
       val pt = Tables(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_size"))
       Tables(s, dir, "lineitem")
@@ -404,8 +394,7 @@ object GroupBy {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
             col("l_quantity") >= 20)))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2)) *
-            (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
+        .agg(sum(discountedRevenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
     }),
 
@@ -525,7 +514,6 @@ object GroupBy {
     // supplier nation. share = conditional decimal sum / total decimal
     // sum — both exact, one IEEE divide at output.
     "q_tpch_q8" -> ((s, dir) => {
-      val dec2 = DecimalType(12, 2)
       val zero = lit(BigDecimal(0)).cast(DecimalType(30, 2))
       val pt = Tables(s, dir, "part")
         .filter(col("p_type") === "PROMO").select(col("p_partkey"))
@@ -548,8 +536,7 @@ object GroupBy {
           col("o_orderdate") <= lit("1996-12-31").cast("timestamp"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
-      val vol = col("l_extendedprice").cast(DecimalType(30, 2)) *
-        (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2))
+      val vol = discountedRevenue(col("l_extendedprice"), col("l_discount"))
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount"))
@@ -573,8 +560,7 @@ object GroupBy {
     "q_tpch_q9" -> ((s, dir) => {
       val dec2 = DecimalType(12, 2)
       val profit =
-        col("l_extendedprice").cast(DecimalType(30, 2)) *
-          (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)) -
+        discountedRevenue(col("l_extendedprice"), col("l_discount")) -
         col("p_retailprice").cast(dec2) * lit(BigDecimal(0.5)).cast(DecimalType(2, 1)) *
           col("l_quantity").cast(dec2)
       val pt = Tables(s, dir, "part")
