@@ -607,6 +607,10 @@ object Dedup {
     val testH = hashes(test).distinct()
       .withColumn("__cand", candidate)
       .localCheckpoint(true)
+    // the subquery is fully evaluated by the eager checkpoint above;
+    // drop the view so repeated calls don't accumulate catalog entries
+    // pinning the train-hash checkpoint for the session lifetime
+    test.sparkSession.catalog.dropTempView(viewName)
     val misses = testH.filter(!col("__cand"))
       .select(col("id"), lit(null).cast("int").as("__hit"))
     val hits = testH.filter(col("__cand"))

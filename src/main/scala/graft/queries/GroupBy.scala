@@ -54,7 +54,6 @@ object GroupBy {
     // sort. Fixture dates run 1995..2001, so the classic 1995-03-15
     // split becomes 1997-01-01.
     "q_tpch_q3" -> ((s, dir) => {
-      val dec2 = DecimalType(12, 2)
       val cut = lit("1997-01-01").cast("timestamp")
       val cust = Tables(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
@@ -97,7 +96,6 @@ object GroupBy {
     // c_nationkey = s_nationkey "local" constraint is a post-join filter
     // between two broadcast-sourced columns, so it costs nothing extra.
     "q_tpch_q5" -> ((s, dir) => {
-      val dec2 = DecimalType(12, 2)
       val supp = Tables(s, dir, "supplier")
         .join(broadcast(Tables(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -129,7 +127,6 @@ object GroupBy {
     // and nation broadcast; the top-20 is TakeOrderedAndProject with
     // c_custkey as the deterministic tiebreak.
     "q_tpch_q10" -> ((s, dir) => {
-      val dec2 = DecimalType(12, 2)
       val ord = Tables(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1996-04-01").cast("timestamp"))

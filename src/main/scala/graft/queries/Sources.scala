@@ -249,13 +249,16 @@ object Sources {
     // reachable as ANSI SQL over registered views — a reference user's
     // SQL workflows port verbatim.
     "q_sql_api" -> ((s, dir) => {
-      Tables(s, dir, "nation").createOrReplaceTempView("graft_nation_v")
-      Tables(s, dir, "supplier").createOrReplaceTempView("graft_supplier_v")
-      s.sql("""SELECT n_name, COUNT(*) AS n_supp,
-              |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal
-              |FROM graft_supplier_v JOIN graft_nation_v
-              |  ON s_nationkey = n_nationkey
-              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      // view names carry the dir tag: concurrent builds for different
+      // scale dirs in one session must not clobber each other's views
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "nation").createOrReplaceTempView(s"graft_nation_v_$tag")
+      Tables(s, dir, "supplier").createOrReplaceTempView(s"graft_supplier_v_$tag")
+      s.sql(s"""SELECT n_name, COUNT(*) AS n_supp,
+               |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal
+               |FROM graft_supplier_v_$tag JOIN graft_nation_v_$tag
+               |  ON s_nationkey = n_nationkey
+               |GROUP BY n_name ORDER BY n_name""".stripMargin)
     }),
 
     // JSON-lines source with explicit schema (no sampling-based

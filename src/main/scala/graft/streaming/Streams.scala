@@ -174,13 +174,6 @@ object Streams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_type", "user_id")
 
-  /** Stream-static join: the event stream enriched against a static
-    * dimension (customer → market segment), then aggregated. The static
-    * side is broadcast into every micro-batch's plan — a broadcast hash
-    * join per batch, NO stream-side shuffle for the join itself; the
-    * only stateful shuffle is the grouped aggregation that follows. The
-    * batch twin is the identical join+agg, which is what the oracle
-    * replays. */
   /** documents.parquet copied to a one-file streaming directory, like
     * [[eventsDir]]. */
   private def docsDir(sfDir: String): String =
@@ -262,6 +255,13 @@ object Streams {
     spark.read.parquet(outDir)
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customer → market segment), then aggregated. The static
+    * side is broadcast into every micro-batch's plan — a broadcast hash
+    * join per batch, NO stream-side shuffle for the join itself; the
+    * only stateful shuffle is the grouped aggregation that follows. The
+    * batch twin is the identical join+agg, which is what the oracle
+    * replays. */
   def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dim = graft.Tables(spark, sfDir, "customer")

@@ -37,10 +37,8 @@ class DecimalExactnessPropertySpec extends SparkSpecBase {
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(data.map { case (p, d) => Row(p, d) }, 7),
         schema)
-      val dec2 = DecimalType(12, 2)
       val got = df.agg(
-          sum(col("price").cast(DecimalType(30, 2)) *
-            (lit(BigDecimal(1)).cast(dec2) - col("disc").cast(dec2)))
+          sum(graft.functions.discountedRevenue(col("price"), col("disc")))
             .cast("double"))
         .head().getDouble(0)
       val want = data.map { case (p, d) =>
@@ -69,9 +67,7 @@ class DecimalExactnessPropertySpec extends SparkSpecBase {
       spark.sparkContext.parallelize(
         data.zipWithIndex.map { case ((p, d), i) => Row(p, d, i % 3 == 0) }, 5),
       schema.add(StructField("flag", BooleanType, nullable = false)))
-    val dec2 = DecimalType(12, 2)
-    val vol = col("price").cast(DecimalType(30, 2)) *
-      (lit(BigDecimal(1)).cast(dec2) - col("disc").cast(dec2))
+    val vol = graft.functions.discountedRevenue(col("price"), col("disc"))
     val zero = lit(BigDecimal(0)).cast(DecimalType(30, 2))
     val got = df.agg((sum(when(col("flag"), vol).otherwise(zero)).cast("double") /
         sum(vol).cast("double")))
