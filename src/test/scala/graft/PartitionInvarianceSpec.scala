@@ -61,4 +61,12 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     invariant("simhashPairs")(d =>
       Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 7))
   }
+
+  test("bloom contamination is partition-invariant") {
+    invariant("contaminationBloom") { d =>
+      val b = graft.functions.md5Bucket(col("doc_id"), 100L)
+      Dedup.contaminationScanBloom(d.filter(b >= 85), d.filter(b < 70),
+        "doc_id", "text")
+    }
+  }
 }

@@ -45,4 +45,22 @@ class RecallSpec extends SparkSpecBase {
     // probing every list IS brute force — exact by construction
     assert(recalls(2) == 20, s"nprobe=nCents must be exact: ${recalls(2)}/20")
   }
+
+  test("partitioned index probe equals in-memory IVF for arbitrary queries") {
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_recallspec"
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", nCents = 16, path = path)
+    // the materialization must be answer-invariant for ANY query vector,
+    // not just the oracle's all-0.1 — deterministic pseudo-random probes
+    for (seed <- 1 to 4) {
+      val q = (0 until 64).map(i => math.sin(seed * 64 + i))
+      val mem = Similarity
+        .ivfTopK(emb, "vec_id", "embedding", q, 20, nCents = 16, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val idx = Similarity
+        .ivfQueryIndex(spark, "vec_id", "embedding", path, q, 20, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(idx == mem, s"seed=$seed: materialized probe diverged")
+    }
+  }
 }
