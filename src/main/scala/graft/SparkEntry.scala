@@ -34,6 +34,7 @@ object SparkEntry {
     (IndexOps.queries, IndexOps.oracle),
     (StreamsQ.queries, StreamsQ.oracle),
     (Multimodal.queries, Multimodal.oracle),
+    (SeriesExtra.queries, SeriesExtra.oracle),
     (Extras.queries, Extras.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */

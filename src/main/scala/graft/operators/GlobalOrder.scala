@@ -152,6 +152,52 @@ object GlobalOrder {
       .drop(PID, LOCAL, OFF)
   }
 
+  /** Global running min of `value` over `order` (pandas cummin) — the
+    * exact mirror of [[withRunningMax]] (least() skips the null offset
+    * of the first partition, like greatest() does there). */
+  def withRunningMin(df: DataFrame, order: Seq[Column], value: Column,
+                     name: String, parts: Int = 0): DataFrame = {
+    val r = ranged(df, order, parts)
+    val wLocal = Window.partitionBy(col(PID)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = r.withColumn(LOCAL, min(value).over(wLocal))
+    val wPrev = Window.orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(PID)).agg(min(value).as("__bot"))
+      .withColumn(OFF, min(col("__bot")).over(wPrev))
+      .drop("__bot")
+    local.join(broadcast(offsets), PID)
+      .withColumn(name, least(col(LOCAL), col(OFF)))
+      .drop(PID, LOCAL, OFF)
+  }
+
+  /** Global running product of `value` over `order` (pandas cumprod):
+    * partition-local product window, then each row multiplies by the
+    * product of all PRECEDING partitions' totals from the broadcast
+    * summary (empty prefix ⇒ null offset ⇒ coalesce to 1).
+    *
+    * FP caveat, unlike the decimal [[withRunningSum]]: double
+    * multiplication is reassociated by the two-pass grouping, so for
+    * general doubles the result can differ from the sequential product
+    * in the last ulp. Callers that need bit-identity across engines
+    * (the oracle-checked q_cumprod) feed sign/power-of-two values,
+    * whose products are exact under any grouping. */
+  def withRunningProduct(df: DataFrame, order: Seq[Column], value: Column,
+                         name: String, parts: Int = 0): DataFrame = {
+    val r = ranged(df, order, parts)
+    val wLocal = Window.partitionBy(col(PID)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = r.withColumn(LOCAL, product(value).over(wLocal))
+    val wPrev = Window.orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(PID)).agg(product(value).as("__tot"))
+      .withColumn(OFF, coalesce(product(col("__tot")).over(wPrev), lit(1.0)))
+      .drop("__tot")
+    local.join(broadcast(offsets), PID)
+      .withColumn(name, col(LOCAL) * col(OFF))
+      .drop(PID, LOCAL, OFF)
+  }
+
   /** Exact interpolated quantiles (pandas 'linear' / SQL quantile_cont)
     * of one column, sort-based: global rank via the two-pass range
     * composition, then ONE scan picks the two bracketing ranks per

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.GlobalOrder
+
+/** Parity-plus pandas Series/DataFrame methods beyond the reference's
+  * overload set (`sdc/datatypes/hpat_pandas_series_functions.py` stops at
+  * cumsum/pct_change; diff, clip, cumprod, cummin, mode, qcut,
+  * duplicated, crosstab and the rank `method=` family are everyday pandas
+  * that a user switching engines expects). All positional-order ops ride
+  * the two-pass [[GlobalOrder]] machinery — no single-partition windows;
+  * the value-partitioned windows (duplicated, rank first) shuffle on the
+  * value key like any hash aggregate.
+  */
+object SeriesExtra {
+
+  val queries: Map[String, Q] = Map(
+
+    // S.diff(): x − lag(x) over the positional order, via the two-pass
+    // lag (first row of each range partition patched from the previous
+    // partition's carried last value). Same-operand subtraction on both
+    // engines ⇒ exact compare.
+    "q_diff" -> ((s, dir) => {
+      GlobalOrder.withLag(
+          Tables(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_orderkey")), col("o_totalprice"), "prev")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") - col("prev")).as("diff"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S.clip(lower, upper): pure projection, stays in whole-stage
+    // codegen. (o_totalprice is non-null; for nullable inputs pandas
+    // propagates NaN while Spark/DuckDB least/greatest both skip nulls —
+    // a null-gate `when(isNull, null)` would restore pandas semantics.)
+    "q_clip" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          greatest(least(col("o_totalprice"), lit(200000.0)), lit(50000.0))
+            .as("clipped"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S.cummin — mirror of q_cummax over the same two-pass composition.
+    "q_cummin" -> ((s, dir) => {
+      GlobalOrder.withRunningMin(
+          Tables(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_orderkey")), col("o_totalprice"), "cummin_price")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S.cumprod — two-pass running product. The fixture derives the
+    // values from the DENSE global row number (not the sparse orderkey)
+    // as a strict {×2, ×0.5, ×−1, ×1} cycle, so every partial product is
+    // ±2^k with k ∈ {−1,0,1}: exact in FP under any grouping (the
+    // sparse-key mod pattern would random-walk the exponent and overflow
+    // at scale), and identical on both engines.
+    "q_cumprod" -> ((s, dir) => {
+      val base = GlobalOrder.withRowNumberLong(
+        Tables(s, dir, "orders").select(col("o_orderkey")),
+        Seq(col("o_orderkey")), "rn")
+      val v = when(pmod(col("rn") - 1, lit(4)) === 0, lit(2.0))
+        .when(pmod(col("rn") - 1, lit(4)) === 1, lit(0.5))
+        .when(pmod(col("rn") - 1, lit(4)) === 2, lit(-1.0))
+        .otherwise(lit(1.0))
+      GlobalOrder.withRunningProduct(
+          base.select(col("o_orderkey"), v.as("v")),
+          Seq(col("o_orderkey")), col("v"), "cumprod")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S.mode(): all most-frequent values, ascending (pandas returns the
+    // full tie set sorted). One hash aggregate for the counts, a 1-row
+    // max broadcast back — no window, no sort beyond the tiny result.
+    "q_mode" -> ((s, dir) => {
+      val counts = Tables(s, dir, "lineitem")
+        .groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("__c"))
+      val top = counts.agg(max(col("__c")).as("__m"))
+      counts.crossJoin(broadcast(top))
+        .filter(col("__c") === col("__m"))
+        .select(col("v"))
+        .orderBy(col("v"))
+    }),
+
+    // pd.qcut(x, 4): equal-frequency bucketing. A naive translation is
+    // ntile(4) over an unpartitioned window — single-partition sort.
+    // Scale shape: two-pass global row number, then the NTILE spec as a
+    // closed-form projection (first n%k buckets take ⌈n/k⌉ rows); n
+    // comes from a 1-row aggregate over the checkpointed ranked frame,
+    // broadcast into the projection.
+    "q_qcut" -> ((s, dir) => {
+      val k = 4
+      val ranked = GlobalOrder.withRowNumberLong(
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+      val n = ranked.agg(max(col("rn")).as("__n"))
+      // long `div` throughout — FP division + truncation can misbucket
+      // when a quotient rounds up across an integer boundary
+      val bucket = expr(
+        s"""CASE WHEN rn <= (__n div $k + 1) * (__n % $k)
+           |  THEN (rn - 1) div (__n div $k + 1) + 1
+           |  ELSE __n % $k
+           |    + (rn - 1 - (__n div $k + 1) * (__n % $k)) div (__n div $k) + 1
+           |END""".stripMargin)
+      ranked.crossJoin(broadcast(n))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          bucket.cast("long").as("bucket"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S.duplicated(keep='first'): true for every occurrence after the
+    // positionally-first one. Window partitioned BY THE VALUE KEY (a
+    // hash shuffle, like the drop_duplicates aggregate) — never a global
+    // window.
+    "q_duplicated" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (row_number().over(w) > 1).as("dup"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // pd.crosstab(returnflag, linestatus): count-valued pivot with the
+    // category list supplied, so Spark skips the extra distinct pass and
+    // plans ONE hash aggregate with conditional counts.
+    "q_crosstab" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .count()
+        .na.fill(0L, Seq("F", "O"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // S.rank(method=average|min|max|dense|first) on a heavily-tied
+    // column. Scale shape: ranks of a VALUE depend only on the counts of
+    // smaller values, so aggregate to the distinct-value frame first
+    // (hash agg), run the two-pass running sum + row number over that
+    // (much smaller) frame, and hash-join the per-value rank bases back.
+    // Only method='first' needs a per-row window — partitioned by the
+    // value, ordered by position. (The two GlobalOrder passes over the
+    // distinct frame each pay a range shuffle of |distinct| rows; a
+    // fused variant could share one, not worth it at that size.)
+    "q_rank_pandas" -> ((s, dir) => {
+      val t = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("v"))
+      val counts = t.groupBy(col("v")).agg(count(lit(1)).as("__c"))
+      val cum = GlobalOrder.withRunningSum(
+          counts, Seq(col("v")), col("__c"), "__cum", scale = 0)
+        .withColumn("__cum", col("__cum").cast("long"))
+      val dense = GlobalOrder.withRowNumberLong(cum, Seq(col("v")), "__dense")
+      val wFirst = Window.partitionBy(col("v"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val minRank = col("__cum") - col("__c") + 1
+      t.join(dense, "v")
+        .select(col("l_orderkey"), col("l_linenumber"), col("v"),
+          ((minRank + col("__cum")).cast("double") / 2.0).as("rank_avg"),
+          minRank.as("rank_min"),
+          col("__cum").as("rank_max"),
+          col("__dense").as("rank_dense"),
+          (minRank + row_number().over(wFirst) - 1).as("rank_first"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_diff" ->
+      """SELECT o_orderkey,
+        |  o_totalprice - LAG(o_totalprice) OVER (ORDER BY o_orderkey) AS diff
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_clip" ->
+      """SELECT o_orderkey,
+        |  GREATEST(LEAST(o_totalprice, 200000.0), 50000.0) AS clipped
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_cummin" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  MIN(o_totalprice) OVER (ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummin_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_cumprod" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |v AS (
+        |  SELECT o_orderkey,
+        |    CASE CAST((rn - 1) % 4 AS INTEGER)
+        |      WHEN 0 THEN CAST(2.0 AS DOUBLE)
+        |      WHEN 1 THEN CAST(0.5 AS DOUBLE)
+        |      WHEN 2 THEN CAST(-1.0 AS DOUBLE)
+        |      ELSE CAST(1.0 AS DOUBLE) END AS v
+        |  FROM t)
+        |SELECT o_orderkey, v,
+        |  PRODUCT(v) OVER (ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumprod
+        |FROM v ORDER BY o_orderkey""".stripMargin,
+
+    "q_mode" ->
+      """SELECT l_quantity AS v FROM lineitem GROUP BY 1
+        |HAVING COUNT(*) = (
+        |  SELECT MAX(c) FROM (
+        |    SELECT COUNT(*) AS c FROM lineitem GROUP BY l_quantity))
+        |ORDER BY v""".stripMargin,
+
+    "q_qcut" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_duplicated" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  (ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+        |    ORDER BY o_orderkey) > 1) AS dup
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_crosstab" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_rank_pandas" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS v,
+        |  CAST(2 * RANK() OVER (ORDER BY l_quantity)
+        |    + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS DOUBLE)
+        |    / CAST(2.0 AS DOUBLE) AS rank_avg,
+        |  RANK() OVER (ORDER BY l_quantity) AS rank_min,
+        |  RANK() OVER (ORDER BY l_quantity)
+        |    + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rank_max,
+        |  DENSE_RANK() OVER (ORDER BY l_quantity) AS rank_dense,
+        |  ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |    AS rank_first
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
