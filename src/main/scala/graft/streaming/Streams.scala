@@ -44,10 +44,9 @@ object Streams {
       dir.toString
     })
 
-  /** The nanos→micros normalization shared by the batch loader
-    * (graft.Tables) and the stream reader. */
-  private def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** The ts normalization shared with the batch loader — see
+    * [[graft.Tables.normalizeTs]] (layout-adaptive: long-nanos or NTZ). */
+  private def normalize(df: DataFrame): DataFrame = graft.Tables.normalizeTs(df)
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the materialized result.
