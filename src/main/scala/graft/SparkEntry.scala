@@ -52,12 +52,13 @@ object SparkEntry {
     "q_tpch_q13", "q_tpch_q17", "q_tpch_q21", "q_tpch_q9",
     "q_bucketed_join",
     "q_agg_quantile", "q_groupby_agg", "q_join_inner", "q_join_multi_key",
-    "q_merge_asof", "q_rolling_basic", "q_rolling_skew_kurt",
+    "q_merge_asof", "q_range_join", "q_rolling_basic", "q_rolling_skew_kurt",
     "q_sort_values", "q_value_counts", "q_str_classify",
     "q_dt_trunc_month", "q_dedup_exact", "q_dedup_minhash",
     "q_simhash_pairs", "q_incremental_dedup", "q_kmeans", "q_ffill_bfill",
     "q_ann_brute", "q_ann_ivf", "q_salted_agg", "q_text_stats",
     "q_tfidf", "q_corpus_clean", "q_contamination", "q_contamination_bloom",
     "q_apply_lambda", "q_cumsum",
-    "q_media_decode", "q_emb_neardup", "q_events_stream", "q_sessionize")
+    "q_media_decode", "q_emb_neardup", "q_emb_quantize",
+    "q_events_stream", "q_sessionize")
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Banded point-in-interval (range) join.
+  *
+  * The reference's merge_asof covers "latest row at or before" — but a
+  * training-data pipeline also needs the containment join ("every
+  * interval covering this point": attribution windows, maintenance
+  * windows, session concurrency), and there is NO equi-key: Spark plans
+  * a bare `p.ts BETWEEN i.start AND i.end` predicate as
+  * BroadcastNestedLoopJoin — |P|·|I| comparisons, the classic
+  * 100 TB killer.
+  *
+  * The fix is the textbook banding rewrite (the same trick interval
+  * databases and Databricks' range-join hints use): quantize time into
+  * fixed-width bands, tag every point with its ONE band, replicate every
+  * interval into the (at most two, for length ≤ band width) bands it can
+  * reach, equi-join on the band, and apply the exact BETWEEN as a
+  * post-filter. The join becomes an ordinary shuffled equi-join:
+  * partition-able, AQE-skew-splittable, broadcastable when one side is
+  * small — and each qualifying pair meets in EXACTLY one band (the
+  * point's), so no dedup pass is needed.
+  *
+  * Correctness of the 2-band cover, including sub-second truncation:
+  * `band(x) = floor(unix_seconds(x) / W)` truncates micros to seconds;
+  * truncation is monotone, so start ≤ p ≤ end with
+  * `end − start ≤ W seconds` gives
+  * `sec(start) ≤ sec(p) ≤ sec(end) ≤ sec(start) + W`, hence
+  * `band(p) ∈ {band(start), band(start) + 1}`.
+  *
+  * Intervals longer than `bandSeconds` would need more replicas than the
+  * two this builds (an explode over the covered-band range); the guard
+  * makes the caller choose the band width consciously — at scale it is
+  * the replication-factor dial: wider bands = fewer replicas but more
+  * false candidates through the exact filter.
+  */
+object RangeJoin {
+
+  private val BAND = "__rj_band"
+
+  /** Inner point-in-interval join: rows of `points` paired with every row
+    * of `intervals` whose `[start, end]` (inclusive) contains `pTs`.
+    * Output carries all columns of both inputs (caller pre-aliases name
+    * collisions), band column dropped.
+    *
+    * @param maxLenSeconds caller-asserted upper bound on interval length;
+    *                      must be ≤ bandSeconds for the 2-band cover.
+    */
+  def pointInInterval(points: DataFrame, pTs: Column,
+                      intervals: DataFrame, iStart: Column, iEnd: Column,
+                      bandSeconds: Long, maxLenSeconds: Long): DataFrame = {
+    require(bandSeconds > 0, s"bandSeconds must be positive: $bandSeconds")
+    require(maxLenSeconds <= bandSeconds,
+      s"interval length bound $maxLenSeconds exceeds band width " +
+        s"$bandSeconds — the 2-replica cover would miss matches")
+    val p = points.withColumn(BAND, floor(unix_timestamp(pTs) / bandSeconds))
+    val b0 = floor(unix_timestamp(iStart) / bandSeconds)
+    // Two replicas per interval, built relationally (union of two
+    // projections) rather than explode(sequence(...)) — stays in
+    // whole-stage codegen and keeps the replication factor visible in
+    // the plan.
+    val i = intervals.withColumn(BAND, b0)
+      .unionByName(intervals.withColumn(BAND, b0 + 1))
+    p.join(i, p(BAND) === i(BAND) && pTs.between(iStart, iEnd))
+      .drop(BAND)
+  }
+}

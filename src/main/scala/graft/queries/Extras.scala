@@ -572,6 +572,40 @@ object Extras {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // Symmetric int8 embedding quantization (the 4× memory lever for the
+    // ANN index paths: an IVF/LSH index over int8 codes + one float
+    // scale per vector holds 4× the corpus per executor-GB, and the
+    // dequantized dot is within |q|·scale_err of exact). Per vector:
+    // scale = max|x|/127, q_i = round-half-up(x/scale) ∈ [−127, 127].
+    // Everything after the explode rides ONE vec_id exchange — the
+    // partition-window max(|x|) and the final per-vector aggregate both
+    // hash on vec_id, so Catalyst plans a single shuffle. Outputs are
+    // quantized to longs (floor(·)+0.5 op sequence, identical in DuckDB)
+    // so the hash compare is exact: scale, int8 checksums, and the max
+    // reconstruction error per vector.
+    "q_emb_quantize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("col").cast("double").as("x"))
+        .withColumn("amax", max(abs(col("x"))).over(w))
+      val scale = col("amax") / lit(127.0)
+      val qi = when(col("amax") === 0, lit(0L))
+        .otherwise(floor(col("x") / scale + lit(0.5)).cast("long"))
+      e.select(col("vec_id"), col("amax"), col("x"), qi.as("qi"))
+        .groupBy(col("vec_id"), col("amax"))
+        .agg(sum(col("qi")).as("q_sum"),
+          sum(abs(col("qi"))).as("q_l1"),
+          max(when(col("amax") === 0, lit(0L))
+            .otherwise(floor(abs(col("x") - col("qi") * (col("amax") / lit(127.0)))
+              * lit(1e9) + lit(0.5)).cast("long"))).as("err_q"))
+        .select(col("vec_id"),
+          floor((col("amax") / lit(127.0)) * lit(1e9) + lit(0.5))
+            .cast("long").as("scale_q"),
+          col("q_sum"), col("q_l1"), col("err_q"))
+        .orderBy(col("vec_id"))
+    }),
+
     // distributed Lloyd's k-means, 2 iterations, k=4 — quantize-exact
     // arithmetic end to end (scale notes on Similarity.kmeans)
     "q_kmeans" -> ((s, dir) => {
@@ -958,6 +992,30 @@ object Extras {
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
+
+    // int8 quantization replica: float→double promotion is exact, so
+    // every division/floor matches Spark bit for bit; the qi CASE and
+    // the err quantization repeat the Spark op sequence verbatim.
+    // SUM(BIGINT) is HUGEINT in DuckDB → CAST back to BIGINT.
+    "q_emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+        |m AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM e GROUP BY vec_id),
+        |q AS (
+        |  SELECT e.vec_id, x, amax,
+        |    CASE WHEN amax = 0 THEN 0
+        |      ELSE CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT) END AS qi
+        |  FROM e JOIN m USING (vec_id))
+        |SELECT vec_id,
+        |  CAST(FLOOR((amax / 127.0) * 1e9 + 0.5) AS BIGINT) AS scale_q,
+        |  CAST(SUM(qi) AS BIGINT) AS q_sum,
+        |  CAST(SUM(ABS(qi)) AS BIGINT) AS q_l1,
+        |  CAST(MAX(CASE WHEN amax = 0 THEN 0
+        |    ELSE FLOOR(ABS(x - qi * (amax / 127.0)) * 1e9 + 0.5) END)
+        |    AS BIGINT) AS err_q
+        |FROM q GROUP BY vec_id, amax
+        |ORDER BY vec_id""".stripMargin,
 
     // q_kde replica: same grid, same polynomial kernel, same
     // quantize-before-sum — the decimal literals (25.0, 0.75, 0.5) are

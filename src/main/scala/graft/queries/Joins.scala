@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions._
-import graft.operators.{MergeAsof, Skew}
+import graft.operators.{MergeAsof, RangeJoin, Skew}
 
 /** SURVEY §2.3 joins.
   *
@@ -221,6 +221,34 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // Point-in-interval range join with NO equi-key (parity-plus; the
+    // asof family covers "latest before", this covers containment):
+    // each click paired with every 10-minute view-visibility window
+    // containing it, across ALL users — then a per-click concurrency
+    // count, zeros kept. Naive Spark plans the bare BETWEEN as
+    // BroadcastNestedLoopJoin (|clicks|·|views|); the banded rewrite in
+    // [[RangeJoin.pointInInterval]] makes it a shuffled equi-join on the
+    // time band with ≤2 replicas per interval (plan pinned — no
+    // nested-loop node).
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts").as("cts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("ts").as("vts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("vend"))
+      val pairs = RangeJoin.pointInInterval(
+        clicks, col("cts"), views, col("vts"), col("vend"),
+        bandSeconds = 600L, maxLenSeconds = 600L)
+      val counts = pairs.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_concurrent"))
+      clicks.select(col("event_id"))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+        .orderBy(col("event_id"))
+    }),
+
     // index-alignment join of two keyed series + add with fill_value=0
     // (reference `_sdc_internal_join` + fill_value semantics, §2.10)
     "q_align_fill_add" -> ((s, dir) => {
@@ -358,6 +386,23 @@ object Joins {
         |      epoch_us(c.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(c.ts))
         |    THEN bv ELSE fv END, 6) AS view_value
         |FROM clicks c JOIN bwd USING (event_id) JOIN fwd USING (event_id)
+        |ORDER BY c.event_id""".stripMargin,
+
+    // the banding is answer-invariant: the oracle is the plain
+    // inequality join
+    "q_range_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS vts,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS vend
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.event_id,
+        |  CAST(COUNT(v.vts) AS BIGINT) AS n_concurrent
+        |FROM clicks c LEFT JOIN views v
+        |  ON c.cts >= v.vts AND c.cts <= v.vend
+        |GROUP BY c.event_id
         |ORDER BY c.event_id""".stripMargin,
 
     "q_align_fill_add" ->

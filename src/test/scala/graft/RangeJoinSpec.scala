@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+import graft.queries.Joins
+
+/** [[graft.operators.RangeJoin]] — the banded rewrite must (a) equal the
+  * naive theta join exactly, including boundary and sub-second cases
+  * that straddle a band edge, and (b) plan as an equi-join, never a
+  * nested loop. */
+class RangeJoinSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("banded join equals the naive theta join, boundaries inclusive") {
+    import spark.implicits._
+    // Points and intervals engineered around the 60 s band edges at
+    // :00 — containment that crosses a band boundary, starts/ends
+    // exactly ON a boundary, sub-second offsets, and non-matches.
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:59.999999")),
+      (2L, ts("2024-01-01 00:01:00.0")),
+      (3L, ts("2024-01-01 00:01:30.5")),
+      (4L, ts("2024-01-01 00:02:00.000001")),
+      (5L, ts("2024-01-01 00:05:00.0"))
+    ).toDF("pid", "pts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 00:00:30.5"), ts("2024-01-01 00:01:30.5")),
+      (11L, ts("2024-01-01 00:01:00.0"), ts("2024-01-01 00:02:00.0")),
+      (12L, ts("2024-01-01 00:02:00.000001"), ts("2024-01-01 00:03:00.0")),
+      (13L, ts("2024-01-01 00:04:00.0"), ts("2024-01-01 00:04:59.999999"))
+    ).toDF("iid", "istart", "iend")
+
+    val banded = RangeJoin.pointInInterval(points, col("pts"),
+        intervals, col("istart"), col("iend"),
+        bandSeconds = 60L, maxLenSeconds = 60L)
+      .select(col("pid"), col("iid"))
+    val naive = points.join(intervals,
+        col("pts") >= col("istart") && col("pts") <= col("iend"))
+      .select(col("pid"), col("iid"))
+
+    val b = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(n === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L),
+      (4L, 12L)), s"fixture drifted: $n")
+    assert(b === n)
+    // exactly-once: no dedup pass means no pair may appear twice
+    assert(banded.count() === b.size)
+  }
+
+  test("q_range_join plans an equi-join on the band — no nested loop") {
+    val df = Joins.queries("q_range_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "banded range join must not plan a nested loop:\n" + p.take(1200))
+  }
+
+  test("interval length above the band width is rejected") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("pid", "pts")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(df, col("pts"), df, col("pts"), col("pts"),
+        bandSeconds = 60L, maxLenSeconds = 61L)
+    }
+  }
+}
