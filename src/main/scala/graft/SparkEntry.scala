@@ -57,7 +57,8 @@ object SparkEntry {
     "q_dt_trunc_month", "q_dedup_exact", "q_dedup_minhash",
     "q_simhash_pairs", "q_incremental_dedup", "q_kmeans", "q_ffill_bfill",
     "q_ann_brute", "q_ann_ivf", "q_salted_agg", "q_text_stats",
-    "q_tfidf", "q_corpus_clean", "q_contamination", "q_contamination_bloom",
+    "q_tfidf", "q_ngram_counts", "q_corpus_clean", "q_contamination",
+    "q_contamination_bloom",
     "q_apply_lambda", "q_cumsum",
     "q_media_decode", "q_emb_neardup", "q_emb_quantize",
     "q_events_stream", "q_sessionize")

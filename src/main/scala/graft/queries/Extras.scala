@@ -323,6 +323,23 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-level n-gram frequency (the LM-stats / tokenizer-induction
+    // primitive: the first BPE merge step is exactly "count adjacent
+    // pairs, take the top"): all bigram occurrences via the codegen
+    // shingle explode (NOT per-doc distinct — frequency wants every
+    // occurrence), ONE hash aggregate on the bigram key (map-side
+    // partials absorb the heavy hitters), and a bounded
+    // TakeOrderedAndProject for the top-20 — no global sort. (count
+    // DESC, bigram ASC) is a total order, so the cut is deterministic.
+    "q_ngram_counts" -> ((s, dir) => {
+      Dedup.shingleRows(Parallelism.fanOut(Tables(s, dir, "documents")),
+          "doc_id", "text", w = 2)
+        .groupBy(col("shingle").as("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // one-hot encoding (pd.get_dummies) over the closed lang vocabulary —
     // a fixed-width projection (no pivot shuffle; the vocabulary is a
     // compile-time constant exactly as get_dummies' column set is).
@@ -992,6 +1009,26 @@ object Extras {
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
+
+    // bigram frequency replica — same normalization + shingling CTE
+    // shape as the contamination oracle, WITHOUT the per-doc distinct
+    // (frequency counts occurrences); the (n DESC, bigram) order makes
+    // the LIMIT cut identical
+    "q_ngram_counts" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(
+        |    CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ws)-1),
+        |                i -> array_to_string(ws[i:i+1], ' '))
+        |    END) AS bigram
+        |  FROM base)
+        |SELECT bigram, COUNT(*) AS n
+        |FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
     // int8 quantization replica: float→double promotion is exact, so
     // every division/floor matches Spark bit for bit; the qi CASE and

@@ -45,7 +45,28 @@ object StreamsQ {
     // against the frozen train corpus in foreachBatch — zero streaming
     // state, exact under any batching (doc-local work); same answer as
     // the q_contamination batch sweep, same oracle
-    "q_stream_contamination" -> ((s, dir) => Streams.contaminationIngest(s, dir))
+    "q_stream_contamination" -> ((s, dir) => Streams.contaminationIngest(s, dir)),
+
+    // Burst suppression (debounce): keep only the FIRST event of each
+    // (user, type) burst, where a burst is a chain of events each within
+    // 30 min of its predecessor — the sessionization gap rule applied as
+    // a dedup filter (log hygiene before attribution/counting: repeated
+    // clicks from a stuck page collapse to one). The window partitions
+    // by the (user, type) value key — an ordinary hash shuffle, state
+    // bounded per key; never a global order. The micros comparison is
+    // exact on both engines; (ts, event_id) is a total order so the lag
+    // is deterministic under ties.
+    "q_debounce" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .filter(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("event_id"))
+    })
   )
 
   private val sessionSql =
@@ -104,6 +125,18 @@ object StreamsQ {
 
     // the ingestion gate computes exactly the batch contamination scan
     // (same splits, same shingles) — its oracle, verbatim
-    "q_stream_contamination" -> Extras.oracle("q_contamination")
+    "q_stream_contamination" -> Extras.oracle("q_contamination"),
+
+    "q_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    LAG(CAST(ts AS TIMESTAMP)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts
+        |FROM e
+        |WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |ORDER BY event_id""".stripMargin
   )
 }
