@@ -61,7 +61,16 @@ object MergeAsof {
     when(col(tag) === 0, struct((on +: rightCols).map(col): _*))
 
   /** `direction='backward'` (pandas default): for each left row, the
-    * LATEST right row with `right.time <= left.time`.
+    * LATEST right row with `right.time <= left.time` (strictly `<` when
+    * `allowExactMatches=false`, pandas' parameter of the same name).
+    *
+    * Both pandas refinements are free riders on the one-shuffle plan:
+    * exact-match exclusion is purely a SORT TIE-BREAK (at equal times
+    * the right row sorts before the left for inclusive semantics and
+    * after it for strict, so the growing frame sees exactly the
+    * admissible rows — no extra pass), and `tolerance` is a per-row
+    * post-predicate on the carried match's time (too-distant matches
+    * null out, the left row survives — pandas semantics).
     *
     * @param left      left frame (one output row per left row)
     * @param right     right frame
@@ -69,38 +78,57 @@ object MergeAsof {
     *                  orderable type)
     * @param by        equi-match key columns present in both frames
     * @param rightCols right value columns to attach (renamed as-is)
+    * @param tolerance max allowed `left.on − match.on` as a literal of
+    *                  the difference type (INTERVAL for timestamps,
+    *                  numeric for numeric keys); None = unbounded
+    * @param allowExactMatches false = require `right.time < left.time`
     */
   def backward(left: DataFrame, right: DataFrame, on: String,
-               by: Seq[String], rightCols: Seq[String]): DataFrame = {
+               by: Seq[String], rightCols: Seq[String],
+               tolerance: Option[Column] = None,
+               allowExactMatches: Boolean = true): DataFrame = {
     val unioned = taggedUnion(left, right, on, by, rightCols)
       .withColumn("__r", rowStruct(on, rightCols))
-    val w = part(by).orderBy(col(on).asc, col(tag).asc)
+    val tagOrder = if (allowExactMatches) col(tag).asc else col(tag).desc
+    val w = part(by).orderBy(col(on).asc, tagOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val admissible = tolerance match {
+      case Some(tol) => (col(on) - col("__m").getField(on)) <= tol
+      case None => lit(true)
+    }
     rightCols.foldLeft(filled) { (df, c) =>
-      df.withColumn(c, col("__m").getField(c))
+      df.withColumn(c, when(admissible, col("__m").getField(c)))
     }.filter(col(tag) === 1).drop(tag, "__r", "__m")
   }
 
   /** `direction='forward'`: the EARLIEST right row with
-    * `right.time >= left.time`. Same one-shuffle union shape as
+    * `right.time >= left.time` (strictly `>` when
+    * `allowExactMatches=false`). Same one-shuffle union shape as
     * [[backward]], sorted by time DESCENDING so the fill stays a
     * GROWING (unboundedPreceding → currentRow) frame — O(1) per row,
     * never the O(n²) shrinking-frame evaluation. In descending order
-    * the preceding rows are exactly those with time ≥ current, and at
-    * equal times the right row sorts first (tag asc), keeping the
-    * inclusive match. */
+    * the preceding rows are exactly those with time ≥ current; the
+    * equal-time tie-break and `tolerance` (bounding `match.on − left.on`)
+    * work as in [[backward]]. */
   def forward(left: DataFrame, right: DataFrame, on: String,
-              by: Seq[String], rightCols: Seq[String]): DataFrame = {
+              by: Seq[String], rightCols: Seq[String],
+              tolerance: Option[Column] = None,
+              allowExactMatches: Boolean = true): DataFrame = {
     val unioned = taggedUnion(left, right, on, by, rightCols)
       .withColumn("__r", rowStruct(on, rightCols))
-    val w = part(by).orderBy(col(on).desc, col(tag).asc)
+    val tagOrder = if (allowExactMatches) col(tag).asc else col(tag).desc
+    val w = part(by).orderBy(col(on).desc, tagOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val admissible = tolerance match {
+      case Some(tol) => (col("__m").getField(on) - col(on)) <= tol
+      case None => lit(true)
+    }
     rightCols.foldLeft(filled) { (df, c) =>
-      df.withColumn(c, col("__m").getField(c))
+      df.withColumn(c, when(admissible, col("__m").getField(c)))
     }.filter(col(tag) === 1).drop(tag, "__r", "__m")
   }
 

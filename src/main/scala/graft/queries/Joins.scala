@@ -221,6 +221,41 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // merge_asof(tolerance=1h): matches further back than the tolerance
+    // null out, the left row survives — pandas semantics, a free
+    // post-predicate on the carried match (no plan change)
+    "q_merge_asof_tol" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      MergeAsof.backward(clicks, views, on = "ts", by = Seq("user_id"),
+          rightCols = Seq("view_value"),
+          tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("user_id"),
+          round(col("view_value"), 6).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // merge_asof(allow_exact_matches=False): the match must be STRICTLY
+    // earlier — implemented purely as the sort tie-break at equal
+    // times, same one-shuffle plan
+    "q_merge_asof_strict" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      MergeAsof.backward(clicks, views, on = "ts", by = Seq("user_id"),
+          rightCols = Seq("view_value"), allowExactMatches = false)
+        .select(col("event_id"), col("user_id"),
+          round(col("view_value"), 6).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Point-in-interval range join with NO equi-key (parity-plus; the
     // asof family covers "latest before", this covers containment):
     // each click paired with every 10-minute view-visibility window
@@ -387,6 +422,36 @@ object Joins {
         |    THEN bv ELSE fv END, 6) AS view_value
         |FROM clicks c JOIN bwd USING (event_id) JOIN fwd USING (event_id)
         |ORDER BY c.event_id""".stripMargin,
+
+    // tolerance: DuckDB's ASOF keeps the matched views.ts in scope, so
+    // the too-far gate is the same CASE the Spark side applies; an
+    // unmatched left row has views.ts NULL -> CASE yields NULL either way
+    "q_merge_asof_tol" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT event_id, clicks.user_id,
+        |  CASE WHEN clicks.ts - views.ts <= INTERVAL 1 HOUR
+        |       THEN ROUND(view_value, 6) END AS view_value
+        |FROM clicks ASOF LEFT JOIN views
+        |  ON clicks.user_id = views.user_id AND clicks.ts >= views.ts
+        |ORDER BY event_id""".stripMargin,
+
+    // strict: ASOF with > instead of >=
+    "q_merge_asof_strict" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT event_id, clicks.user_id, ROUND(view_value, 6) AS view_value
+        |FROM clicks ASOF LEFT JOIN views
+        |  ON clicks.user_id = views.user_id AND clicks.ts > views.ts
+        |ORDER BY event_id""".stripMargin,
 
     // the banding is answer-invariant: the oracle is the plain
     // inequality join

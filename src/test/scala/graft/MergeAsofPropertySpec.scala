@@ -51,7 +51,7 @@ class MergeAsofPropertySpec extends SparkSpecBase {
 
   test("backward returns the largest right time <= t on arbitrary timelines") {
     for ((lt, rt) <- timelines) {
-      val got = run(MergeAsof.backward, lt, rt)
+      val got = run(MergeAsof.backward(_, _, _, _, _), lt, rt)
       for (t <- lt) {
         val want = rt.filter(_ <= t) match {
           case Seq() => None
@@ -64,7 +64,7 @@ class MergeAsofPropertySpec extends SparkSpecBase {
 
   test("forward returns the smallest right time >= t on arbitrary timelines") {
     for ((lt, rt) <- timelines) {
-      val got = run(MergeAsof.forward, lt, rt)
+      val got = run(MergeAsof.forward(_, _, _, _, _), lt, rt)
       for (t <- lt) {
         val want = rt.filter(_ >= t) match {
           case Seq() => None
@@ -72,6 +72,41 @@ class MergeAsofPropertySpec extends SparkSpecBase {
         }
         assert(got(t) == want, s"t=$t rt=$rt")
       }
+    }
+  }
+
+  test("allow_exact_matches=false requires strict inequality in both directions") {
+    for ((lt, rt) <- timelines) {
+      val gotB = run((l, r, on, by, rc) =>
+        MergeAsof.backward(l, r, on, by, rc, allowExactMatches = false), lt, rt)
+      val gotF = run((l, r, on, by, rc) =>
+        MergeAsof.forward(l, r, on, by, rc, allowExactMatches = false), lt, rt)
+      for (t <- lt) {
+        val wantB = rt.filter(_ < t).maxOption.map(_.toDouble)
+        val wantF = rt.filter(_ > t).minOption.map(_.toDouble)
+        assert(gotB(t) == wantB, s"strict backward t=$t rt=$rt")
+        assert(gotF(t) == wantF, s"strict forward t=$t rt=$rt")
+      }
+    }
+  }
+
+  test("tolerance nulls too-distant matches but keeps the left row") {
+    val tol = Some(expr("INTERVAL 10 MINUTES")) // 600 s
+    for ((lt, rt) <- timelines) {
+      val gotB = run((l, r, on, by, rc) =>
+        MergeAsof.backward(l, r, on, by, rc, tolerance = tol), lt, rt)
+      val gotF = run((l, r, on, by, rc) =>
+        MergeAsof.forward(l, r, on, by, rc, tolerance = tol), lt, rt)
+      for (t <- lt) {
+        val wantB = rt.filter(_ <= t).maxOption
+          .filter(t - _ <= 600L).map(_.toDouble)
+        val wantF = rt.filter(_ >= t).minOption
+          .filter(_ - t <= 600L).map(_.toDouble)
+        assert(gotB(t) == wantB, s"tol backward t=$t rt=$rt")
+        assert(gotF(t) == wantF, s"tol forward t=$t rt=$rt")
+      }
+      // every left row survives regardless of tolerance
+      assert(gotB.size == lt.size && gotF.size == lt.size)
     }
   }
 

@@ -102,7 +102,10 @@ class OperatorsSpec extends SparkSpecBase {
     val right = Seq(("k", ts(1), Some(1.0)), ("k", ts(9), None),
       ("k", ts(11), None), ("k", ts(19), Some(19.0)))
       .toDF("key", "t", "v")
-    for (dir <- Seq(MergeAsof.backward _, MergeAsof.forward _, MergeAsof.nearest _)) {
+    for (dir <- Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, Seq[String], Seq[String]) => org.apache.spark.sql.DataFrame](
+      MergeAsof.backward(_, _, _, _, _), MergeAsof.forward(_, _, _, _, _),
+      MergeAsof.nearest)) {
       val got = dir(left, right, "t", Seq("key"), Seq("v"))
         .select("v").collect().head
       assert(got.isNullAt(0), s"expected matched-row null, got $got")

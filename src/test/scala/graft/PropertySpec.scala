@@ -140,8 +140,8 @@ class PropertySpec extends SparkSpecBase {
           .collect().map(r => r.getLong(0) ->
             (if (r.isNullAt(r.fieldIndex("v"))) None
              else Some(r.getDouble(r.fieldIndex("v"))))).toMap
-      val bwd = resOf(MergeAsof.backward)
-      val fwd = resOf(MergeAsof.forward)
+      val bwd = resOf(MergeAsof.backward(_, _, _, _, _))
+      val fwd = resOf(MergeAsof.forward(_, _, _, _, _))
       val near = resOf(MergeAsof.nearest)
       for ((id, v) <- near)
         assert(v == bwd(id) || v == fwd(id),
