@@ -221,6 +221,26 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // pd.merge(how='outer', indicator=True): the _merge provenance
+    // column (left_only / right_only / both) derived from key
+    // nullability after the outer join — a projection, no extra pass
+    // (right_only is structurally empty on this data: every order has a
+    // customer; the class is still computed)
+    "q_join_indicator" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"),
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("c_custkey").isNotNull, "left_only")
+            .otherwise("right_only").as("_merge"))
+        .orderBy(col("custkey"))
+    }),
+
     // merge_asof(tolerance=1h): matches further back than the tolerance
     // null out, the left row survives — pandas semantics, a free
     // post-predicate on the carried match (no plan change)
@@ -422,6 +442,19 @@ object Joins {
         |    THEN bv ELSE fv END, 6) AS view_value
         |FROM clicks c JOIN bwd USING (event_id) JOIN fwd USING (event_id)
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_indicator" ->
+      """WITH o AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |  n_orders,
+        |  CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+        |         THEN 'both'
+        |       WHEN c_custkey IS NOT NULL THEN 'left_only'
+        |       ELSE 'right_only' END AS "_merge"
+        |FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     // tolerance: DuckDB's ASOF keeps the matched views.ts in scope, so
     // the too-far gate is the same CASE the Spark side applies; an

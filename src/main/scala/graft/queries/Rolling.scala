@@ -329,6 +329,37 @@ object Rolling {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // S.ewm(alpha=0.5).mean() (adjusted=True), truncated to the 20
+    // nearest lags — the distributed-exactness choice, stated honestly:
+    // α=1/2 makes every weight 2^-j, so each term x·2^-j is an EXACT
+    // double (integral l_quantity scaled by a power of two) and the
+    // 20-term sum of multiples of 2^-19 under magnitude 100 is exact in
+    // ANY association — bit-identical across engines with no rounding.
+    // The dropped tail weighs < 2^-19 of the newest term (far below any
+    // sensible output precision), and the truncation is what keeps the
+    // op a per-row lag composition in one codegen Window pass instead of
+    // an order-sensitive running recurrence. Missing leading history
+    // renormalizes the denominator — pandas adjusted=True semantics at
+    // a partition head.
+    "q_ewm" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      val x = col("l_quantity")
+      def lg(k: Int) = if (k == 0) x else lag(x, k).over(w)
+      val num = (0 until 20).map(j =>
+        coalesce(lg(j), lit(0)) * lit(math.pow(0.5, j))).reduceLeft(_ + _)
+      val den = (0 until 20).map(j =>
+        when(lg(j).isNotNull, lit(math.pow(0.5, j))).otherwise(lit(0.0)))
+        .reduceLeft(_ + _)
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), x, col("l_shipdate"))
+        .withColumn("ewm", num / den)
+        .drop("l_shipdate", "l_partkey")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // rolling('7D', closed=...) (`hpat_pandas_rolling_types.py:52-81`
     // closed param): offset windows with each endpoint open or closed.
     // On the integer day grid the four pandas frames map exactly onto
@@ -527,6 +558,27 @@ object Rolling {
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // ewm replica — the same 20-lag chain, left-associated like the
+    // Spark reduceLeft; exact by the powers-of-two argument above, so
+    // association is belt-and-braces
+    "q_ewm" -> {
+      val num = (0 until 20).map(j =>
+        if (j == 0) "l_quantity * POWER(0.5, 0)"
+        else s"COALESCE(LAG(l_quantity, $j) OVER w, 0) * POWER(0.5, $j)")
+        .mkString(" + ")
+      val den = (0 until 20).map(j =>
+        if (j == 0) "POWER(0.5, 0)"
+        else s"CASE WHEN LAG(l_quantity, $j) OVER w IS NOT NULL " +
+          s"THEN POWER(0.5, $j) ELSE 0.0 END")
+        .mkString(" + ")
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         |  ($num) / ($den) AS ewm
+         |FROM lineitem
+         |WINDOW w AS (PARTITION BY l_suppkey
+         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+    },
 
     "q_rolling_closed" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
