@@ -323,6 +323,20 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // Series.explode (list → rows, positions preserved — pandas keeps
+    // the source index, posexplode keeps pos): the tokenized word list
+    // of each doc flattened to a token table, the canonical first step
+    // of any per-token pipeline. Pure codegen generate; bounded here to
+    // a doc prefix so the oracle table stays diffable.
+    "q_explode" -> ((s, dir) => {
+      Tables(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), TextOps.normWords(col("text")).as("ws"))
+        .select(col("doc_id"), posexplode(col("ws")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("word"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Corpus-level n-gram frequency (the LM-stats / tokenizer-induction
     // primitive: the first BPE merge step is exactly "count adjacent
     // pairs, take the top"): all bigram occurrences via the codegen
@@ -1009,6 +1023,17 @@ object Extras {
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
+
+    "q_explode" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 50),
+        |e AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |  FROM base)
+        |SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
 
     // bigram frequency replica — same normalization + shingling CTE
     // shape as the contamination oracle, WITHOUT the per-doc distinct

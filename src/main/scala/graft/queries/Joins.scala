@@ -221,6 +221,30 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // pd.merge(validate='1:1'|'1:m'|'m:1'): the key-cardinality audit
+    // behind the parameter, as data instead of an exception — per-side
+    // duplicate-key counts over the join-key domain and the resulting
+    // validity verdicts (customer↔orders is genuinely 1:m, so the 1:1
+    // verdict is exercised false). Two key-domain aggregates + a 1-row
+    // reduction; nothing wide crosses a shuffle.
+    "q_merge_validate" -> ((s, dir) => {
+      val l = Tables(s, dir, "customer")
+        .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("ln"))
+      val r = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("rn"))
+      l.join(r, Seq("k"), "outer")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(coalesce(col("ln"), lit(0L)) > 1, 1L).otherwise(0L))
+            .as("n_left_dup"),
+          sum(when(coalesce(col("rn"), lit(0L)) > 1, 1L).otherwise(0L))
+            .as("n_right_dup"))
+        .select(col("n_keys"), col("n_left_dup"), col("n_right_dup"),
+          (col("n_left_dup") === 0 && col("n_right_dup") === 0)
+            .as("valid_one_to_one"),
+          (col("n_left_dup") === 0).as("valid_one_to_many"),
+          (col("n_right_dup") === 0).as("valid_many_to_one"))
+    }),
+
     // pd.merge(how='outer', indicator=True): the _merge provenance
     // column (left_only / right_only / both) derived from key
     // nullability after the outer join — a projection, no extra pass
@@ -442,6 +466,25 @@ object Joins {
         |    THEN bv ELSE fv END, 6) AS view_value
         |FROM clicks c JOIN bwd USING (event_id) JOIN fwd USING (event_id)
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_merge_validate" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS k, COUNT(*) AS ln FROM customer GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey AS k, COUNT(*) AS rn FROM orders GROUP BY 1),
+        |j AS (SELECT COALESCE(l.ln, 0) AS ln, COALESCE(r.rn, 0) AS rn
+        |  FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(CASE WHEN ln > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_left_dup,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_right_dup,
+        |  SUM(CASE WHEN ln > 1 THEN 1 ELSE 0 END) = 0
+        |    AND SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) = 0
+        |    AS valid_one_to_one,
+        |  SUM(CASE WHEN ln > 1 THEN 1 ELSE 0 END) = 0 AS valid_one_to_many,
+        |  SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) = 0 AS valid_many_to_one
+        |FROM j""".stripMargin,
 
     "q_join_indicator" ->
       """WITH o AS (
