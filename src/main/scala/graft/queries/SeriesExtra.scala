@@ -157,13 +157,21 @@ object SeriesExtra {
       val wFirst = Window.partitionBy(col("v"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
       val minRank = col("__cum") - col("__c") + 1
+      // pct=True divides the average rank by the row count; n arrives as
+      // a broadcast 1-row aggregate (never a global window), and the
+      // long→double division of identical operands is IEEE-identical
+      // cross-engine
+      val n = t.agg(count(lit(1)).as("__n"))
       t.join(dense, "v")
+        .crossJoin(broadcast(n))
         .select(col("l_orderkey"), col("l_linenumber"), col("v"),
           ((minRank + col("__cum")).cast("double") / 2.0).as("rank_avg"),
           minRank.as("rank_min"),
           col("__cum").as("rank_max"),
           col("__dense").as("rank_dense"),
-          (minRank + row_number().over(wFirst) - 1).as("rank_first"))
+          (minRank + row_number().over(wFirst) - 1).as("rank_first"),
+          (((minRank + col("__cum")).cast("double") / 2.0)
+            / col("__n").cast("double")).as("rank_pct"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
@@ -237,7 +245,11 @@ object SeriesExtra {
         |    + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rank_max,
         |  DENSE_RANK() OVER (ORDER BY l_quantity) AS rank_dense,
         |  ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)
-        |    AS rank_first
+        |    AS rank_first,
+        |  (CAST(2 * RANK() OVER (ORDER BY l_quantity)
+        |    + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS DOUBLE)
+        |    / CAST(2.0 AS DOUBLE))
+        |    / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE) AS rank_pct
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }
