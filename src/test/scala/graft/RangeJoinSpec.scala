@@ -51,6 +51,45 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(banded.count() === b.size)
   }
 
+  test("banded equals naive on generated timelines across band widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7042L + i)))
+    val cases = samples(
+      for {
+        pts <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 7200L * 1000000L))
+        ivs <- Gen.nonEmptyListOf(for {
+          s <- Gen.chooseNum(0L, 7200L * 1000000L)
+          len <- Gen.chooseNum(0L, 60L * 1000000L) // ≤ 60 s, micros
+        } yield (s, s + len))
+      } yield (pts.distinct, ivs.distinct), 4)
+    for (((pts, ivs), ci) <- cases.zipWithIndex) {
+      // build timestamps from micros so sub-ms digits survive
+      val pointsM = pts.zipWithIndex
+        .map { case (t, i) => (i.toLong, Timestamp.from(java.time.Instant.EPOCH.plusNanos(t * 1000))) }
+        .toDF("pid", "pts")
+      val intervalsM = ivs.zipWithIndex.map { case ((s, e), i) =>
+        (i.toLong, Timestamp.from(java.time.Instant.EPOCH.plusNanos(s * 1000)),
+          Timestamp.from(java.time.Instant.EPOCH.plusNanos(e * 1000)))
+      }.toDF("iid", "istart", "iend")
+      for (band <- Seq(60L, 600L)) {
+        val banded = RangeJoin.pointInInterval(pointsM, col("pts"),
+            intervalsM, col("istart"), col("iend"),
+            bandSeconds = band, maxLenSeconds = 60L)
+          .select(col("pid"), col("iid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val naive = pointsM.join(intervalsM,
+            col("pts") >= col("istart") && col("pts") <= col("iend"))
+          .select(col("pid"), col("iid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(banded.sorted.toSeq === naive.sorted.toSeq,
+          s"case $ci band $band: banded ${banded.length} vs naive ${naive.length}")
+      }
+    }
+  }
+
   test("q_range_join plans an equi-join on the band — no nested loop") {
     val df = Joins.queries("q_range_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
