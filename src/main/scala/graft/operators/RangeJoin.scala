@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * BroadcastNestedLoopJoin — |P|·|I| comparisons, the classic
   * 100 TB killer.
   *
-  * The fix is the textbook banding rewrite (the same trick interval
-  * databases and Databricks' range-join hints use): quantize time into
+  * The fix is the textbook banding rewrite (the standard interval-join
+  * optimization in the database literature): quantize time into
   * fixed-width bands, tag every point with its ONE band, replicate every
   * interval into the (at most two, for length ≤ band width) bands it can
   * reach, equi-join on the band, and apply the exact BETWEEN as a
