@@ -35,6 +35,7 @@ object SparkEntry {
     (StreamsQ.queries, StreamsQ.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (SeriesExtra.queries, SeriesExtra.oracle),
+    (Sketches.queries, Sketches.oracle),
     (Extras.queries, Extras.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
