@@ -36,6 +36,7 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracle),
     (SeriesExtra.queries, SeriesExtra.oracle),
     (Sketches.queries, Sketches.oracle),
+    (Analytics.queries, Analytics.oracle),
     (Extras.queries, Extras.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
