@@ -37,6 +37,7 @@ object SparkEntry {
     (SeriesExtra.queries, SeriesExtra.oracle),
     (Sketches.queries, Sketches.oracle),
     (Analytics.queries, Analytics.oracle),
+    (Reshape.queries, Reshape.oracle),
     (Extras.queries, Extras.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
