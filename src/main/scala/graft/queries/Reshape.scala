@@ -71,6 +71,29 @@ object Reshape {
         countDistinct(col("o_orderpriority")).as("u_orderpriority"))
     }),
 
+    // pandas pivot_table(index, columns, values, aggfunc='sum',
+    // margins=True): the detail grid as conditional exact-decimal sums
+    // (a static column set — no dynamic pivot pass over the data to
+    // discover keys), the margin row as the SAME aggregate without the
+    // grouping key, unioned in. Two map-side-combining passes over the
+    // source; the margin row costs a 1-row aggregate, not a cube.
+    "q_pivot_margins" -> ((s, dir) => {
+      val price = col("o_totalprice").cast(DecimalType(30, 2))
+      def cell(st: String) =
+        sum(when(col("o_orderstatus") === st, price)).cast("double")
+      val o = Tables(s, dir, "orders")
+      val detail = o.groupBy(col("o_orderpriority"))
+        .agg(cell("F").as("f_sum"), cell("O").as("o_sum"),
+          cell("P").as("p_sum"), sum(price).cast("double").as("all_sum"))
+      val margin = o.agg(cell("F").as("f_sum"), cell("O").as("o_sum"),
+          cell("P").as("p_sum"), sum(price).cast("double").as("all_sum"))
+        .withColumn("o_orderpriority", lit("All"))
+        .select(detail.columns.map(col): _*)
+      detail.unionByName(margin)
+        .orderBy((col("o_orderpriority") === "All").cast("int"),
+          col("o_orderpriority"))
+    }),
+
     // str.translate / str.repeat / str.slice_replace — pure
     // projections; slice_replace is the substr composition (pandas
     // s.str.slice_replace(1, 3, 'XX')) spelled identically on both
@@ -123,6 +146,30 @@ object Reshape {
         |  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS u_totalprice,
         |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS u_orderpriority
         |FROM orders""".stripMargin,
+
+    "q_pivot_margins" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS f_sum,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS o_sum,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |      THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS p_sum,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS all_sum
+        |  FROM orders GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'All',
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE),
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |      THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |  FROM orders)
+        |SELECT * FROM cells
+        |ORDER BY CAST(o_orderpriority = 'All' AS INT), o_orderpriority""".stripMargin,
 
     "q_str_translate" ->
       """SELECT doc_id,

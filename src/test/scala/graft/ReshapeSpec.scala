@@ -51,6 +51,25 @@ class ReshapeSpec extends SparkSpecBase {
       u("o_totalprice"), u("o_orderpriority"))))
   }
 
+  test("pivot margins equal the detail sums on both axes") {
+    val rows = Reshape.queries("q_pivot_margins")(spark, sf)
+      .as[(String, Option[Double], Option[Double], Option[Double], Double)]
+      .collect()
+    val (detail, margin) = rows.partition(_._1 != "All")
+    assert(margin.length == 1 && detail.nonEmpty)
+    def tol(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    // Margin row = column-wise sum of detail rows (exact decimal sums,
+    // so double equality holds to an ulp of the shared decimal total).
+    assert(tol(margin.head._5, detail.map(_._5).sum))
+    assert(tol(margin.head._2.getOrElse(0.0),
+      detail.flatMap(_._2).sum))
+    // Row margin = sum across status cells for every row.
+    rows.foreach { r =>
+      assert(tol(r._5,
+        r._2.getOrElse(0.0) + r._3.getOrElse(0.0) + r._4.getOrElse(0.0)))
+    }
+  }
+
   test("slice_replace composition matches pandas semantics on edges") {
     // pandas s.str.slice_replace(1, 3, 'XX'): chars [1,3) replaced —
     // strings shorter than the stop still splice (tail is empty).
