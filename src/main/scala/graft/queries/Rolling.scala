@@ -424,6 +424,33 @@ object Rolling {
             .as("gap_days"),
           lead(col("l_quantity"), 1).over(w).as("next_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // first_value / last_value / nth_value over the full per-key frame
+    // (pandas groupby().first()/last()/nth(1) on an explicit order) —
+    // one row per key via the rank filter, so the window pass and the
+    // reduction ride a single supplier shuffle. Same completed total
+    // order as q_lead_lag (tied ship dates would let engines pick
+    // different first/last rows).
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+      val wf = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing)
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_shipdate"), col("l_quantity"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("first_qty", first(col("l_quantity")).over(wf))
+        .withColumn("last_qty", last(col("l_quantity")).over(wf))
+        .withColumn("second_qty", nth_value(col("l_quantity"), 2).over(wf))
+        .filter(col("__rn") === 1)
+        .select(col("l_suppkey"), col("first_qty"), col("last_qty"),
+          col("second_qty"))
+        .orderBy(col("l_suppkey"))
     })
   )
 
@@ -637,6 +664,21 @@ object Rolling {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_firstlast" ->
+      """WITH t AS (SELECT l_suppkey,
+        |  row_number() OVER w AS rn,
+        |  first_value(l_quantity) OVER wf AS first_qty,
+        |  last_value(l_quantity) OVER wf AS last_qty,
+        |  nth_value(l_quantity, 2) OVER wf AS second_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey),
+        |wf AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT l_suppkey, first_qty, last_qty, second_qty
+        |FROM t WHERE rn = 1 ORDER BY l_suppkey""".stripMargin
   )
 }

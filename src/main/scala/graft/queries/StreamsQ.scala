@@ -23,6 +23,22 @@ object StreamsQ {
     // the same sessions via flatMapGroupsWithState on the stream
     "q_sessionize_stream" -> ((s, dir) => Streams.sessionizeStream(s, dir)),
 
+    // the same sessions a THIRD way: Spark's native session_window
+    // aggregate (dynamic-gap session windows merged inside the
+    // aggregation operator — one user-keyed shuffle, no window-lag
+    // pass). The three-way agreement (gap/cumsum ≡ state fold ≡
+    // native operator) is the strongest pin the session rule gets;
+    // session_start ≡ window.start because the window opens at its
+    // first event.
+    "q_session_window_native" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("__w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("__w.start").as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // streaming exact dedup: dropDuplicates state emits each distinct
     // (event_type, user_id) once; finishing pass counts per type
     "q_stream_dedup" -> ((s, dir) => Streams.dedupStream(s, dir)),
@@ -96,6 +112,28 @@ object StreamsQ {
     "q_events_stream" -> windowSql,
     "q_sessionize" -> sessionSql,
     "q_sessionize_stream" -> sessionSql,
+    // the native-operator twin drops session_id (the operator exposes
+    // window bounds, not ordinals) — grouping is still per session.
+    // Boundary: Spark session windows are CLOSED at the far end — an
+    // event at exactly last+gap still merges (SessionWindowSpec pins
+    // it) — so the new-session rule is the same strict > the
+    // gap/cumsum twin uses.
+    "q_session_window_native" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS ns
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+        |FROM g)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
