@@ -38,6 +38,7 @@ object SparkEntry {
     (Sketches.queries, Sketches.oracle),
     (Analytics.queries, Analytics.oracle),
     (Reshape.queries, Reshape.oracle),
+    (SearchOps.queries, SearchOps.oracle),
     (Extras.queries, Extras.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */

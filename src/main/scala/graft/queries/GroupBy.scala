@@ -742,6 +742,34 @@ object GroupBy {
         .orderBy(col("l_orderkey"))
     }),
 
+    // groupby.idxmax()/idxmin() (`sdc/datatypes/hpat_pandas_series
+    // _functions.py` idxmax/idxmin are whole-column — q_idxmax; the
+    // per-group form is the everyday argmax-row pandas op). pandas
+    // returns the FIRST index hitting the extreme, so the tie-break is
+    // the (orderkey, linenumber) position key. Each branch is a
+    // rank-1 filter that Spark plans as map-side WindowGroupLimit
+    // (one survivor per group per mapper before the shuffle — pinned
+    // for q_groupby_topk in PlanShapeSpec), so a 3-value key is no
+    // reducer funnel; the union of the two branches shares the scan.
+    "q_groupby_idxmax" -> ((s, dir) => {
+      val base = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+      def pick(w: org.apache.spark.sql.expressions.WindowSpec, which: String) =
+        base.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("l_returnflag"), lit(which).as("which"),
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val wMax = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").asc, col("l_orderkey"), col("l_linenumber"))
+      pick(wMax, "idxmax").unionAll(pick(wMin, "idxmin"))
+        .orderBy(col("l_returnflag"), col("which"))
+    }),
+
     // pivot_table(index, columns, values, aggfunc='sum') — reference
     // `sdc/tests/test_groupby.py:743-760` (legacy HPAT pivot surface, the
     // pivot values declared up front like its `pivots={'pt': [...]}`
@@ -1181,6 +1209,20 @@ object GroupBy {
       """SELECT c_mktsegment,
         |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_groupby_idxmax" ->
+      """WITH base AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    l_quantity FROM lineitem),
+        |mx AS (SELECT l_returnflag, 'idxmax' AS which, l_orderkey,
+        |    l_linenumber, l_quantity FROM base
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber) = 1),
+        |mn AS (SELECT l_returnflag, 'idxmin' AS which, l_orderkey,
+        |    l_linenumber, l_quantity FROM base
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity ASC, l_orderkey, l_linenumber) = 1)
+        |SELECT * FROM mx UNION ALL SELECT * FROM mn
+        |ORDER BY l_returnflag, which""".stripMargin,
 
     "q_groupby_prod" ->
       """SELECT l_orderkey,

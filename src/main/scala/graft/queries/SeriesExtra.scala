@@ -173,10 +173,80 @@ object SeriesExtra {
           (((minRank + col("__cum")).cast("double") / 2.0)
             / col("__n").cast("double")).as("rank_pct"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // pd.factorize(): value → dense code by FIRST-APPEARANCE order.
+    // Distributed shape: codes are a property of the distinct-value
+    // set, so the heavy pass is one hash aggregate (value → min
+    // position); the row_number window then runs over |distinct
+    // values| rows only — never the table. Emitting the mapping table
+    // (value, code, n) rather than a per-row codes column is the
+    // scale-correct deliverable; a per-row column is one broadcast
+    // join away.
+    "q_factorize" -> ((s, dir) => {
+      val firsts = Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(min(col("event_id")).as("__first"), count(lit(1)).as("n"))
+      firsts
+        .withColumn("code",
+          (row_number().over(Window.orderBy(col("__first"))) - 1).cast("int"))
+        .select(col("event_type"), col("code"), col("n"))
+        .orderBy(col("code"))
+    }),
+
+    // S.searchsorted(probes, side='left'/'right'): insertion position =
+    // COUNT(v < p) / COUNT(v ≤ p). The probe list is tiny and static,
+    // so the scale-correct plan is ONE scan with 2·|probes|
+    // conditional sums (map-side partials) — no per-probe pass, no
+    // probe×rows explode — then an in-row unpivot of the 1-row
+    // aggregate back to (p, pos_left, pos_right) rows.
+    "q_searchsorted" -> ((s, dir) => {
+      val probes = Seq(1.0, 50.0, 125.0, 250.0, 375.0, 490.0)
+      val aggs = probes.zipWithIndex.flatMap { case (p, i) => Seq(
+        sum(when(col("value") < p, 1L).otherwise(0L)).as(s"__l$i"),
+        sum(when(col("value") <= p, 1L).otherwise(0L)).as(s"__r$i")) }
+      Tables(s, dir, "events").agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(probes.zipWithIndex.map { case (p, i) =>
+          struct(lit(p).as("p"), col(s"__l$i").as("pos_left"),
+            col(s"__r$i").as("pos_right")) }: _*)).as("s"))
+        .select(col("s.p"), col("s.pos_left"), col("s.pos_right"))
+        .orderBy(col("p"))
+    }),
+
+    // S.where(cond) / S.mask(cond, other): keep-else-null and
+    // replace-where-true — pure projections, whole-stage codegen.
+    "q_where_mask" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 150000.0, col("o_totalprice"))
+            .as("where_hi"),
+          when(col("o_orderstatus") === "F", lit(0.0))
+            .otherwise(col("o_totalprice")).as("mask_f"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_factorize" ->
+      """SELECT event_type,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY MIN(event_id)) - 1 AS INT) AS code,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY code""".stripMargin,
+
+    "q_searchsorted" ->
+      """SELECT p,
+        |  CAST(COUNT(*) FILTER (WHERE value < p) AS BIGINT) AS pos_left,
+        |  CAST(COUNT(*) FILTER (WHERE value <= p) AS BIGINT) AS pos_right
+        |FROM events CROSS JOIN
+        |  (SELECT unnest([1.0, 50.0, 125.0, 250.0, 375.0, 490.0]) AS p) probes
+        |GROUP BY p ORDER BY p""".stripMargin,
+
+    "q_where_mask" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 150000.0 THEN o_totalprice END AS where_hi,
+        |  CASE WHEN o_orderstatus = 'F' THEN 0.0 ELSE o_totalprice END AS mask_f
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_diff" ->
       """SELECT o_orderkey,
         |  o_totalprice - LAG(o_totalprice) OVER (ORDER BY o_orderkey) AS diff
