@@ -66,4 +66,52 @@ object RangeJoin {
     p.join(i, p(BAND) === i(BAND) && pTs.between(iStart, iEnd))
       .drop(BAND)
   }
+
+  /** Interval×interval overlap join (inclusive endpoints): pairs where
+    * `[lStart, lEnd]` and `[rStart, rEnd]` intersect — session
+    * concurrency, attribution-vs-outage audits, any two timelines.
+    *
+    * Same banding rewrite, both sides replicated to their ≤2 reachable
+    * bands — but now a qualifying pair could meet in TWO bands, so the
+    * dedup is the standard overlap-start rule: the pair is emitted only
+    * in `band(max(lStart, rStart))`, the band where the overlap begins.
+    * That band is always in both replica sets: `max(lStart, rStart) ≤
+    * min(lEnd, rEnd) ≤ either start + maxLen`, and truncation is
+    * monotone (the [[pointInInterval]] argument applied twice). So each
+    * overlapping pair meets exactly once and the rewrite stays an
+    * ordinary shuffled equi-join on (band, equi keys) — no distinct
+    * pass, no nested loop.
+    *
+    * Column names must be disjoint across the two inputs (pre-alias);
+    * `equi` lists (leftCol, rightCol) equality pairs (e.g. the user
+    * key) that ride the hash-join key alongside the band.
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bandSeconds: Long, maxLenSeconds: Long,
+                      equi: Seq[(String, String)] = Nil): DataFrame = {
+    require(bandSeconds > 0, s"bandSeconds must be positive: $bandSeconds")
+    require(maxLenSeconds <= bandSeconds,
+      s"interval length bound $maxLenSeconds exceeds band width " +
+        s"$bandSeconds — the 2-replica cover would miss overlaps")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "interval frames must have disjoint column names — pre-alias")
+    val lBand = BAND + "_l"
+    val rBand = BAND + "_r"
+    val l = {
+      val b0 = floor(unix_timestamp(col(lStart)) / bandSeconds)
+      left.withColumn(lBand, b0).unionByName(left.withColumn(lBand, b0 + 1))
+    }
+    val r = {
+      val b0 = floor(unix_timestamp(col(rStart)) / bandSeconds)
+      right.withColumn(rBand, b0).unionByName(right.withColumn(rBand, b0 + 1))
+    }
+    val overlapStartBand =
+      floor(unix_timestamp(greatest(col(lStart), col(rStart))) / bandSeconds)
+    val cond = (col(lBand) === col(rBand)) +: equi.map { case (a, b) =>
+        col(a) === col(b) } :+
+      (col(lStart) <= col(rEnd)) :+ (col(rStart) <= col(lEnd)) :+
+      (col(lBand) === overlapStartBand)
+    l.join(r, cond.reduce(_ && _)).drop(lBand, rBand)
+  }
 }

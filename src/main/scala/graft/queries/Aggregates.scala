@@ -245,6 +245,40 @@ object Aggregates {
           expr("round((sxy - sx*sy/n) / (n-1), 4)").as("cov_qp"))
     }),
 
+    // df.corr() — the PAIRWISE correlation matrix over k numeric
+    // columns, as one aggregate pass: all k power sums and k·(k−1)/2
+    // cross sums ride a single scan with map-side partials (exact
+    // decimals, the q_corr_cov recipe), then each pair's corr is a
+    // deterministic double expression over the broadcast 1-row frame,
+    // unpivoted in-row to tidy (var_a, var_b, corr) rows. At 100 TB
+    // this is ONE shuffle of a single short row regardless of k.
+    "q_corr_matrix" -> ((s, dir) => {
+      val cols = Seq(
+        "q" -> col("l_quantity"), "e" -> col("l_extendedprice"),
+        "d" -> col("l_discount"))
+      val names = Map("q" -> "l_quantity", "e" -> "l_extendedprice",
+        "d" -> "l_discount")
+      val sums = cols.map { case (k, c) => dsum(c).as(s"s_$k") } ++
+        (for ((ka, a) <- cols; (kb, b) <- cols if ka <= kb)
+          yield sum((a * b).cast(DecimalType(38, 4))).cast("double")
+            .as(s"s_$ka$kb"))
+      val agged = Tables(s, dir, "lineitem")
+        .agg(count(lit(1)).cast("double").as("n"), sums: _*)
+      def corr(ka: String, kb: String) = {
+        val (sa, sb) = (col(s"s_$ka"), col(s"s_$kb"))
+        val (saa, sbb) = (col(s"s_$ka$ka"), col(s"s_$kb$kb"))
+        val sab = col(s"s_$ka$kb")
+        round((col("n") * sab - sa * sb) /
+          (sqrt(col("n") * saa - sa * sa) * sqrt(col("n") * sbb - sb * sb)), 6)
+      }
+      agged.select(explode(array(
+          (for ((ka, _) <- cols; (kb, _) <- cols if ka < kb) yield
+            struct(lit(names(ka)).as("var_a"), lit(names(kb)).as("var_b"),
+              corr(ka, kb).as("corr"))): _*)).as("s"))
+        .select(col("s.var_a"), col("s.var_b"), col("s.corr"))
+        .orderBy(col("var_a"), col("var_b"))
+    }),
+
     // Simple least-squares regression (l_quantity → l_extendedprice) in
     // closed form over the same exact decimal power sums as q_corr_cov:
     // one aggregation pass, slope/intercept/r² as pure double arithmetic
@@ -427,6 +461,33 @@ object Aggregates {
         |SELECT ROUND((n*sxy - sx*sy) /
         |         (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 6) AS corr_qp,
         |       ROUND((sxy - sx*sy/n) / (n-1), 4) AS cov_qp FROM s""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH s AS (SELECT
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS s_q,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS s_e,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) AS s_d,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s_qq,
+        |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS s_ee,
+        |    CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(38,4))) AS DOUBLE) AS s_dd,
+        |    CAST(SUM(CAST(l_extendedprice*l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s_eq,
+        |    CAST(SUM(CAST(l_discount*l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s_dq,
+        |    CAST(SUM(CAST(l_discount*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS s_de
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_discount' AS var_a, 'l_extendedprice' AS var_b,
+        |    ROUND((n*s_de - s_d*s_e) /
+        |      (SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_ee - s_e*s_e)), 6) AS corr FROM s
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_quantity',
+        |    ROUND((n*s_dq - s_d*s_q) /
+        |      (SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_qq - s_q*s_q)), 6) FROM s
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_quantity',
+        |    ROUND((n*s_eq - s_e*s_q) /
+        |      (SQRT(n*s_ee - s_e*s_e) * SQRT(n*s_qq - s_q*s_q)), 6) FROM s)
+        |ORDER BY var_a, var_b""".stripMargin,
 
     "q_linreg" ->
       """WITH s AS (SELECT

@@ -724,6 +724,22 @@ object GroupBy {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // groupby.quantile(q=[...]) — the parameterized twin of
+    // q_groupby_median (same per-group exact value-map aggregate,
+    // linear interpolation; fine for the handful of groups here — for
+    // high-cardinality value domains the two-pass rank machinery of
+    // q_agg_quantile is the scale path). One array-percentile pass,
+    // both quantiles from the same sketchless exact state.
+    "q_groupby_quantile" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("percentile(c_acctbal, array(0.25D, 0.75D))").as("__p"))
+        .select(col("c_mktsegment"),
+          round(element_at(col("__p"), 1), 6).as("q25_bal"),
+          round(element_at(col("__p"), 2), 6).as("q75_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // groupby.prod (`sdc/datatypes/hpat_pandas_groupby_functions.py:421`):
     // per-group product as a hash aggregate (map-side partial products —
     // product is commutative/associative, so the two-phase plan is the
@@ -1208,6 +1224,12 @@ object GroupBy {
     "q_groupby_median" ->
       """SELECT c_mktsegment,
         |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_groupby_quantile" ->
+      """SELECT c_mktsegment,
+        |  ROUND(quantile_cont(c_acctbal, 0.25), 6) AS q25_bal,
+        |  ROUND(quantile_cont(c_acctbal, 0.75), 6) AS q75_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_groupby_idxmax" ->

@@ -328,6 +328,37 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // Interval×interval overlap join (session concurrency): per user,
+    // every (click-window, purchase-window) pair whose 5-minute
+    // windows intersect, aggregated to per-user overlap accounting.
+    // The banded rewrite emits each pair exactly once (overlap-start
+    // band rule — see RangeJoin.intervalOverlap); (band, user) is the
+    // hash-join key, so the plan is one ordinary shuffled equi-join,
+    // never BroadcastNestedLoopJoin. Overlap durations are exact epoch-
+    // micro longs on both engines.
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      def windows(etype: String, p: String) = ev
+        .filter(col("event_type") === etype)
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+          col("ts").as(s"${p}_start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as(s"${p}_end"))
+      val pairs = RangeJoin.intervalOverlap(
+        windows("click", "c"), "c_start", "c_end",
+        windows("purchase", "p"), "p_start", "p_end",
+        bandSeconds = 300L, maxLenSeconds = 300L,
+        equi = Seq(("c_user", "p_user")))
+      pairs
+        .select(col("c_user").as("user_id"),
+          (unix_micros(least(col("c_end"), col("p_end"))) -
+            unix_micros(greatest(col("c_start"), col("p_start"))))
+            .as("overlap_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("overlap_us")).as("sum_overlap_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // index-alignment join of two keyed series + add with fill_value=0
     // (reference `_sdc_internal_join` + fill_value semantics, §2.10)
     "q_align_fill_add" -> ((s, dir) => {
@@ -545,6 +576,23 @@ object Joins {
         |  ON c.cts >= v.vts AND c.cts <= v.vend
         |GROUP BY c.event_id
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS c_start,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS c_end
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS p_start,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS p_end
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, COUNT(*) AS n_overlaps,
+        |  CAST(SUM(epoch_us(LEAST(c_end, p_end)) -
+        |           epoch_us(GREATEST(c_start, p_start))) AS BIGINT)
+        |    AS sum_overlap_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c_start <= p_end AND p_start <= c_end
+        |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
 
     "q_align_fill_add" ->
       """WITH bal AS (

@@ -116,6 +116,37 @@ object SearchOps {
         .orderBy(col("source"))
     }),
 
+    // ——— blocked fuzzy matching (edit distance) ———
+    // Entity-resolution / catalog-dedup shape: exact Levenshtein is
+    // quadratic, so candidates are BLOCKED on (brand, type) — cheap
+    // equi-keys that near-dups must share — with the same window-count
+    // block cap minhashPairs/ngramJaccard carry (an uncapped hot block
+    // is a straggler task at 100 TB; 200 covers the fixture's max 165).
+    // In-block pairs meet in one shuffled equi-join keyed by the block,
+    // the d≤2 verify runs on candidates only, and the output is the
+    // per-brand accounting (exact integer counts).
+    "q_str_fuzzy" -> ((s, dir) => {
+      val cap = 200
+      val base = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
+      val wc = Window.partitionBy(col("p_brand"), col("p_type"))
+      val capped = base.withColumn("__bn", count(lit(1)).over(wc))
+        .filter(col("__bn") <= cap).drop("__bn")
+      val a = capped.select(col("p_brand"), col("p_type"),
+        col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = capped.select(col("p_brand").as("__b2"), col("p_type").as("__t2"),
+        col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(b, col("p_brand") === col("__b2") && col("p_type") === col("__t2") &&
+          col("id_a") < col("id_b"))
+        .select(col("p_brand"),
+          levenshtein(col("name_a"), col("name_b")).as("d"))
+        .filter(col("d") <= 2)
+        .groupBy(col("p_brand"))
+        .agg(sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("d").between(1, 2), 1L).otherwise(0L)).as("n_near"))
+        .orderBy(col("p_brand"))
+    }),
+
     // ——— Z-order clustering key ———
     // The lakehouse layout primitive: interleave the low 16 bits of
     // two scan-predicate columns (custkey, days-since-epoch of
@@ -193,6 +224,21 @@ object SearchOps {
         |    AS dup_rate,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM fp GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_str_fuzzy" ->
+      """WITH b AS (SELECT p_partkey, p_brand, p_type, p_name FROM part),
+        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY p_brand, p_type)
+        |    AS bn FROM b),
+        |capped AS (SELECT * FROM sized WHERE bn <= 200),
+        |pairs AS (SELECT a.p_brand, levenshtein(a.p_name, c.p_name) AS d
+        |  FROM capped a JOIN capped c
+        |    ON a.p_brand = c.p_brand AND a.p_type = c.p_type
+        |   AND a.p_partkey < c.p_partkey)
+        |SELECT p_brand,
+        |  CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN d BETWEEN 1 AND 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_near
+        |FROM pairs WHERE d <= 2 GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_zorder_layout" -> {
       val terms = (0 until 16).map { i =>

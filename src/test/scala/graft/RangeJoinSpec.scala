@@ -105,4 +105,51 @@ class RangeJoinSpec extends SparkSpecBase {
         bandSeconds = 60L, maxLenSeconds = 61L)
     }
   }
+
+  test("interval overlap equals the naive theta join on generated timelines, each pair once") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(9131L + i)))
+    val gen = for {
+      ls <- Gen.nonEmptyListOf(for {
+        s <- Gen.chooseNum(0L, 7200L * 1000000L)
+        len <- Gen.chooseNum(0L, 60L * 1000000L)
+      } yield (s, s + len))
+      rs <- Gen.nonEmptyListOf(for {
+        s <- Gen.chooseNum(0L, 7200L * 1000000L)
+        len <- Gen.chooseNum(0L, 60L * 1000000L)
+      } yield (s, s + len))
+    } yield (ls.distinct, rs.distinct)
+    for (((ls, rs), ci) <- samples(gen, 4).zipWithIndex) {
+      def frame(ivs: Seq[(Long, Long)], p: String) =
+        ivs.zipWithIndex.map { case ((a, b), i) =>
+          (i.toLong, Timestamp.from(java.time.Instant.EPOCH.plusNanos(a * 1000)),
+            Timestamp.from(java.time.Instant.EPOCH.plusNanos(b * 1000)))
+        }.toDF(s"${p}id", s"${p}start", s"${p}end")
+      val l = frame(ls, "l")
+      val r = frame(rs, "r")
+      for (band <- Seq(60L, 600L)) {
+        val banded = RangeJoin.intervalOverlap(l, "lstart", "lend",
+            r, "rstart", "rend", bandSeconds = band, maxLenSeconds = 60L)
+          .select(col("lid"), col("rid"))
+          .collect().map(x => (x.getLong(0), x.getLong(1)))
+        val naive = l.join(r,
+            col("lstart") <= col("rend") && col("rstart") <= col("lend"))
+          .select(col("lid"), col("rid"))
+          .collect().map(x => (x.getLong(0), x.getLong(1)))
+        // exactly-once AND complete: multiset equality against the theta join
+        assert(banded.sorted.toSeq === naive.sorted.toSeq,
+          s"case $ci band $band: banded ${banded.length} vs naive ${naive.length}")
+      }
+    }
+  }
+
+  test("q_interval_overlap plans a hash/merge equi-join, never a nested loop") {
+    val df = Joins.queries("q_interval_overlap")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "banded interval overlap must not plan a nested loop:\n" + p.take(1200))
+  }
 }
