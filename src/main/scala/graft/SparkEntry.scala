@@ -64,6 +64,8 @@ object SparkEntry {
     "q_tfidf", "q_ngram_counts", "q_corpus_clean", "q_contamination",
     "q_contamination_bloom",
     "q_apply_lambda", "q_cumsum",
+    "q_bm25", "q_str_fuzzy", "q_interval_overlap", "q_zorder_layout",
+    "q_corr_matrix",
     "q_cube", "q_approx_quantile", "q_standardize", "q_emb_topk_per_label",
     "q_media_decode", "q_emb_neardup", "q_emb_quantize",
     "q_events_stream", "q_sessionize")

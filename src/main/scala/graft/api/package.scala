@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{Dedup, GlobalOrder, MergeAsof, Parallelism,
-  Similarity, Skew}
+  RangeJoin, Similarity, Skew}
 
 /** User-facing library surface: the reference's pandas-style operations
   * as extension methods over DataFrame (`import graft.api._`).
@@ -192,5 +192,22 @@ package object api {
                     threshold: Double = 0.95): DataFrame =
       Similarity.cosineNearDupPairs(df, idCol, embCol, dim,
         threshold = threshold)
+
+    // ——— range/interval joins (banded rewrites — no nested loops) ———
+
+    /** Point-in-interval containment join against `intervals`. */
+    def rangeJoinPoints(pTs: Column, intervals: DataFrame,
+                        iStart: Column, iEnd: Column,
+                        bandSeconds: Long, maxLenSeconds: Long): DataFrame =
+      RangeJoin.pointInInterval(df, pTs, intervals, iStart, iEnd,
+        bandSeconds, maxLenSeconds)
+
+    /** Interval-overlap join (each overlapping pair exactly once). */
+    def overlapJoin(lStart: String, lEnd: String, right: DataFrame,
+                    rStart: String, rEnd: String,
+                    bandSeconds: Long, maxLenSeconds: Long,
+                    equi: Seq[(String, String)] = Nil): DataFrame =
+      RangeJoin.intervalOverlap(df, lStart, lEnd, right, rStart, rEnd,
+        bandSeconds, maxLenSeconds, equi)
   }
 }

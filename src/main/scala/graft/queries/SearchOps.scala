@@ -35,28 +35,29 @@ object SearchOps {
     // score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     // Robertson idf = ln(1 + (N−df+0.5)/(df+0.5)).
     //
-    // Scale shape: the term filter lands DIRECTLY on the exploded token
-    // stream (predicate pushdown below the TF aggregate), so only
-    // (doc, query-term) rows — |q|·|D| at worst, not |V|·|D| — enter
-    // the hash agg. Corpus stats (N, avgdl, per-term df) are two tiny
-    // aggregates broadcast into the scoring projection; the per-doc
-    // score is one more doc-keyed hash agg and the top-k is
-    // TakeOrderedAndProject (no global sort materializes). dl counts
-    // ALL tokens (not just query terms) — carried as one more column
-    // on the tokenize pass, aggregated first, so the text column never
-    // crosses a shuffle.
+    // Scale shape: ONE tokenize+explode pass builds the full
+    // (doc, term, tf) frame — dl (ALL tokens per doc) forces that pass
+    // anyway, so it is materialized once (the TF-checkpoint pattern;
+    // without it Catalyst plans the regex scan once per consumer —
+    // measured 4 document scans in the naive spelling). Everything
+    // downstream runs on the compact TF frame: dl is a doc-keyed agg,
+    // the query-term filter cuts it to |q|·|D| rows before the scoring
+    // join, corpus stats (N, avgdl, per-term df) are tiny broadcast
+    // aggregates, and the top-k is TakeOrderedAndProject (no global
+    // sort materializes).
     //
     // Determinism: tf/df/dl/N are exact integers; both engines compute
     // the identical double expression from them, and the top-k orders
     // by the 6-dp ROUNDED score with doc_id tie-break.
     "q_bm25" -> ((s, dir) => {
       val docs = Parallelism.fanOut(Tables(s, dir, "documents"))
-      val toks = docs
+      val tfAll = docs
         .select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val qtf = toks.filter(col("term").isin(bm25Terms: _*))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val qtf = tfAll.filter(col("term").isin(bm25Terms: _*))
       val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val corpus = dl.agg(count(lit(1)).cast("double").as("n"),
         avg(col("dl")).as("avgdl"))

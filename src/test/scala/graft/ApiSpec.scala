@@ -95,4 +95,18 @@ class ApiSpec extends SparkSpecBase {
       .collect().toSeq
     assert(got == Seq(("a", 1L, "A"), ("a", 2L, "A")))
   }
+
+  test("overlapJoin via the façade equals the theta join") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, t("2024-01-01 00:00:00"), t("2024-01-01 00:00:40")),
+        (2L, t("2024-01-01 00:02:00"), t("2024-01-01 00:02:30")))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, t("2024-01-01 00:00:30"), t("2024-01-01 00:01:10")),
+        (11L, t("2024-01-01 00:05:00"), t("2024-01-01 00:05:30")))
+      .toDF("rid", "rs", "re")
+    val got = l.overlapJoin("ls", "le", r, "rs", "re",
+        bandSeconds = 60L, maxLenSeconds = 60L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L)))
+  }
 }
