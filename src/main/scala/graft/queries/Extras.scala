@@ -478,6 +478,26 @@ object Extras {
         .orderBy(col("lang"))
     }),
 
+    // SEMANTIC dedup end-to-end (the embedding-space twin of
+    // q_dedup_apply): hyperplane-LSH cosine pairs → connected
+    // components → keep the min-id representative per cluster →
+    // per-label survivor accounting. Same composition, same scale
+    // arguments: bucketed candidate generation (no all-pairs), label
+    // propagation over the pair graph only (never |V|), exact integer
+    // outputs. This is the "near-duplicate semantic content" stage a
+    // training-data pipeline runs AFTER lexical dedup stops firing.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        dim = 64, planes = 6, threshold = 0.30)
+      val cc = Dedup.connectedComponents(pairs)
+      e.join(cc, col("vec_id") === col("id"), "left")
+        .filter(col("vec_id") === coalesce(col("cluster"), col("vec_id")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"))
+    }),
+
     // SimHash signatures (md5-derived bits — hash-checked against the
     // DuckDB replica below)
     "q_simhash" -> ((s, dir) => {
@@ -1454,6 +1474,40 @@ object Extras {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    // cosineNearDupPairs + min-label components + survivors: the same
+    // pair CTEs as q_emb_neardup, a recursive reachability closure
+    // (the ccCtes shape on the vec graph), keep-min-representative.
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE ${planesCte(6)},
+        |dots AS (SELECT vec_id, p,
+        |  ${foldDot("embedding", "pl")} AS dot
+        |  FROM embeddings, planes),
+        |sigs AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |small AS (SELECT sig FROM sigs GROUP BY sig HAVING COUNT(*) <= 1000),
+        |member AS (SELECT s.vec_id, s.sig FROM sigs s JOIN small USING (sig)),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM member a JOIN member b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |prs AS (SELECT id_a, id_b,
+        |  ${foldDot("ea.embedding", "eb.embedding")} /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, 64),
+        |     i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, 64),
+        |     i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cs
+        |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+        |            JOIN embeddings eb ON eb.vec_id = cand.id_b),
+        |pr AS (SELECT id_a, id_b FROM prs WHERE cs >= 0.30),
+        |eg AS (SELECT id_a AS a, id_b AS b FROM pr
+        |       UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT a AS node, a AS lab FROM eg
+        |          UNION SELECT eg.b, reach.lab FROM reach JOIN eg ON eg.a = reach.node),
+        |cc AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
+        |SELECT emb.label AS label, COUNT(*) AS n_vecs
+        |FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id
+        |WHERE emb.vec_id = COALESCE(cc.cluster, emb.vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // cosineNearDupPairs replica: 6-plane signatures, ≤1000 bucket cap,
     // in-bucket pairs, exact cosine ≥ 0.30 (unrounded filter, rounded

@@ -334,4 +334,20 @@ class PlanShapeSpec extends SparkSpecBase {
       TextOps.stopwordRatio(col("text")), TextOps.qualityScore3(col("text")),
       TextOps.langId(col("text")), TextOps.fingerprint(col("text"))))
   }
+
+  test("bm25 and zorder bound their top-k — TakeOrdered, no global sort exchange") {
+    for (name <- Seq("q_bm25", "q_zorder_layout")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name must plan the limit as TakeOrderedAndProject:\n" + p.take(800))
+    }
+  }
+
+  test("fuzzy matching joins on the block key — never a nested loop — and gates block size") {
+    val df = SparkEntry.queries("q_str_fuzzy")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "blocked fuzzy join must stay an equi-join:\n" + p.take(1200))
+    assert(p.contains("Window"), "the block-size cap must ride a window count")
+  }
 }
