@@ -39,6 +39,7 @@ object SparkEntry {
     (Analytics.queries, Analytics.oracle),
     (Reshape.queries, Reshape.oracle),
     (SearchOps.queries, SearchOps.oracle),
+    (EventAnalytics.queries, EventAnalytics.oracle),
     (Extras.queries, Extras.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -343,6 +343,13 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("upsert latest-wins plans the rank-1 filter as map-side WindowGroupLimit") {
+    val p = plan(SparkEntry.queries("q_upsert_latest")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "one survivor per key must be selected map-side before the shuffle:\n" +
+        p.take(800))
+  }
+
   test("fuzzy matching joins on the block key — never a nested loop — and gates block size") {
     val df = SparkEntry.queries("q_str_fuzzy")(spark, sf)
     val p = plan(df)
