@@ -40,6 +40,7 @@ object SparkEntry {
     (Reshape.queries, Reshape.oracle),
     (SearchOps.queries, SearchOps.oracle),
     (EventAnalytics.queries, EventAnalytics.oracle),
+    (TrainPrep.queries, TrainPrep.oracle),
     (Extras.queries, Extras.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_bm25", "q_str_fuzzy", "q_interval_overlap", "q_zorder_layout",
     "q_corr_matrix",
     "q_cube", "q_approx_quantile", "q_standardize", "q_emb_topk_per_label",
+    "q_vocab_coverage", "q_winsorize",
     "q_media_decode", "q_emb_neardup", "q_emb_quantize",
     "q_events_stream", "q_sessionize")
 }

@@ -732,7 +732,7 @@ object Extras {
   private val dot64 = "list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
 
   /** DuckDB fragment: first 8 hex chars of md5(`x`) folded to a BIGINT. */
-  private def hex8(x: String): String =
+  private[queries] def hex8(x: String): String =
     s"list_reduce(list_transform(string_split(substr(md5($x),1,8),''), " +
       "c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)"
 

@@ -360,6 +360,50 @@ object Rolling {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // S.ewm(alpha=0.5).var(bias=False) / .std() — the ewm second
+    // moment, same adjusted-weight 20-lag truncation as q_ewm:
+    //   m = Σw·x/Σw,  var_b = Σw·x²/Σw − m²,
+    //   var = var_b · (Σw)² / ((Σw)² − Σw²)   (bias correction)
+    // With α=1/2 every w=2⁻ʲ and w²=4⁻ʲ, so Σw, Σw², Σw·x and Σw·x²
+    // are all EXACT doubles in any association (x ≤ 50, x² ≤ 2500,
+    // granularity 2⁻³⁸ — well inside 53 bits); the remaining ops are
+    // one correctly-rounded division/multiply chain mirrored verbatim
+    // by the oracle, so the compare is bit-exact with no rounding.
+    // The (Σw)² > Σw² gate is the n ≥ 2 condition — it nulls the
+    // partition head exactly where pandas emits NaN and keeps the
+    // division away from zero on both engines. var_b ≥ 0 exactly when
+    // the window is constant (all sums collapse to exact powers), so
+    // sqrt never sees a negative.
+    "q_ewm_var" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      val x = col("l_quantity")
+      def lg(k: Int) = if (k == 0) x else lag(x, k).over(w)
+      val num = (0 until 20).map(j =>
+        coalesce(lg(j), lit(0)) * lit(math.pow(0.5, j))).reduceLeft(_ + _)
+      val s2 = (0 until 20).map(j =>
+        coalesce(lg(j) * lg(j), lit(0)) * lit(math.pow(0.5, j)))
+        .reduceLeft(_ + _)
+      val den = (0 until 20).map(j =>
+        when(lg(j).isNotNull, lit(math.pow(0.5, j))).otherwise(lit(0.0)))
+        .reduceLeft(_ + _)
+      val den2 = (0 until 20).map(j =>
+        when(lg(j).isNotNull, lit(math.pow(0.25, j))).otherwise(lit(0.0)))
+        .reduceLeft(_ + _)
+      val m = num / den
+      val vb = s2 / den - m * m
+      val v = when(den * den > den2,
+        vb * (den * den) / (den * den - den2))
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), x, col("l_shipdate"))
+        .withColumn("ewm_var", v)
+        .withColumn("ewm_std", sqrt(v))
+        .drop("l_shipdate", "l_partkey")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // rolling('7D', closed=...) (`hpat_pandas_rolling_types.py:52-81`
     // closed param): offset windows with each endpoint open or closed.
     // On the integer day grid the four pandas frames map exactly onto
@@ -601,6 +645,40 @@ object Rolling {
         .mkString(" + ")
       s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
          |  ($num) / ($den) AS ewm
+         |FROM lineitem
+         |WINDOW w AS (PARTITION BY l_suppkey
+         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+    },
+
+    // ewm var/std replica — the identical left-associated 20-lag
+    // chains and the identical division/multiply sequence as the Spark
+    // side; exact by the powers-of-two argument, so no rounding
+    "q_ewm_var" -> {
+      def t(j: Int) =
+        if (j == 0) "l_quantity" else s"LAG(l_quantity, $j) OVER w"
+      val num = (0 until 20).map(j =>
+        if (j == 0) "l_quantity * POWER(0.5, 0)"
+        else s"COALESCE(${t(j)}, 0) * POWER(0.5, $j)").mkString(" + ")
+      val s2 = (0 until 20).map(j =>
+        if (j == 0) "(l_quantity * l_quantity) * POWER(0.5, 0)"
+        else s"COALESCE(${t(j)} * ${t(j)}, 0) * POWER(0.5, $j)")
+        .mkString(" + ")
+      val den = (0 until 20).map(j =>
+        if (j == 0) "POWER(0.5, 0)"
+        else s"CASE WHEN ${t(j)} IS NOT NULL " +
+          s"THEN POWER(0.5, $j) ELSE 0.0 END").mkString(" + ")
+      val den2 = (0 until 20).map(j =>
+        if (j == 0) "POWER(0.25, 0)"
+        else s"CASE WHEN ${t(j)} IS NOT NULL " +
+          s"THEN POWER(0.25, $j) ELSE 0.0 END").mkString(" + ")
+      val m = s"(($num) / ($den))"
+      val vb = s"(($s2) / ($den) - $m * $m)"
+      val v = s"CASE WHEN ($den) * ($den) > ($den2) " +
+        s"THEN ($vb * (($den) * ($den))) / (($den) * ($den) - ($den2)) END"
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         |  $v AS ewm_var,
+         |  SQRT($v) AS ewm_std
          |FROM lineitem
          |WINDOW w AS (PARTITION BY l_suppkey
          |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)

@@ -223,10 +223,104 @@ object SeriesExtra {
           when(col("o_orderstatus") === "F", lit(0.0))
             .otherwise(col("o_totalprice")).as("mask_f"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // IQR outlier audit (the Tukey-fence rule every EDA pass runs):
+    // q1/q3 from the exact sort-based quantile machinery (two-pass
+    // global rank, nothing exceeds one partition — same engine as
+    // q_agg_quantile), broadcast back as a 1-row frame, then ONE
+    // conditional-sum aggregate classifies the table. Classification
+    // uses the 6-dp-ROUNDED fences: quantile interpolation retains
+    // last-ulp freedom across engines (measured on quantile_cont at
+    // sf0.1 — the q_winsorize note), and rounding collapses that ulp so
+    // both engines compare every price against the identical double;
+    // 2-decimal prices sit nowhere near a 1e-6 fence boundary.
+    "q_outlier_iqr" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val q = GlobalOrder.exactQuantiles(li, col("x"),
+          Seq(("q1", 0.25), ("q3", 0.75)))
+        .withColumn("lo", round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 6))
+        .withColumn("hi", round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 6))
+      li.crossJoin(broadcast(q))
+        .agg(max(col("lo")).as("fence_lo"),
+          max(col("hi")).as("fence_hi"),
+          sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          sum(when(col("x").between(col("lo"), col("hi")), 1L).otherwise(0L))
+            .as("n_in"))
+    }),
+
+    // S.clip(lower=q05, upper=q95) — winsorization, the quantile-bound
+    // twin of q_clip's constant bounds, with NEAREST-RANK bounds
+    // (pandas quantile(interpolation='higher'): the value at rank
+    // ⌈q·n⌉). The bounds are actual data values picked by an exact
+    // rank — no interpolation arithmetic — so they are bit-identical
+    // across engines at ANY n. (The lerp variant inherits quantile
+    // implementations' last-ulp freedom — measured: DuckDB's
+    // quantile_cont(0.05) differs from the lo+(hi−lo)·frac sequence in
+    // the last ulp at sf0.1's n, which a clipped OUTPUT column exposes
+    // while q_outlier_iqr's rounded fences do not.) The rank pass runs
+    // over ONE double column via the two-pass global row_number; the
+    // clip itself is a pure broadcast-join projection in codegen.
+    "q_winsorize" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val ranked = GlobalOrder.withRowNumberLong(
+          li.select(col("l_extendedprice").as("__v")), Seq(col("__v")), "__rn")
+        .localCheckpoint(true) // feeds the n agg AND the rank pick
+      val n = ranked.agg(max(col("__rn")).as("__n"))
+      val k05 = greatest(ceil(col("__n").cast("double") * 0.05).cast("long"),
+        lit(1L))
+      val k95 = ceil(col("__n").cast("double") * 0.95).cast("long")
+      val bounds = ranked.crossJoin(broadcast(n))
+        .agg(sum(when(col("__rn") === k05, col("__v"))).as("p05"),
+          sum(when(col("__rn") === k95, col("__v"))).as("p95"))
+      li.crossJoin(broadcast(bounds))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_extendedprice") < col("p05"), col("p05"))
+            .when(col("l_extendedprice") > col("p95"), col("p95"))
+            .otherwise(col("l_extendedprice")).as("wins"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // rounded fences collapse the quantile lerp's last-ulp freedom;
+    // classification then compares against the identical double
+    "q_outlier_iqr" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |                  quantile_cont(l_extendedprice, 0.75) AS q3
+        |           FROM lineitem),
+        |f AS (SELECT ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo,
+        |             ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi FROM q)
+        |SELECT lo AS fence_lo, hi AS fence_hi,
+        |  CAST(COUNT(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT) AS n_lo,
+        |  CAST(COUNT(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT) AS n_hi,
+        |  CAST(COUNT(*) FILTER (WHERE l_extendedprice BETWEEN lo AND hi)
+        |    AS BIGINT) AS n_in
+        |FROM lineitem, f GROUP BY lo, hi""".stripMargin,
+
+    // nearest-rank bounds: value at rank ⌈q·n⌉ — a data value, no
+    // interpolation, so bit-exact at any n (see the Spark-side note)
+    "q_winsorize" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+        |  FROM lineitem),
+        |n AS (SELECT MAX(rn) AS n FROM r),
+        |q AS (SELECT
+        |    SUM(CASE WHEN rn = GREATEST(
+        |      CAST(CEIL(CAST(n AS DOUBLE) * 0.05) AS BIGINT), 1)
+        |      THEN v END) AS p05,
+        |    SUM(CASE WHEN rn =
+        |      CAST(CEIL(CAST(n AS DOUBLE) * 0.95) AS BIGINT)
+        |      THEN v END) AS p95
+        |  FROM r, n)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_extendedprice < p05 THEN p05
+        |       WHEN l_extendedprice > p95 THEN p95
+        |       ELSE l_extendedprice END AS wins
+        |FROM lineitem, q ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_factorize" ->
       """SELECT event_type,
         |  CAST(ROW_NUMBER() OVER (ORDER BY MIN(event_id)) - 1 AS INT) AS code,

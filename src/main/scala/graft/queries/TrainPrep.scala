@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+import graft.operators.{GlobalOrder, Parallelism, TextOps}
+
+/** Training-mixture governance: the corpus-level weighting / sharding /
+  * vocabulary ops a pretraining data pipeline runs AFTER cleaning and
+  * dedup (parity-plus next to `q_split_hash` / `q_temperature_sample` /
+  * `q_domain_caps`, which govern selection — these govern composition).
+  *
+  * Everything here is deterministic under any partitioning, retry, or
+  * engine: repetition coins and shard assignment come from salted md5
+  * buckets (never an RNG), and every ratio is a division of two exact
+  * longs, so both engines round identically.
+  */
+object TrainPrep {
+
+  /** Mixture weights per source domain — epochs per document. Fractions
+    * are exact binary (.125 granularity) so `frac · 1000` is an exact
+    * integer mille threshold on both engines. */
+  private val mixtureWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.75, "src3" -> 1.5,
+    "src4" -> 0.25, "src5" -> 1.0, "src6" -> 2.0, "src7" -> 0.5,
+    "src8" -> 1.75, "src9" -> 0.125)
+
+  val queries: Map[String, Q] = Map(
+
+    // Domain-mixture epoch upsampling: each source gets a target weight
+    // w (epochs per doc); a doc repeats floor(w) times plus one more
+    // with probability frac(w), decided by a salted md5 coin — the
+    // deterministic fractional-epoch rule (the standard way LLM
+    // pretraining mixes oversampled domains, e.g. multiple epochs of a
+    // small high-quality source against a down-weighted crawl).
+    // Scale shape: the weight dim is 10 rows → broadcast join (no
+    // shuffle); n_rep is a pure projection; the replication is
+    // explode(sequence(1, n_rep)) — rows multiply INSIDE the scan
+    // stage, nothing shuffles until a downstream consumer asks. Only
+    // (doc_id, source) enter the explode here; in production the
+    // exploded frame carries doc_id + epoch and re-joins text lazily
+    // (or the writer re-reads by doc_id), so the corpus text is never
+    // replicated through a shuffle.
+    "q_domain_mixture" -> ((s, dir) => {
+      val w = s.createDataFrame(mixtureWeights).toDF("source", "wt")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(w), Seq("source"))
+        .withColumn("n_rep",
+          floor(col("wt")).cast("long") +
+            when(md5Bucket(col("doc_id"), 1000L, salt = "mix:") <
+              ((col("wt") - floor(col("wt"))) * 1000).cast("long"), 1L)
+              .otherwise(0L))
+        .filter(col("n_rep") >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("n_rep"))).as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // Deterministic shard assignment + balance audit: shard = salted
+    // md5 bucket of doc_id (reproducible across engines/runs/retries —
+    // the property a round-robin over an arbitrary partitioning does
+    // NOT have), then per-shard doc and char totals so a skewed shard
+    // is visible before the write. Scale: one hash-agg shuffle of
+    // (shard, two longs); the write itself would be
+    // .write.partitionBy("shard") riding this same projection.
+    "q_shard_assign" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(md5Bucket(col("doc_id"), 16L, salt = "shard:").as("shard"),
+          col("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(col("shard"))
+    }),
+
+    // Vocabulary coverage curve: what fraction of all token
+    // OCCURRENCES the top-{10,100,1000} most frequent types cover —
+    // the tokenizer-sizing / OOV-budget statistic. One explode+agg
+    // pass builds the (type, count) table; ranking runs over the
+    // VOCAB (≪ corpus) via the two-pass range-partitioned row_number
+    // (no single-partition window even for a billion-type vocab); the
+    // coverage sums are one final agg of exact longs, so the rounded
+    // ratios are engine-identical. (count DESC, word) is a total
+    // order ⇒ the rank cut is deterministic.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val counts = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(explode(TextOps.normWords(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ranked = GlobalOrder.withRowNumberLong(
+        counts, Seq(col("c").desc, col("w")), "rn")
+      def cov(k: Int) = sum(when(col("rn") <= k, col("c")).otherwise(0L))
+      ranked
+        .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("__tot"),
+          cov(10).as("__c10"), cov(100).as("__c100"), cov(1000).as("__c1000"))
+        .select(col("n_vocab"),
+          round(col("__c10").cast("double") / col("__tot").cast("double"), 6)
+            .as("cov10"),
+          round(col("__c100").cast("double") / col("__tot").cast("double"), 6)
+            .as("cov100"),
+          round(col("__c1000").cast("double") / col("__tot").cast("double"), 6)
+            .as("cov1000"))
+    }),
+
+    // Heavy hitters: token types above 0.5% of all occurrences — the
+    // exact two-aggregate path (type counts, then a broadcast 1-row
+    // total). Map-side partial aggregation absorbs the heavy keys by
+    // construction (a frequent type combines within every map task),
+    // so the shuffle carries ≤ |vocab per task| rows and the hot key
+    // is never a straggler. The counts frame feeds both the total and
+    // the filter, so it materializes once (TF-checkpoint pattern; it
+    // is vocab-sized, not corpus-sized). At a scale where even the
+    // vocab table hurts, the sketch swap is Misra-Gries/Count-Min with
+    // this exact query as its verifier — same contract as the
+    // q_approx_* sketch tier.
+    // Per-doc OOV rate against the corpus top-1000 vocabulary — the
+    // EXACT perplexity-filter stand-in: a unigram-LM logprob score
+    // inherits libm's last-ulp freedom (ln differs across engines),
+    // while "fraction of token occurrences outside the top-k types" is
+    // a ratio of two longs — deterministic everywhere — and ranks docs
+    // almost identically for quality-gating purposes. Scale shape: the
+    // vocab is ranked over the (≪ corpus) type table by the two-pass
+    // row_number, the top-1000 set broadcasts back onto the token
+    // stream (map-side hash join — corpus tokens never shuffle; the
+    // only corpus-keyed shuffle is the final per-doc agg), and
+    // tokenization runs twice in two fully pipelined scans rather than
+    // materializing O(corpus tokens) to block storage (the
+    // q_text_repetition trade, taken the other way because nothing
+    // here re-enters a regex — explode+split is cheap next to a
+    // token-stream checkpoint).
+    "q_oov_rate" -> ((s, dir) => {
+      def toks = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("w"))
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val vocab = GlobalOrder.withRowNumberLong(
+          counts, Seq(col("c").desc, col("w")), "rn")
+        .filter(col("rn") <= 1000)
+        .select(col("w"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("n_oov").cast("double") / col("n_tok").cast("double"), 6)
+            .as("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-length distribution in power-of-two buckets — the corpus
+    // length audit run before choosing context length / packing
+    // strategy. The bucket is ⌊log₂ n⌋+1 computed as LENGTH(BIN(n)) —
+    // integer bit-length, no libm log2 (whose boundary values 2^k are
+    // exactly where engines may disagree). One hash agg; exact longs.
+    "q_length_histogram" -> ((s, dir) => {
+      val n = TextOps.bpeTokenCount(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), n.as("n"))
+        .withColumn("bucket",
+          when(col("n") === 0, lit(0L))
+            .otherwise(length(bin(col("n"))).cast("long")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tok_total"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q_heavy_hitters" -> ((s, dir) => {
+      val counts = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(explode(TextOps.normWords(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val tot = counts.agg(sum(col("c")).as("__tot"))
+      counts.crossJoin(broadcast(tot))
+        .filter(col("c") * 200 > col("__tot"))
+        .select(col("w").as("word"), col("c").as("n"),
+          round(col("c").cast("double") / col("__tot").cast("double"), 6)
+            .as("frac"))
+        .orderBy(col("n").desc, col("word"))
+    }))
+
+  private def tokCte: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(
+      |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+      |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
+      |    '\s+')) AS w
+      |  FROM documents),
+      |c AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    // weight dim as unnested parallel lists cast to DOUBLE (a bare
+    // VALUES 2.5 would type DECIMAL and change the frac arithmetic);
+    // the coin replays md5Bucket's salted fold, the replication is a
+    // correlated generate_series (empty for n_rep = 0, like the
+    // filtered explode)
+    "q_domain_mixture" -> {
+      val srcs = mixtureWeights.map(p => s"'${p._1}'").mkString(", ")
+      val wts = mixtureWeights.map(_._2).mkString(", ")
+      s"""WITH w AS (SELECT unnest([$srcs]) AS source,
+        |            unnest(CAST([$wts] AS DOUBLE[])) AS wt),
+        |d AS (SELECT doc_id, documents.source,
+        |  CAST(FLOOR(wt) AS BIGINT) +
+        |    CASE WHEN ${Extras.hex8("'mix:' || doc_id::VARCHAR")} % 1000 <
+        |      CAST((wt - FLOOR(wt)) * 1000 AS BIGINT) THEN 1 ELSE 0 END
+        |    AS n_rep
+        |  FROM documents JOIN w USING (source)),
+        |e AS (SELECT doc_id, source,
+        |  unnest(generate_series(1, n_rep)) AS g FROM d)
+        |SELECT doc_id, source, CAST(g AS BIGINT) AS epoch
+        |FROM e ORDER BY doc_id, epoch""".stripMargin
+    },
+
+    "q_shard_assign" ->
+      s"""SELECT ${Extras.hex8("'shard:' || doc_id::VARCHAR")} % 16 AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_vocab_coverage" ->
+      s"""$tokCte,
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM c)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |  ROUND(CAST(COALESCE(SUM(c) FILTER (WHERE rn <= 10), 0) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE), 6) AS cov10,
+        |  ROUND(CAST(COALESCE(SUM(c) FILTER (WHERE rn <= 100), 0) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE), 6) AS cov100,
+        |  ROUND(CAST(COALESCE(SUM(c) FILTER (WHERE rn <= 1000), 0) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE), 6) AS cov1000
+        |FROM r""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
+        |    '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |v AS (SELECT w FROM (
+        |    SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM c)
+        |  WHERE rn <= 1000)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        |FROM tok LEFT JOIN v ON tok.w = v.w
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // LENGTH(BIN(n)) = integer bit-length on both engines — no libm
+    "q_length_histogram" ->
+      """WITH t AS (SELECT
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n
+        |  FROM documents)
+        |SELECT CASE WHEN n = 0 THEN 0
+        |         ELSE CAST(LENGTH(bin(n)) AS BIGINT) END AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tok_total
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_heavy_hitters" ->
+      s"""$tokCte,
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c)
+        |SELECT w AS word, c AS n,
+        |  ROUND(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS frac
+        |FROM c, t WHERE c * 200 > tot
+        |ORDER BY n DESC, word""".stripMargin)
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Rolling, SeriesExtra, TrainPrep}
+
+/** Invariants for the training-mixture tier + the ewm/quantile-bound
+  * additions — oracle-independent checks (the DuckDB gate pins values;
+  * these pin the semantics that hold on ANY data). */
+class TrainPrepSpec extends SparkSpecBase {
+
+  test("domain mixture: epochs contiguous, count within floor/ceil of weight") {
+    val df = TrainPrep.queries("q_domain_mixture")(spark, sf)
+    val perDoc = df.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n"), min(col("epoch")).as("mn"),
+        max(col("epoch")).as("mx"))
+    // epochs are exactly 1..n per doc
+    assert(perDoc.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() === 0)
+    // every doc repeats floor(w) or floor(w)+1 times for its source
+    // weight (fractional-epoch rule); w integral ⇒ exactly w
+    val weights = Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.75,
+      "src3" -> 1.5, "src4" -> 0.25, "src5" -> 1.0, "src6" -> 2.0,
+      "src7" -> 0.5, "src8" -> 1.75, "src9" -> 0.125)
+    val bad = perDoc.collect().filter { r =>
+      val w = weights(r.getAs[String]("source"))
+      val n = r.getAs[Long]("n")
+      n < math.floor(w).toLong.max(0L) || n > math.floor(w).toLong + 1 ||
+        (w == math.floor(w) && n != w.toLong)
+    }
+    assert(bad.isEmpty, bad.take(3).mkString(", "))
+    // per-source totals land near n_docs · w (binomial coin; loose 3σ)
+    val docs = Tables(spark, sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("nd")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("nd")).toMap
+    val tot = df.groupBy(col("source")).agg(count(lit(1)).as("nm")).collect()
+    tot.foreach { r =>
+      val src = r.getAs[String]("source")
+      val nd = docs(src).toDouble
+      val exp = nd * weights(src)
+      val sd = math.sqrt(nd * 0.25) * 3 + 1e-9
+      assert(math.abs(r.getAs[Long]("nm") - exp) <= sd,
+        s"$src: ${r.getAs[Long]("nm")} vs $exp ± $sd")
+    }
+  }
+
+  test("shard assign: partitions the corpus, chars consistent") {
+    val df = TrainPrep.queries("q_shard_assign")(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    val nChars = Tables(spark, sf, "documents")
+      .agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(df.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(df.map(_.getAs[Long]("n_chars_total")).sum === nChars)
+    assert(df.forall(r => (0 until 16).contains(r.getAs[Long]("shard").toInt)))
+  }
+
+  test("vocab coverage: monotone in k, bounded by 1") {
+    val r = TrainPrep.queries("q_vocab_coverage")(spark, sf).collect()(0)
+    val (c10, c100, c1000) = (r.getAs[Double]("cov10"),
+      r.getAs[Double]("cov100"), r.getAs[Double]("cov1000"))
+    assert(c10 > 0 && c10 <= c100 && c100 <= c1000 && c1000 <= 1.0)
+    // 1000 types ≥ the whole vocab ⇒ full coverage at the tail
+    if (r.getAs[Long]("n_vocab") <= 1000) assert(c1000 === 1.0)
+  }
+
+  test("heavy hitters: all above threshold, counts match a direct count") {
+    val hh = TrainPrep.queries("q_heavy_hitters")(spark, sf)
+    val toks = Tables(spark, sf, "documents")
+      .select(explode(graft.operators.TextOps.normWords(col("text"))).as("w"))
+    val tot = toks.count()
+    val rows = hh.collect()
+    assert(rows.nonEmpty) // stopword-dense synthetic corpus has hitters
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") * 200 > tot)
+      val direct = toks.filter(col("w") === r.getAs[String]("word")).count()
+      assert(direct === r.getAs[Long]("n"))
+    }
+  }
+
+  test("oov rate: zero when vocab covers everything, bounded in [0,1]") {
+    val df = TrainPrep.queries("q_oov_rate")(spark, sf)
+    assert(df.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() === 0)
+    // n_tok matches a direct per-doc token count
+    val direct = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(graft.operators.TextOps.normWords(col("text"))).cast("long")
+          .as("n_direct"))
+    val joined = df.join(direct, Seq("doc_id"))
+    assert(joined.filter(col("n_tok") =!= col("n_direct")).count() === 0)
+    // sf0.001's vocab is under 1000 types ⇒ nothing is OOV; if it is
+    // larger the rates must still average well under the tail mass
+    val vocabN = Tables(spark, sf, "documents")
+      .select(explode(graft.operators.TextOps.normWords(col("text"))).as("w"))
+      .select(col("w")).distinct().count()
+    if (vocabN <= 1000)
+      assert(df.filter(col("oov_rate") =!= 0.0).count() === 0)
+  }
+
+  test("length histogram: buckets are bit-lengths, totals add up") {
+    val df = TrainPrep.queries("q_length_histogram")(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(df.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    // bucket b covers [2^(b-1), 2^b): a doc count in bucket b implies
+    // its token total fits the bucket bounds
+    df.filter(_.getAs[Long]("bucket") > 0).foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val lo = 1L << (b - 1)
+      val hi = (1L << b) - 1
+      val nd = r.getAs[Long]("n_docs")
+      val tt = r.getAs[Long]("n_tok_total")
+      assert(tt >= nd * lo && tt <= nd * hi, s"bucket $b: $tt vs [$lo,$hi]×$nd")
+    }
+  }
+
+  test("ewm var/std: null head, non-negative, std = sqrt(var)") {
+    val df = Rolling.queries("q_ewm_var")(spark, sf)
+    // exactly the single-observation head of each suppkey partition has
+    // no variance (pandas NaN ≡ null here) — order-independent check:
+    // one null per key (the output drops the shipdate order column)
+    val nullsPerKey = df.groupBy(col("l_suppkey"))
+      .agg(sum(when(col("ewm_var").isNull, 1L).otherwise(0L)).as("nn"))
+    assert(nullsPerKey.filter(col("nn") =!= 1).count() === 0)
+    assert(df.filter(col("ewm_var") < 0).count() === 0)
+    val mism = df.filter(col("ewm_var").isNotNull &&
+      abs(sqrt(col("ewm_var")) - col("ewm_std")) > 1e-12).count()
+    assert(mism === 0)
+  }
+
+  test("winsorize: bounds are data values, clip preserves row count") {
+    val li = Tables(spark, sf, "lineitem")
+    val df = SeriesExtra.queries("q_winsorize")(spark, sf)
+    assert(df.count() === li.count())
+    val prices = li.select(col("l_extendedprice")).distinct()
+      .collect().map(_.getDouble(0)).toSet
+    val winsVals = df.select(col("wins")).distinct().collect()
+      .map(_.getDouble(0))
+    // every output value is an actual price (nearest-rank bounds are
+    // data values; clipped rows take one of them)
+    assert(winsVals.forall(prices.contains))
+    // clipping is monotone: min/max of wins are within the raw range
+    val (rawMin, rawMax) = {
+      val r = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice")))
+        .collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val r2 = df.agg(min(col("wins")), max(col("wins"))).collect()(0)
+    assert(r2.getDouble(0) >= rawMin && r2.getDouble(1) <= rawMax)
+  }
+
+  test("outlier iqr: counts partition the table") {
+    val r = SeriesExtra.queries("q_outlier_iqr")(spark, sf).collect()(0)
+    val n = Tables(spark, sf, "lineitem").count()
+    assert(r.getAs[Long]("n_lo") + r.getAs[Long]("n_hi") +
+      r.getAs[Long]("n_in") === n)
+    assert(r.getAs[Double]("fence_lo") < r.getAs[Double]("fence_hi"))
+  }
+}
