@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions._
-import graft.operators.Skew
+import graft.operators.{GlobalOrder, Skew}
 
 /** SURVEY §2.5 GroupBy.
   *
@@ -20,6 +20,30 @@ import graft.operators.Skew
 object GroupBy {
 
   val queries: Map[String, Q] = Map(
+
+    // pandas groupby.cumcount() + .ngroup(sort=True): the ordinal of
+    // each row within its group (by positional order) and the group's
+    // index among sorted keys. cumcount is ONE value-partitioned
+    // window — the same key shuffle any per-group op pays (o_orderkey
+    // is unique, so the order inside each partition is total).
+    // ngroup = dense rank of the key, computed on the DISTINCT-KEY
+    // frame via the two-pass row number — never a global window over
+    // the table — and broadcast back.
+    "q_cumcount_ngroup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+      val keys = Tables(s, dir, "orders")
+        .select(col("o_orderpriority")).distinct()
+      val ng = GlobalOrder.withRowNumberLong(
+          keys, Seq(col("o_orderpriority")), "__rn")
+        .select(col("o_orderpriority"), (col("__rn") - 1).as("ngroup"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("cumcount", row_number().over(w).cast("long") - 1)
+        .join(broadcast(ng), Seq("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
     // Flagship TPC-H-Q1 shape: scan → filter → groupBy → multi-agg → sort.
     // Mirrors reference lifecycle E2 (`df.groupby('A').sum()`).
     "q_tpch_q1" -> ((s, dir) => {
@@ -880,6 +904,13 @@ object GroupBy {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_cumcount_ngroup" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderkey) - 1 AS BIGINT) AS cumcount,
+        |  CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT)
+        |    AS ngroup
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_tpch_q1" -> q1Sql,
 
     "q_tpch_q3" ->

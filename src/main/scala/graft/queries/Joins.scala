@@ -64,6 +64,19 @@ object Joins {
   }
 
   val queries: Map[String, Q] = Map(
+    // pandas merge(how='cross'): the cartesian product of two DIM
+    // tables (region × nation). BroadcastNestedLoopJoin is the right
+    // plan when one side is tiny; a cross join of two FACT tables is
+    // the anti-pattern the banded range/overlap rewrites exist to
+    // avoid — this query documents where the genuine cross join
+    // belongs.
+    "q_join_cross" -> ((s, dir) => {
+      Tables(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .crossJoin(Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
     // inner join fact→dim with broadcast; aggregated revenue per segment
     "q_join_inner" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -379,6 +392,11 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
     "q_join_inner" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue

@@ -17,6 +17,28 @@ object Reshape {
 
   val queries: Map[String, Q] = Map(
 
+    // pd.concat([orders.o_totalprice, customer.c_acctbal], axis=1):
+    // positional (index-free) column concatenation of two frames of
+    // DIFFERENT lengths — outer on the positional index, null-padding
+    // the shorter side, exactly pandas' RangeIndex alignment. Each
+    // side's global position comes from the two-pass range-partitioned
+    // row number (no single-partition window); the align is then a
+    // plain equi-join on pos. At scale both sides shuffle once on pos —
+    // the unavoidable cost of positional semantics on unordered
+    // storage, and the reason axis=1 concat of co-partitioned data
+    // should ride a shared sort key instead (see q_bucketed_join).
+    "q_concat_axis1" -> ((s, dir) => {
+      val a = GlobalOrder.withRowNumberLong(
+          Tables(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_orderkey")), "pos")
+        .select(col("pos"), col("o_totalprice"))
+      val b = GlobalOrder.withRowNumberLong(
+          Tables(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+          Seq(col("c_custkey")), "pos")
+        .select(col("pos"), col("c_acctbal"))
+      a.join(b, Seq("pos"), "full_outer").orderBy(col("pos"))
+    }),
+
     // pd.merge_ordered(left, right, on='day', fill_method='ffill'):
     // ordered full outer merge of two daily series, forward-filling
     // both value columns. Both inputs are ALREADY day-aggregated (one
@@ -110,6 +132,14 @@ object Reshape {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_concat_axis1" ->
+      """WITH a AS (SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS pos,
+        |    o_totalprice FROM orders),
+        |b AS (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS pos,
+        |    c_acctbal FROM customer)
+        |SELECT COALESCE(a.pos, b.pos) AS pos, o_totalprice, c_acctbal
+        |FROM a FULL OUTER JOIN b ON a.pos = b.pos
+        |ORDER BY pos""".stripMargin,
 
     "q_merge_ordered" ->
       """WITH l AS (SELECT CAST(o_orderdate AS DATE) AS day,

@@ -225,6 +225,23 @@ object SeriesExtra {
         .orderBy(col("o_orderkey"))
     }),
 
+    // pd.to_numeric(errors='coerce'): parseable strings become doubles,
+    // everything else null — a pure try_cast projection, whole-stage
+    // codegen. The mixed input column is derived from integer-backed
+    // strings (integer text and "<int>.5") so its rendering — and the
+    // parsed double — is bit-identical across engines; the unparseable
+    // branch carries a non-numeric prefix.
+    "q_to_numeric" -> ((s, dir) => {
+      val raw = when(col("c_custkey") % 3 === 0,
+          concat((col("c_custkey") * 10).cast("string"), lit(".5")))
+        .when(col("c_custkey") % 3 === 1, col("c_custkey").cast("string"))
+        .otherwise(concat(lit("id-"), col("c_custkey").cast("string")))
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), raw.as("raw"))
+        .withColumn("as_num", expr("try_cast(raw AS DOUBLE)"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // IQR outlier audit (the Tukey-fence rule every EDA pass runs):
     // q1/q3 from the exact sort-based quantile machinery (two-pass
     // global rank, nothing exceeds one partition — same engine as
@@ -285,6 +302,19 @@ object SeriesExtra {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_to_numeric" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0
+        |         THEN CAST(c_custkey * 10 AS VARCHAR) || '.5'
+        |       WHEN c_custkey % 3 = 1 THEN CAST(c_custkey AS VARCHAR)
+        |       ELSE 'id-' || CAST(c_custkey AS VARCHAR) END AS raw,
+        |  TRY_CAST(CASE WHEN c_custkey % 3 = 0
+        |         THEN CAST(c_custkey * 10 AS VARCHAR) || '.5'
+        |       WHEN c_custkey % 3 = 1 THEN CAST(c_custkey AS VARCHAR)
+        |       ELSE 'id-' || CAST(c_custkey AS VARCHAR) END AS DOUBLE)
+        |    AS as_num
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     // rounded fences collapse the quantile lerp's last-ulp freedom;
     // classification then compares against the identical double
     "q_outlier_iqr" ->
