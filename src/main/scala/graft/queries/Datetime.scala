@@ -16,6 +16,20 @@ import graft.functions._
 object Datetime {
 
   val queries: Map[String, Q] = Map(
+    // pandas df.between_time('09:00', '17:00') (inclusive='both'):
+    // time-of-day filter independent of the date. The condition is the
+    // epoch-microsecond remainder mod one day — pure long arithmetic,
+    // no hour/minute decomposition edge cases, identical on both
+    // engines (ts is post-1970, so the remainder is non-negative).
+    // A pure pushable filter: nothing shuffles.
+    "q_between_time" -> ((s, dir) => {
+      val tod = pmod(unix_micros(col("ts")), lit(86400000000L))
+      Tables(s, dir, "events")
+        .filter(tod.between(lit(9L * 3600000000L), lit(17L * 3600000000L)))
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // field extraction
     "q_dt_fields" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -70,6 +84,12 @@ object Datetime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_between_time" ->
+      """SELECT event_id, ts, user_id FROM events
+        |WHERE epoch_us(ts) % 86400000000
+        |  BETWEEN 9 * 3600000000 AND 17 * 3600000000
+        |ORDER BY event_id""".stripMargin,
+
     "q_dt_fields" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INT) AS y,

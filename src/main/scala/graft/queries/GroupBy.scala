@@ -21,6 +21,27 @@ object GroupBy {
 
   val queries: Map[String, Q] = Map(
 
+    // pandas resample('M').ohlc() per supplier: open/close are the
+    // first/last price in (shipdate, orderkey, linenumber, partkey)
+    // order inside each month, high/low plain extrema — ONE hash
+    // aggregate on the (suppkey, month) key via min_by/max_by over the
+    // struct order key; no window, no sort, map-side partials. The
+    // oracle replays open/close as rank-1 picks of the same total
+    // order in both directions.
+    "q_groupby_ohlc" -> ((s, dir) => {
+      val ord = struct(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"))
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"),
+          date_trunc("month", col("l_shipdate").cast("date")).cast("date")
+            .as("month"))
+        .agg(min_by(col("l_extendedprice"), ord).as("open"),
+          max(col("l_extendedprice")).as("high"),
+          min(col("l_extendedprice")).as("low"),
+          max_by(col("l_extendedprice"), ord).as("close"))
+        .orderBy(col("l_suppkey"), col("month"))
+    }),
+
     // pandas groupby.cumcount() + .ngroup(sort=True): the ordinal of
     // each row within its group (by positional order) and the group's
     // index among sorted keys. cumcount is ONE value-partitioned
@@ -904,6 +925,27 @@ object GroupBy {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_groupby_ohlc" ->
+      """WITH t AS (SELECT l_suppkey,
+        |    date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+        |    l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey,
+        |        date_trunc('month', CAST(l_shipdate AS DATE))
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+        |      AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey,
+        |        date_trunc('month', CAST(l_shipdate AS DATE))
+        |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC,
+        |        l_partkey DESC) AS rn_d
+        |  FROM lineitem)
+        |SELECT l_suppkey, month,
+        |  MAX(CASE WHEN rn_a = 1 THEN l_extendedprice END) AS open,
+        |  MAX(l_extendedprice) AS high,
+        |  MIN(l_extendedprice) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN l_extendedprice END) AS close
+        |FROM t GROUP BY l_suppkey, month
+        |ORDER BY l_suppkey, month""".stripMargin,
+
     "q_cumcount_ngroup" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority

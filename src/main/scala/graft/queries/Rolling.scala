@@ -360,6 +360,28 @@ object Rolling {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // rolling(window=5).rank(method='min'): the rank of the current
+    // value among the window's 5 — 1 + the count of strictly-smaller
+    // window members, i.e. a 4-lag comparison chain in ONE codegen
+    // Window pass (no per-row array build/sort). Pure integer
+    // comparisons ⇒ engine-identical; min_periods = window (lag(4)
+    // null gates the head like the weighted window).
+    "q_rolling_rank" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      val x = col("l_quantity")
+      def lg(k: Int) = lag(x, k).over(w)
+      val rk = lit(1L) + (1 to 4).map(j =>
+        when(lg(j) < x, 1L).otherwise(0L)).reduceLeft(_ + _)
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), x, col("l_shipdate"))
+        .withColumn("roll_rank", when(lg(4).isNotNull, rk))
+        .drop("l_shipdate", "l_partkey")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // S.ewm(alpha=0.5).var(bias=False) / .std() — the ewm second
     // moment, same adjusted-weight 20-lag truncation as q_ewm:
     //   m = Σw·x/Σw,  var_b = Σw·x²/Σw − m²,
@@ -645,6 +667,19 @@ object Rolling {
         .mkString(" + ")
       s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
          |  ($num) / ($den) AS ewm
+         |FROM lineitem
+         |WINDOW w AS (PARTITION BY l_suppkey
+         |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "q_rolling_rank" -> {
+      val cmp = (1 to 4).map(j =>
+        s"CASE WHEN LAG(l_quantity, $j) OVER w < l_quantity " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         |  CASE WHEN LAG(l_quantity, 4) OVER w IS NOT NULL
+         |    THEN CAST(1 + $cmp AS BIGINT) END AS roll_rank
          |FROM lineitem
          |WINDOW w AS (PARTITION BY l_suppkey
          |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)

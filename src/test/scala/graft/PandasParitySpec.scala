@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{GroupBy, Joins, Reshape, SeriesExtra}
+import graft.queries.{Datetime, GroupBy, Joins, Reshape, Rolling, SeriesExtra}
 
 /** Invariants for the round-6 pandas-parity additions (cumcount/ngroup,
   * cross merge, to_numeric coerce, axis-1 concat) — oracle-independent
@@ -44,6 +44,44 @@ class PandasParitySpec extends SparkSpecBase {
     // the ".5" branch parses to key*10 + 0.5 exactly
     assert(df.filter(col("c_custkey") % 3 === 0 &&
       col("as_num") =!= col("c_custkey") * 10 + 0.5).count() === 0)
+  }
+
+  test("ohlc: low <= open/close <= high, every value is a real price") {
+    val df = GroupBy.queries("q_groupby_ohlc")(spark, sf)
+    assert(df.filter(col("low") > col("open") || col("low") > col("close") ||
+      col("high") < col("open") || col("high") < col("close")).count() === 0)
+    // open/close are picked from the group, so they are data values
+    val joined = df.join(
+      Tables(spark, sf, "lineitem").select(col("l_suppkey"),
+        col("l_extendedprice").as("open")).distinct(),
+      Seq("l_suppkey", "open"), "left_anti")
+    assert(joined.count() === 0)
+  }
+
+  test("rolling rank: bounded by the window, null until it fills") {
+    val df = Rolling.queries("q_rolling_rank")(spark, sf)
+    assert(df.filter(col("roll_rank") < 1 || col("roll_rank") > 5)
+      .count() === 0)
+    // exactly the first 4 rows of each partition (by the window order)
+    // are null — order-free check: 4 nulls per suppkey that has ≥ 5
+    // rows, n nulls for shorter partitions
+    val per = df.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("roll_rank").isNull, 1L).otherwise(0L)).as("nn"))
+    assert(per.filter(col("nn") =!= least(col("n"), lit(4L))).count() === 0)
+  }
+
+  test("between_time keeps exactly the 09:00-17:00 band") {
+    val df = Datetime.queries("q_between_time")(spark, sf)
+    val bad = df.filter(hour(col("ts")) < 9 ||
+      (hour(col("ts")) > 17) ||
+      (hour(col("ts")) === 17 && (minute(col("ts")) > 0 ||
+        second(col("ts")) > 0)))
+    assert(bad.count() === 0)
+    val direct = Tables(spark, sf, "events").filter(
+      pmod(unix_micros(col("ts")), lit(86400000000L))
+        .between(lit(9L * 3600000000L), lit(17L * 3600000000L))).count()
+    assert(df.count() === direct)
   }
 
   test("axis-1 concat: outer length, null padding past the short side") {
