@@ -41,6 +41,7 @@ object SparkEntry {
     (SearchOps.queries, SearchOps.oracle),
     (EventAnalytics.queries, EventAnalytics.oracle),
     (TrainPrep.queries, TrainPrep.oracle),
+    (Quality.queries, Quality.oracle),
     (Extras.queries, Extras.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */

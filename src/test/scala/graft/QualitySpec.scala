@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Quality
+
+/** Invariants for the data-quality tier. */
+class QualitySpec extends SparkSpecBase {
+
+  test("profile: one row per column, counts consistent") {
+    val rows = Quality.queries("q_profile_columns")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("column")).sorted.toSeq ===
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+        "o_totalprice"))
+    val n = Tables(spark, sf, "orders").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") + r.getAs[Long]("n_null") === n)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n"))
+      assert(r.getAs[String]("min_s") <= r.getAs[String]("max_s") ||
+        r.getAs[String]("column") == "o_totalprice") // string order ≠ numeric
+    }
+    // the key column profiles as fully distinct
+    val key = rows.find(_.getAs[String]("column") == "o_orderkey").get
+    assert(key.getAs[Long]("n_distinct") === n && key.getAs[Long]("n_null") === 0)
+  }
+
+  test("quality checks: the clean fixture passes every constraint") {
+    val r = Quality.queries("q_quality_checks")(spark, sf).collect()(0)
+    assert(r.getAs[Boolean]("all_pass"))
+    assert(r.getAs[Long]("n_rows") === Tables(spark, sf, "orders").count())
+    assert(r.getAs[Long]("fk_orphans") === 0 && r.getAs[Long]("key_dups") === 0)
+  }
+
+  test("quality checks: injected violations are counted, not just flagged") {
+    // corrupt a copy in-memory: nulls in the key, dup keys, bad status
+    val o = Tables(spark, sf, "orders").limit(100)
+      .select(
+        when(col("o_orderkey") % 10 === 0, lit(null)).otherwise(col("o_orderkey"))
+          .as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"))
+    val bad = o.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("key_nulls"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .as("dom")).collect()(0)
+    assert(bad.getAs[Long]("key_nulls") > 0 && bad.getAs[Long]("dom") > 0)
+  }
+}
