@@ -31,6 +31,24 @@ object Aggregates {
     // pd.cut with fixed bins (histogramming): integer bin index from
     // fixed-width bounds — a pure projection feeding a hash agg, the
     // canonical data-profiling scan shape
+    // 2D histogram (the heatmap feed: np.histogram2d / pd.cut × cut):
+    // quantity deciles × 2-point discount bands in ONE hash aggregate.
+    // The discount bin goes through an exact decimal-to-cents integer
+    // (0.07·100 as a double is 7.000000000000001 — the decimal cast
+    // sidesteps the classic float-binning bug on both engines).
+    "q_histogram_2d" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(floor((col("l_quantity") - 1) / 10).cast("long").as("qty_bin"),
+          (col("l_discount").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("__d100"),
+          col("l_extendedprice"))
+        .withColumn("disc_bin", expr("__d100 div 2"))
+        .groupBy(col("qty_bin"), col("disc_bin"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("qty_bin"), col("disc_bin"))
+    }),
+
     "q_histogram" -> ((s, dir) => {
       val width = 60000.0
       val bin = floor(col("o_totalprice") / width).cast("int")
@@ -310,6 +328,15 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_histogram_2d" ->
+      """SELECT CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) AS qty_bin,
+        |  CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) // 2
+        |    AS disc_bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY qty_bin, disc_bin""".stripMargin,
+
     "q_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 60000.0) AS INT) AS bin,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi

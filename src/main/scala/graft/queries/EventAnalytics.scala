@@ -3,7 +3,10 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.DecimalType
+
 import graft.Tables
+import graft.operators.GlobalOrder
 
 /** Event-analytics tier: CDC latest-wins upsert, SCD2 history
   * construction, funnel conversion, cohort retention, and Markov
@@ -16,6 +19,51 @@ import graft.Tables
 object EventAnalytics {
 
   val queries: Map[String, Q] = Map(
+
+    // RFM user scoring (the classic CRM segmentation): recency = days
+    // from the user's last event to the corpus max (a deterministic
+    // anchor — never wall-clock), frequency = event count, monetary =
+    // exact decimal value sum. Quintile scores come from the two-pass
+    // global row number over the per-USER frame (|users| ≪ |events|;
+    // never a single-partition ntile) with the closed-form qcut bucket
+    // ⌈5r/n⌉ spelled in integer division so both engines cut
+    // identically; (metric, user_id) is a total order so ties are
+    // deterministic. One events shuffle (the user agg); the three rank
+    // passes run on the small user frame, which is checkpointed once.
+    "q_rfm" -> ((s, dir) => {
+      val base0 = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("__last_us"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("value"), 3).cast(DecimalType(30, 3))).cast("double")
+            .as("monetary"))
+      val base = base0.crossJoin(
+          broadcast(base0.agg(max(col("__last_us")).as("__max_us"))))
+        .withColumn("recency_days",
+          expr("(__max_us - __last_us) div 86400000000"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"))
+        .localCheckpoint(true) // feeds three rank passes + the result
+      def score(metric: String, name: String, invert: Boolean) = {
+        val ranked = GlobalOrder.withRowNumberLong(
+          base.select(col("user_id").as(s"__u_$name"), col(metric).as("__m")),
+          Seq(col("__m"), col(s"__u_$name")), "__r")
+        // bucket = ⌈5r/n⌉ in integer arithmetic; inverted for recency
+        // (most recent = highest score)
+        val frame = ranked.crossJoin(
+            broadcast(ranked.agg(max(col("__r")).as("__n"))))
+          .withColumn("__b", expr("(5 * __r - 1) div __n + 1"))
+        frame.select(col(s"__u_$name").as("user_id"),
+          (if (invert) lit(6L) - col("__b") else col("__b")).as(name))
+      }
+      base
+        .join(score("recency_days", "r_score", invert = true), Seq("user_id"))
+        .join(score("frequency", "f_score", invert = false), Seq("user_id"))
+        .join(score("monetary", "m_score", invert = false), Seq("user_id"))
+        .withColumn("rfm",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy(col("user_id"))
+    }),
 
     // CDC latest-wins upsert: the MERGE "take the newest version per
     // key" resolution, as one map-side rank-1 filter (WindowGroupLimit
@@ -114,6 +162,36 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // same qcut bucket formula ⌈5r/n⌉ as integer division, same
+    // (metric, user_id) tie-break
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) AS DOUBLE)
+        |      AS monetary
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT user_id,
+        |    ((SELECT MAX(last_us) FROM base) - last_us) // 86400000000
+        |      AS recency_days,
+        |    frequency, monetary
+        |  FROM base),
+        |r AS (SELECT user_id, recency_days, frequency, monetary,
+        |    ROW_NUMBER() OVER (ORDER BY recency_days, user_id) AS rr,
+        |    ROW_NUMBER() OVER (ORDER BY frequency, user_id) AS rf,
+        |    ROW_NUMBER() OVER (ORDER BY monetary, user_id) AS rm,
+        |    COUNT(*) OVER () AS n
+        |  FROM b)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  6 - ((5 * rr - 1) // n + 1) AS r_score,
+        |  (5 * rf - 1) // n + 1 AS f_score,
+        |  (5 * rm - 1) // n + 1 AS m_score,
+        |  (6 - ((5 * rr - 1) // n + 1)) * 100
+        |    + ((5 * rf - 1) // n + 1) * 10
+        |    + ((5 * rm - 1) // n + 1) AS rfm
+        |FROM r ORDER BY user_id""".stripMargin,
 
     "q_upsert_latest" ->
       """SELECT user_id, event_type, event_id, ROUND(value, 6) AS value

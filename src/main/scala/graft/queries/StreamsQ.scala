@@ -57,6 +57,11 @@ object StreamsQ {
     // sides: purchases × trailing-hour clicks per user
     "q_stream_stream_join" -> ((s, dir) => Streams.clickAttribution(s, dir)),
 
+    // streaming data-quality monitor: per-hour violation counters
+    // (value cap, null payloads, type domain, error-event rate) — the
+    // Quality tier's constraints as watermark-evicted window state
+    "q_stream_quality" -> ((s, dir) => Streams.qualityMonitor(s, dir)),
+
     // streaming ingestion gate: arriving docs contamination-scored
     // against the frozen train corpus in foreachBatch — zero streaming
     // state, exact under any batching (doc-local work); same answer as
@@ -109,6 +114,21 @@ object StreamsQ {
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_stream_quality" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |    AS win_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value > 300.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS value_over_cap,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS value_nulls,
+        |  CAST(SUM(CASE WHEN event_type NOT IN
+        |    ('view', 'click', 'purchase', 'signup', 'error')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS type_out_of_domain,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_errors
+        |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
+
     "q_events_stream" -> windowSql,
     "q_sessionize" -> sessionSql,
     "q_sessionize_stream" -> sessionSql,

@@ -123,6 +123,33 @@ object Streams {
     * here, where the key domain (event_type × user) is far smaller than
     * the event log; [[dedupStreamBounded]] is the watermark-evicted
     * twin for unbounded key domains. */
+  /** Streaming data-quality monitor: per-hour violation counters over
+    * the ingest stream — the streaming face of the Quality tier's
+    * constraint checks (value cap, null payloads, event-type domain,
+    * plus the error-event ops metric). Pure windowed conditional
+    * aggregation: state is one row of counters per open hour window,
+    * evicted by the watermark — O(active windows), never O(events) —
+    * and every counter is an exact long, so the AvailableNow result
+    * hash-matches the batch oracle under any batching. */
+  def qualityMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val known = Seq("view", "click", "purchase", "signup", "error")
+    val stream = normalize(
+      spark.readStream.schema(schema).parquet(eventsDir(sfDir)))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 300.0, 1L).otherwise(0L))
+          .as("value_over_cap"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
+        sum(when(!col("event_type").isin(known: _*), 1L).otherwise(0L))
+          .as("type_out_of_domain"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+    runToTable(spark, stream, OutputMode.Complete())
+      .orderBy(col("win_start"))
+  }
+
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val distinctKeys = spark.readStream.schema(schema).parquet(eventsDir(sfDir))

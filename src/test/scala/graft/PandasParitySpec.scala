@@ -84,6 +84,34 @@ class PandasParitySpec extends SparkSpecBase {
     assert(df.count() === direct)
   }
 
+  test("rfm: scores in 1..5, near-even quintiles, rfm composes digits") {
+    val df = graft.queries.EventAnalytics.queries("q_rfm")(spark, sf)
+    for (c <- Seq("r_score", "f_score", "m_score"))
+      assert(df.filter(col(c) < 1 || col(c) > 5).count() === 0, c)
+    assert(df.filter(col("rfm") =!=
+      col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .count() === 0)
+    // ⌈5r/n⌉ buckets differ in size by at most 1
+    val sizes = df.groupBy(col("f_score")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1)
+    // one row per user
+    assert(df.count() ===
+      Tables(spark, sf, "events").select(col("user_id")).distinct().count())
+  }
+
+  test("2d histogram partitions the table and keeps exact sums") {
+    val df = graft.queries.Aggregates.queries("q_histogram_2d")(spark, sf)
+    val li = Tables(spark, sf, "lineitem")
+    assert(df.agg(sum(col("n"))).collect()(0).getLong(0) === li.count())
+    assert(df.filter(col("qty_bin") < 0 || col("qty_bin") > 4).count() === 0)
+    val total = df.agg(sum(col("sum_price"))).collect()(0).getDouble(0)
+    val direct = li.agg(
+      sum(col("l_extendedprice").cast(org.apache.spark.sql.types
+        .DecimalType(30, 2))).cast("double")).collect()(0).getDouble(0)
+    assert(math.abs(total - direct) < 1e-6)
+  }
+
   test("axis-1 concat: outer length, null padding past the short side") {
     val df = Reshape.queries("q_concat_axis1")(spark, sf)
     val nO = Tables(spark, sf, "orders").count()

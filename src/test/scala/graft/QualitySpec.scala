@@ -31,6 +31,17 @@ class QualitySpec extends SparkSpecBase {
     assert(r.getAs[Long]("fk_orphans") === 0 && r.getAs[Long]("key_dups") === 0)
   }
 
+  test("streaming quality monitor totals match the batch constraint scan") {
+    val df = graft.queries.StreamsQ.queries("q_stream_quality")(spark, sf)
+    val ev = Tables(spark, sf, "events")
+    val agg = df.agg(sum(col("n")), sum(col("value_over_cap")),
+      sum(col("type_out_of_domain")), sum(col("n_errors"))).collect()(0)
+    assert(agg.getLong(0) === ev.count())
+    assert(agg.getLong(1) === ev.filter(col("value") > 300.0).count())
+    assert(agg.getLong(2) === 0L) // clean fixture: domain holds
+    assert(agg.getLong(3) === ev.filter(col("event_type") === "error").count())
+  }
+
   test("quality checks: injected violations are counted, not just flagged") {
     // corrupt a copy in-memory: nulls in the key, dup keys, bad status
     val o = Tables(spark, sf, "orders").limit(100)
