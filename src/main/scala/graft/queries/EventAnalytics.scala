@@ -65,6 +65,34 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // User path mining: each user's FIRST three events (by the
+    // (ts, event_id) total order) concatenated into a path, then path
+    // frequencies with a bounded top-20 — the onboarding-funnel
+    // discovery query (q_funnel checks ONE hypothesized path; this
+    // surfaces which paths exist). The per-user head is a rank filter
+    // (map-side WindowGroupLimit: ≤3 rows per user cross the shuffle);
+    // path assembly is three conditional max aggregates + concat_ws —
+    // pure codegen, no collect_list/transform lambda — and the final
+    // count is path-keyed with map-side partials. concat_ws skips
+    // nulls on both engines, so users with fewer than 3 events yield
+    // the naturally shorter path.
+    "q_user_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 3)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("__rk") === 1, col("event_type"))).as("__e1"),
+          max(when(col("__rk") === 2, col("event_type"))).as("__e2"),
+          max(when(col("__rk") === 3, col("event_type"))).as("__e3"))
+        .select(concat_ws(">", col("__e1"), col("__e2"), col("__e3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
     // CDC latest-wins upsert: the MERGE "take the newest version per
     // key" resolution, as one map-side rank-1 filter (WindowGroupLimit
     // — one survivor per key per mapper crosses the shuffle). The
@@ -162,6 +190,19 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_user_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    concat_ws('>', MAX(CASE WHEN rk = 1 THEN event_type END),
+        |                   MAX(CASE WHEN rk = 2 THEN event_type END),
+        |                   MAX(CASE WHEN rk = 3 THEN event_type END)) AS path
+        |  FROM r WHERE rk <= 3 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     // same qcut bucket formula ⌈5r/n⌉ as integer division, same
     // (metric, user_id) tie-break

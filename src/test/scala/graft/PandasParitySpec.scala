@@ -100,6 +100,23 @@ class PandasParitySpec extends SparkSpecBase {
       Tables(spark, sf, "events").select(col("user_id")).distinct().count())
   }
 
+  test("user paths: segments from the event-type domain, counts bounded") {
+    val df = graft.queries.EventAnalytics.queries("q_user_paths")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val known = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val segs = r.getAs[String]("path").split(">")
+      assert(segs.nonEmpty && segs.length <= 3 && segs.forall(known))
+    }
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum <= users)
+    // top-20 is ordered by (count desc, path)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("2d histogram partitions the table and keeps exact sums") {
     val df = graft.queries.Aggregates.queries("q_histogram_2d")(spark, sf)
     val li = Tables(spark, sf, "lineitem")

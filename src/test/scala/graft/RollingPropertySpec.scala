@@ -72,4 +72,50 @@ class RollingPropertySpec extends SparkSpecBase {
   test("rolling count/sum/min/max/var match sequential frames, w=3")(check(3, 3))
   test("rolling semantics hold at w=1 (degenerate single-row frames)")(check(1, 1))
   test("rolling semantics hold at w=7 with sparse min_periods")(check(7, 2))
+
+  test("ewm var lag composition matches the sequential adjusted formula") {
+    // non-null integer series (the q_ewm_var exactness domain); the
+    // sequential reference computes the SAME truncated-adjusted
+    // definition independently (per-window weight lists, not a 20-term
+    // coalesce chain) — association-free because every term is exact
+    val intSeries = samples(Gen.listOfN(30,
+      Gen.chooseNum(1, 50).map(_.toDouble)), 6).map(_.toVector)
+    for (xs <- intSeries) {
+      val w = Window.orderBy(col("k"))
+      def lg(k: Int) = if (k == 0) col("v") else lag(col("v"), k).over(w)
+      val num = (0 until 20).map(j =>
+        coalesce(lg(j), lit(0)) * lit(math.pow(0.5, j))).reduceLeft(_ + _)
+      val s2 = (0 until 20).map(j =>
+        coalesce(lg(j) * lg(j), lit(0)) * lit(math.pow(0.5, j)))
+        .reduceLeft(_ + _)
+      val den = (0 until 20).map(j =>
+        when(lg(j).isNotNull, lit(math.pow(0.5, j))).otherwise(lit(0.0)))
+        .reduceLeft(_ + _)
+      val den2 = (0 until 20).map(j =>
+        when(lg(j).isNotNull, lit(math.pow(0.25, j))).otherwise(lit(0.0)))
+        .reduceLeft(_ + _)
+      val m = num / den
+      val vb = s2 / den - m * m
+      val v = when(den * den > den2, vb * (den * den) / (den * den - den2))
+      val got = df(xs.map(Option(_))).select(col("k"), v.as("v"))
+        .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+      xs.indices.foreach { i =>
+        val win = xs.slice(math.max(0, i - 19), i + 1).reverse // j=0 newest
+        val ws = win.indices.map(j => math.pow(0.5, j))
+        val d = ws.sum
+        val d2 = win.indices.map(j => math.pow(0.25, j)).sum
+        val expct = if (d * d > d2) {
+          val mm = win.indices.map(j => win(j) * ws(j)).sum / d
+          val vv = win.indices.map(j => win(j) * win(j) * ws(j)).sum / d - mm * mm
+          Some(vv * (d * d) / (d * d - d2))
+        } else None
+        (got(i), expct) match {
+          case (Some(g), Some(e)) =>
+            assert(math.abs(g.asInstanceOf[Double] - e) <=
+              1e-12 * math.max(1, math.abs(e)), s"ewm var at $i")
+          case (g, e) => assert(g.isEmpty == e.isEmpty, s"null gate at $i")
+        }
+      }
+    }
+  }
 }
