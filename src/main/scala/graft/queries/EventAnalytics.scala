@@ -65,6 +65,39 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // Robust anomaly detection by MAD (median absolute deviation):
+    // med = exact median of value, MAD = exact median of |value − med|,
+    // anomaly ⟺ |value − med| > 3 · 1.4826 · MAD (the normal-consistent
+    // robust z-score rule — unlike mean/σ, one corrupt batch cannot
+    // drag the fence). Two exact quantile passes over a single double
+    // column (the two-pass global-rank machinery — nothing exceeds one
+    // partition), fences broadcast back, ONE classify aggregate per
+    // event_type. Determinism discipline: the median is rounded to
+    // 6 dp BEFORE deviations are formed and the threshold is rounded
+    // before comparing — each rounding collapses the quantile lerp's
+    // cross-engine last-ulp freedom (measured; see q_winsorize) so the
+    // deviation RANKS and the classification see identical doubles.
+    // The deviation frame is rebuilt for the classify rather than
+    // checkpointed: it is scan + broadcast join, fully pipelined.
+    "q_events_anomaly" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val med = GlobalOrder.exactQuantiles(ev, col("value"),
+          Seq(("__m", 0.5)))
+        .select(round(col("__m"), 6).as("med"))
+      def dev = ev.crossJoin(broadcast(med))
+        .withColumn("__ad", abs(col("value") - col("med")))
+      val thr = GlobalOrder.exactQuantiles(dev, col("__ad"),
+          Seq(("__mad", 0.5)))
+        .select(round(lit(3.0) * lit(1.4826) * col("__mad"), 6).as("thr"))
+      dev.crossJoin(broadcast(thr))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__ad") > col("thr"), 1L).otherwise(0L))
+            .as("n_anomalies"))
+        .orderBy(col("event_type"))
+    }),
+
     // User path mining: each user's FIRST three events (by the
     // (ts, event_id) total order) concatenated into a path, then path
     // frequencies with a bounded top-20 — the onboarding-funnel
@@ -190,6 +223,18 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // same rounding points: med to 6 dp before deviations, threshold
+    // to 6 dp before the compare — identical doubles on both engines
+    "q_events_anomaly" ->
+      """WITH m AS (SELECT ROUND(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events),
+        |d AS (SELECT event_type, ABS(value - med) AS ad FROM events, m),
+        |t AS (SELECT ROUND(3.0 * 1.4826 * quantile_cont(ad, 0.5), 6) AS thr
+        |  FROM d)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(*) FILTER (WHERE ad > thr) AS BIGINT) AS n_anomalies
+        |FROM d, t GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_user_paths" ->
       """WITH r AS (SELECT user_id, event_type,

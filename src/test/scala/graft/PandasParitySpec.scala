@@ -100,6 +100,17 @@ class PandasParitySpec extends SparkSpecBase {
       Tables(spark, sf, "events").select(col("user_id")).distinct().count())
   }
 
+  test("mad anomalies: counts partition per type, fence is robust") {
+    val df = graft.queries.EventAnalytics.queries("q_events_anomaly")(spark, sf)
+    val rows = df.collect()
+    val total = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_anomalies") <= r.getAs[Long]("n")))
+    // MAD flags a minority: the fence sits at a robust 3-sigma
+    assert(rows.map(_.getAs[Long]("n_anomalies")).sum < total / 2)
+  }
+
   test("user paths: segments from the event-type domain, counts bounded") {
     val df = graft.queries.EventAnalytics.queries("q_user_paths")(spark, sf)
     val rows = df.collect()
