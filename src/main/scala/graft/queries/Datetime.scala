@@ -30,6 +30,19 @@ object Datetime {
         .orderBy(col("event_id"))
     }),
 
+    // pandas MonthEnd offset parity: the month-end date, days to it,
+    // and an is-month-end flag — pure date-arithmetic projection
+    // (last_day is exact calendar math on both engines, no timezone).
+    "q_dt_month_end" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          last_day(d).as("month_end"),
+          datediff(last_day(d), d).cast("int").as("days_to_me"),
+          (d === last_day(d)).cast("int").as("is_month_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // field extraction
     "q_dt_fields" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -84,6 +97,16 @@ object Datetime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dt_month_end" ->
+      """SELECT o_orderkey,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    last_day(CAST(o_orderdate AS DATE))) AS INT) AS days_to_me,
+        |  CAST(CASE WHEN CAST(o_orderdate AS DATE) =
+        |    last_day(CAST(o_orderdate AS DATE)) THEN 1 ELSE 0 END AS INT)
+        |    AS is_month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_between_time" ->
       """SELECT event_id, ts, user_id FROM events
         |WHERE epoch_us(ts) % 86400000000

@@ -65,6 +65,37 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // Pareto / ABC contribution analysis: revenue by brand, ranked
+    // descending, cumulative share, class A (top brands to 70% of
+    // revenue), B (to 90%), C (tail) — the inventory-policy query
+    // every BI layer ships. The expensive part (the lineitem×part
+    // join + brand agg) is one broadcast-joined hash aggregate; the
+    // cumulative share then runs over the AGGREGATED frame (|brands| ≪
+    // |lineitem|) via the two-pass exact-decimal prefix sum — no
+    // single-partition window even for a million-key dimension. Shares
+    // are rounded ratios of exact decimal sums, so the A/B/C cut
+    // compares identical doubles on both engines.
+    "q_pareto_abc" -> ((s, dir) => {
+      val rev = Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(graft.functions.dsum(col("l_extendedprice")).as("revenue"))
+        .localCheckpoint(true) // feeds the prefix pass AND the total
+      val tot = rev.agg(
+        sum(col("revenue").cast(DecimalType(30, 2))).cast("double")
+          .as("__tot"))
+      GlobalOrder.withRunningSum(rev,
+          Seq(col("revenue").desc, col("p_brand")), col("revenue"), "__cum")
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_share", round(col("__cum") / col("__tot"), 6))
+        .select(col("p_brand"), col("revenue"), col("cum_share"),
+          when(col("cum_share") <= 0.70, "A")
+            .when(col("cum_share") <= 0.90, "B").otherwise("C").as("abc"))
+        .orderBy(col("revenue").desc, col("p_brand"))
+    }),
+
     // Robust anomaly detection by MAD (median absolute deviation):
     // med = exact median of value, MAD = exact median of |value − med|,
     // anomaly ⟺ |value − med| > 3 · 1.4826 · MAD (the normal-consistent
@@ -223,6 +254,28 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // same exact-decimal cumulative sum in revenue-desc order, same
+    // rounded share before the A/B/C cut
+    "q_pareto_abc" ->
+      """WITH b AS (SELECT p_brand,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |c AS (SELECT p_brand, revenue,
+        |    CAST(SUM(CAST(revenue AS DECIMAL(30,2)))
+        |      OVER (ORDER BY revenue DESC, p_brand
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS cum,
+        |    CAST(SUM(CAST(revenue AS DECIMAL(30,2))) OVER () AS DOUBLE)
+        |      AS tot
+        |  FROM b)
+        |SELECT p_brand, revenue, ROUND(cum / tot, 6) AS cum_share,
+        |  CASE WHEN ROUND(cum / tot, 6) <= 0.70 THEN 'A'
+        |       WHEN ROUND(cum / tot, 6) <= 0.90 THEN 'B'
+        |       ELSE 'C' END AS abc
+        |FROM c ORDER BY revenue DESC, p_brand""".stripMargin,
 
     // same rounding points: med to 6 dp before deviations, threshold
     // to 6 dp before the compare — identical doubles on both engines

@@ -100,6 +100,29 @@ class PandasParitySpec extends SparkSpecBase {
       Tables(spark, sf, "events").select(col("user_id")).distinct().count())
   }
 
+  test("pareto abc: cumulative share monotone to 1.0, classes ordered") {
+    val rows = graft.queries.EventAnalytics.queries("q_pareto_abc")(spark, sf)
+      .collect()
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+    // classes appear in A..C order along the ranking
+    val abc = rows.map(_.getAs[String]("abc"))
+    assert(abc.mkString.matches("A*B*C*"))
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("month end: anchor properties of last_day arithmetic") {
+    val df = graft.queries.Datetime.queries("q_dt_month_end")(spark, sf)
+    assert(df.filter(col("days_to_me") < 0 || col("days_to_me") > 30)
+      .count() === 0)
+    assert(df.filter((col("is_month_end") === 1) =!=
+      (col("days_to_me") === 0)).count() === 0)
+    assert(df.filter(month(col("month_end")) =!=
+      month(date_add(col("month_end"), -27))).count() === 0)
+  }
+
   test("mad anomalies: counts partition per type, fence is robust") {
     val df = graft.queries.EventAnalytics.queries("q_events_anomaly")(spark, sf)
     val rows = df.collect()
