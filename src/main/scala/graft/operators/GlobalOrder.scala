@@ -218,6 +218,34 @@ object GlobalOrder {
     *
     * Reference: exact quantiles named a hard part in SURVEY §7;
     * `S.quantile` at `sdc/datatypes/hpat_pandas_series_functions.py:2880`. */
+  /** Exact nearest-rank quantiles (pandas interpolation='higher':
+    * the VALUE at rank max(1, ⌈q·n⌉)) as a 1-row frame — the bound of
+    * choice when the result feeds comparisons or output columns,
+    * because a picked data value is bit-identical across engines at
+    * any n, while interpolated quantiles retain last-ulp freedom
+    * (measured on DuckDB quantile_cont(0.05) at sf0.1). Same one-pass
+    * shape as [[exactQuantiles]]: ranks from the range shuffle, total
+    * count from the per-partition summary (never a second scan), picks
+    * as conditional sums — the full ranked frame is never
+    * materialized. */
+  def nearestRankPicks(df: DataFrame, value: Column,
+                       qs: Seq[(String, Double)], parts: Int = 0): DataFrame = {
+    val vals = df.select(value.as("__v")).filter(col("__v").isNotNull)
+    val (local, counts0) = localRanks(vals, Seq(col("__v")), parts)
+    val counts = counts0.localCheckpoint(true)
+    val offsets = exclusivePrefix(counts, "__cnt", lit(0L))
+    val n = counts.agg(sum(col("__cnt")).as("__n"))
+    val ranked = local.join(broadcast(offsets), PID)
+      .withColumn("__rn", col(LOCAL) + col(OFF))
+    val joined = ranked.crossJoin(broadcast(n))
+    def k(q: Double) =
+      greatest(ceil(col("__n").cast("double") * q).cast("long"), lit(1L))
+    val picks = qs.map { case (name, q) =>
+      sum(when(col("__rn") === k(q), col("__v"))).as(name)
+    }
+    joined.agg(picks.head, picks.tail: _*)
+  }
+
   def exactQuantiles(df: DataFrame, value: Column,
                      qs: Seq[(String, Double)], parts: Int = 0): DataFrame = {
     val vals = df.select(value.as("__v")).filter(col("__v").isNotNull)

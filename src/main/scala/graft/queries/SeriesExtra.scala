@@ -282,16 +282,8 @@ object SeriesExtra {
     "q_winsorize" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      val ranked = GlobalOrder.withRowNumberLong(
-          li.select(col("l_extendedprice").as("__v")), Seq(col("__v")), "__rn")
-        .localCheckpoint(true) // feeds the n agg AND the rank pick
-      val n = ranked.agg(max(col("__rn")).as("__n"))
-      val k05 = greatest(ceil(col("__n").cast("double") * 0.05).cast("long"),
-        lit(1L))
-      val k95 = ceil(col("__n").cast("double") * 0.95).cast("long")
-      val bounds = ranked.crossJoin(broadcast(n))
-        .agg(sum(when(col("__rn") === k05, col("__v"))).as("p05"),
-          sum(when(col("__rn") === k95, col("__v"))).as("p95"))
+      val bounds = GlobalOrder.nearestRankPicks(li, col("l_extendedprice"),
+        Seq(("p05", 0.05), ("p95", 0.95)))
       li.crossJoin(broadcast(bounds))
         .select(col("l_orderkey"), col("l_linenumber"),
           when(col("l_extendedprice") < col("p05"), col("p05"))

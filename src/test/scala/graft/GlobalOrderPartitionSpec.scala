@@ -185,6 +185,21 @@ class GlobalOrderPartitionSpec extends SparkSpecBase {
       s"fills scan different RDDs: ${rdds.map(_.rdd.id)}")
   }
 
+  for (parts <- Seq(1, 2, 97)) {
+    test(s"nearestRankPicks equals the sorted-array pick at $parts partitions") {
+      val got = GlobalOrder.nearestRankPicks(df, col("v"),
+        Seq(("p05", 0.05), ("p50", 0.5), ("p95", 0.95), ("p100", 1.0)),
+        parts).collect()(0)
+      val sorted = keys.map(k => (k % 13).toDouble).sorted
+      def pick(q: Double) =
+        sorted(math.max(1, math.ceil(sorted.length * q).toLong).toInt - 1)
+      assert(got.getAs[Double]("p05") === pick(0.05))
+      assert(got.getAs[Double]("p50") === pick(0.5))
+      assert(got.getAs[Double]("p95") === pick(0.95))
+      assert(got.getAs[Double]("p100") === pick(1.0))
+    }
+  }
+
   test("positional plans contain no Row decode/encode seam") {
     // Guards against reintroducing a df.rdd/createDataFrame round-trip:
     // the physical plan must stay in Tungsten format end to end.
