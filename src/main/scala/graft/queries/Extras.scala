@@ -597,6 +597,22 @@ object Extras {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup threshold sweep (the tuning report run BEFORE committing
+    // a dedup threshold at corpus scale): candidate pairs computed ONCE
+    // through the same bucketed hyperplane-LSH path as q_emb_neardup,
+    // then pair counts at each candidate threshold as conditional sums
+    // over the rounded cosine — one aggregate, no per-threshold rescan.
+    // The sweep thresholds compare the 6-dp-ROUNDED similarity so both
+    // engines cut on the identical double.
+    "q_neardup_sweep" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, planes = 6, threshold = 0.30)
+        .agg(count(lit(1)).as("n_030"),
+          sum(when(col("cos_sim") >= 0.40, 1L).otherwise(0L)).as("n_040"),
+          sum(when(col("cos_sim") >= 0.50, 1L).otherwise(0L)).as("n_050"),
+          sum(when(col("cos_sim") >= 0.70, 1L).otherwise(0L)).as("n_070"))
+    }),
+
     // per-label embedding centroids (mean pooling — the k-means update /
     // embedding-aggregation step): posexplode each vector, hash-aggregate
     // by (label, dim). Map-side partials collapse the ×64 explode before
@@ -1508,6 +1524,37 @@ object Extras {
         |FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id
         |WHERE emb.vec_id = COALESCE(cc.cluster, emb.vec_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q_emb_neardup pair CTEs, aggregated into per-threshold counts
+    // on the rounded cosine (the Spark sweep's comparand)
+    "q_neardup_sweep" ->
+      s"""WITH ${planesCte(6)},
+        |dots AS (SELECT vec_id, p,
+        |  ${foldDot("embedding", "pl")} AS dot
+        |  FROM embeddings, planes),
+        |sigs AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |small AS (SELECT sig FROM sigs GROUP BY sig HAVING COUNT(*) <= 1000),
+        |member AS (SELECT s.vec_id, s.sig FROM sigs s JOIN small USING (sig)),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM member a JOIN member b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b,
+        |  ${foldDot("ea.embedding", "eb.embedding")} /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, 64),
+        |     i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, 64),
+        |     i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cs
+        |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+        |            JOIN embeddings eb ON eb.vec_id = cand.id_b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_030,
+        |  CAST(SUM(CASE WHEN ROUND(cs, 6) >= 0.40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_040,
+        |  CAST(SUM(CASE WHEN ROUND(cs, 6) >= 0.50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_050,
+        |  CAST(SUM(CASE WHEN ROUND(cs, 6) >= 0.70 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_070
+        |FROM pairs WHERE cs >= 0.30""".stripMargin,
 
     // cosineNearDupPairs replica: 6-plane signatures, ≤1000 bucket cap,
     // in-bucket pairs, exact cosine ≥ 0.30 (unrounded filter, rounded

@@ -111,6 +111,17 @@ class TrainPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("neardup sweep: counts monotone decreasing in the threshold") {
+    val r = graft.queries.Extras.queries("q_neardup_sweep")(spark, sf)
+      .collect()(0)
+    val ns = Seq("n_030", "n_040", "n_050", "n_070").map(r.getAs[Long])
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // the 0.30 count is exactly the q_emb_neardup pair count
+    val direct = graft.queries.Extras.queries("q_emb_neardup")(spark, sf)
+      .count()
+    assert(ns.head === direct)
+  }
+
   test("ewm var/std: null head, non-negative, std = sqrt(var)") {
     val df = Rolling.queries("q_ewm_var")(spark, sf)
     // exactly the single-observation head of each suppkey partition has
