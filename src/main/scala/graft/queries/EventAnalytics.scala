@@ -65,6 +65,67 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // Session-duration distribution: sessions re-derived by the same
+    // 30-minute gap/cumsum rule the sessionize family pins, then
+    // count / mean / p50 / p90 of duration-in-seconds. Durations are
+    // exact longs (epoch-microsecond diffs), the mean is an exact
+    // long-sum division, and the percentiles are NEAREST-RANK picks
+    // (data values — bit-exact at any n, the q_winsorize argument), so
+    // every output survives the cross-engine hash. Only (user, ts,
+    // event_id) enters the session shuffle; the percentile pass runs
+    // over |sessions| rows.
+    "q_session_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sessions = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("__new",
+          when(col("__prev").isNull ||
+            unix_micros(col("ts")) - col("__prev") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("__sid", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("__us"))
+        // integer seconds (`div`, not `/` — Column./ is double division)
+        .select(col("user_id"), col("__sid"),
+          expr("__us div 1000000").as("dur_s"))
+        .localCheckpoint(true) // feeds the scalar agg AND the rank picks
+      val stats = sessions.agg(count(lit(1)).as("n_sessions"),
+        round(sum(col("dur_s")).cast("double") / count(lit(1)), 6)
+          .as("mean_dur_s"))
+      val picks = GlobalOrder.nearestRankPicks(sessions,
+        col("dur_s").cast("double"), Seq(("p50_dur_s", 0.5), ("p90_dur_s", 0.9)))
+      stats.crossJoin(broadcast(picks))
+    }),
+
+    // Active-user curve: daily actives AND trailing-7-day actives per
+    // day, via the scale rewrite for windowed COUNT DISTINCT — each
+    // distinct (user, day) contributes itself to the 7 daily windows it
+    // falls in (a ×7 explode of the DEDUPLICATED user-day frame, not of
+    // events), then one hash agg per target day counts distinct users.
+    // No per-day rescan, no distinct-over-window operator, exact.
+    "q_active_users" -> ((s, dir) => {
+      val userDays = Tables(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+        .localCheckpoint(true) // feeds the DAU agg AND the window explode
+      val dau = userDays.groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val w7 = userDays
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("__o"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("__o")).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau7"))
+      // trailing windows extend past the last observed day — keep only
+      // days that actually occur (pandas .rolling on the day index)
+      dau.join(w7, Seq("day")).orderBy(col("day"))
+    }),
+
     // Pareto / ABC contribution analysis: revenue by brand, ranked
     // descending, cumulative share, class A (top brands to 70% of
     // revenue), B (to 90%), C (tail) — the inventory-policy query
@@ -254,6 +315,54 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // same 30-min gap/cumsum session rule as the sessionize oracles,
+    // nearest-rank percentile picks on the duration longs
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) IS NULL
+        |       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |d AS (SELECT user_id, sid,
+        |  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS dur_s
+        |  FROM s GROUP BY user_id, sid),
+        |r AS (SELECT CAST(dur_s AS DOUBLE) AS v,
+        |  ROW_NUMBER() OVER (ORDER BY CAST(dur_s AS DOUBLE)) AS rn FROM d),
+        |n AS (SELECT MAX(rn) AS n FROM r),
+        |st AS (SELECT COUNT(*) AS n_sessions,
+        |  ROUND(CAST(SUM(dur_s) AS DOUBLE) / COUNT(*), 6) AS mean_dur_s
+        |  FROM d),
+        |p AS (SELECT
+        |  SUM(CASE WHEN rn = GREATEST(
+        |    CAST(CEIL(CAST(n AS DOUBLE) * 0.5) AS BIGINT), 1) THEN v END)
+        |    AS p50_dur_s,
+        |  SUM(CASE WHEN rn = GREATEST(
+        |    CAST(CEIL(CAST(n AS DOUBLE) * 0.9) AS BIGINT), 1) THEN v END)
+        |    AS p90_dur_s
+        |  FROM r, n)
+        |SELECT n_sessions, mean_dur_s, p50_dur_s, p90_dur_s
+        |FROM st, p""".stripMargin,
+
+    // each distinct user-day feeds the 7 daily windows it falls in —
+    // the windowed COUNT DISTINCT scale rewrite, replayed verbatim
+    "q_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        |w7 AS (SELECT day + CAST(o AS INTEGER) AS day, user_id
+        |  FROM ud, (SELECT unnest(generate_series(0, 6)) AS o) t),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau7
+        |  FROM w7 GROUP BY day)
+        |SELECT day, dau, wau7 FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
 
     // same exact-decimal cumulative sum in revenue-desc order, same
     // rounded share before the A/B/C cut

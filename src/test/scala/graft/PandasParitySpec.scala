@@ -100,6 +100,26 @@ class PandasParitySpec extends SparkSpecBase {
       Tables(spark, sf, "events").select(col("user_id")).distinct().count())
   }
 
+  test("session stats: consistent with the sessionize query") {
+    val r = graft.queries.EventAnalytics.queries("q_session_stats")(spark, sf)
+      .collect()(0)
+    val sessions = graft.queries.StreamsQ.queries("q_sessionize")(spark, sf)
+      .count()
+    assert(r.getAs[Long]("n_sessions") === sessions)
+    assert(r.getAs[Double]("p50_dur_s") <= r.getAs[Double]("p90_dur_s"))
+    assert(r.getAs[Double]("mean_dur_s") >= 0.0)
+  }
+
+  test("active users: wau7 >= dau, bounded by the user universe") {
+    val df = graft.queries.EventAnalytics.queries("q_active_users")(spark, sf)
+    assert(df.filter(col("wau7") < col("dau")).count() === 0)
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(df.filter(col("wau7") > users).count() === 0)
+    // every active day appears exactly once
+    assert(df.count() === df.select(col("day")).distinct().count())
+  }
+
   test("pareto abc: cumulative share monotone to 1.0, classes ordered") {
     val rows = graft.queries.EventAnalytics.queries("q_pareto_abc")(spark, sf)
       .collect()
