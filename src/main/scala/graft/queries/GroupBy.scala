@@ -21,6 +21,31 @@ object GroupBy {
 
   val queries: Map[String, Q] = Map(
 
+    // df.groupby(k)[['x','y']].corr() — per-group Pearson correlation
+    // from exact power sums: ONE hash aggregate of decimal-exact
+    // sums (quantity integral, discount 2-dec ⇒ every sum exact), then
+    // one deterministic double expression per group, rounded. Same
+    // single-scan shape as q_corr_matrix, keyed.
+    "q_groupby_corr" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val x = col("l_quantity")
+      val y = col("l_discount")
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x.cast(DecimalType(20, 0))).cast("double").as("sx"),
+          sum(y.cast(DecimalType(20, 2))).cast("double").as("sy"),
+          sum((x * y).cast(DecimalType(24, 2))).cast("double").as("sxy"),
+          sum((x * x).cast(DecimalType(24, 0))).cast("double").as("sxx"),
+          sum((y * y).cast(DecimalType(24, 4))).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qd"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // pandas resample('M').ohlc() per supplier: open/close are the
     // first/last price in (shipdate, orderkey, linenumber, partkey)
     // order inside each month, high/low plain extrema — ONE hash
@@ -925,6 +950,24 @@ object GroupBy {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // identical power-sum expression sequence, exact decimal interiors
+    "q_groupby_corr" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(24,2)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,0)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(24,4)))
+        |      AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qd
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
     "q_groupby_ohlc" ->
       """WITH t AS (SELECT l_suppkey,
         |    date_trunc('month', CAST(l_shipdate AS DATE)) AS month,

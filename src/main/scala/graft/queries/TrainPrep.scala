@@ -114,6 +114,39 @@ object TrainPrep {
     // vocab table hurts, the sketch swap is Misra-Gries/Count-Min with
     // this exact query as its verifier — same contract as the
     // q_approx_* sketch tier.
+    // Feature hashing (the hashing-trick featurizer): token → one of
+    // 64 buckets via the salted md5 fold, per-doc bucket counts. The
+    // 100 TB-friendly property is NO vocabulary pass: one explode +
+    // one (doc, bucket) hash agg — no global dictionary build, no
+    // broadcast, collisions absorbed by the learner (the trick's
+    // contract). Bucket ids are engine-identical md5 arithmetic.
+    "q_feature_hash" -> ((s, dir) => {
+      Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("w"))
+        .select(col("doc_id"), md5Bucket(col("w"), 64L, salt = "fh:").as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+    // Class-balanced downsampling: every label keeps exactly n_min
+    // docs (the minority-class size — data-dependent, derived in the
+    // same job as a 1-row broadcast), selected by salted-md5 priority
+    // within each label — deterministic under any partitioning, retry,
+    // or engine, unlike sampleBy's RNG. One label-keyed window shuffle.
+    "q_sample_balanced" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("lang"), col("doc_id"))
+      val minN = d.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+        .agg(min(col("__n")).as("__minn"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("bal|"), col("doc_id"))), col("doc_id"))
+      d.withColumn("__rn", row_number().over(w))
+        .crossJoin(broadcast(minN))
+        .filter(col("__rn") <= col("__minn"))
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Per-doc OOV rate against the corpus top-1000 vocabulary — the
     // EXACT perplexity-filter stand-in: a unigram-LM logprob score
     // inherits libm's last-ulp freedom (ln differs across engines),
@@ -228,6 +261,28 @@ object TrainPrep {
         |  ROUND(CAST(COALESCE(SUM(c) FILTER (WHERE rn <= 1000), 0) AS DOUBLE)
         |    / CAST(SUM(c) AS DOUBLE), 6) AS cov1000
         |FROM r""".stripMargin,
+
+    "q_feature_hash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),
+        |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
+        |    '\\s+')) AS w
+        |  FROM documents)
+        |SELECT doc_id, ${Extras.hex8("'fh:' || w")} % 64 AS bucket,
+        |  COUNT(*) AS n
+        |FROM tok GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_sample_balanced" ->
+      """WITH c AS (SELECT MIN(n) AS minn FROM (
+        |    SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
+        |r AS (SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('bal|' || doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r, c WHERE rn <= minn
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q_oov_rate" ->
       """WITH tok AS (

@@ -111,6 +111,24 @@ class TrainPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("feature hash: buckets bounded, counts total the token stream") {
+    val df = TrainPrep.queries("q_feature_hash")(spark, sf)
+    assert(df.filter(col("bucket") < 0 || col("bucket") > 63).count() === 0)
+    val tokens = Tables(spark, sf, "documents")
+      .select(explode(graft.operators.TextOps.normWords(col("text"))))
+      .count()
+    assert(df.agg(sum(col("n"))).collect()(0).getLong(0) === tokens)
+  }
+
+  test("balanced sample: every class keeps exactly the minority count") {
+    val df = TrainPrep.queries("q_sample_balanced")(spark, sf)
+    val minN = Tables(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).collect()(0).getLong(0)
+    val per = df.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+    assert(per.nonEmpty && per.forall(_.getAs[Long]("n") === minN))
+  }
+
   test("neardup sweep: counts monotone decreasing in the threshold") {
     val r = graft.queries.Extras.queries("q_neardup_sweep")(spark, sf)
       .collect()(0)
