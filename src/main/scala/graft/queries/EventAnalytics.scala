@@ -65,6 +65,68 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // Week-over-week churn: users active in week W but absent in W+1,
+    // as a per-week rate. The (user, week) frame is deduplicated once
+    // (|users|·|weeks| rows max), the absence test is a left join onto
+    // the same frame shifted one week — no per-week rescan of events.
+    // The final week has no W+1 and is excluded (churn undefined).
+    // Weeks are epoch-day integer division (day div 7) — pure long
+    // arithmetic, no ISO-week edge cases.
+    "q_churn" -> ((s, dir) => {
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+        .distinct()
+        .localCheckpoint(true) // feeds both join sides + the max-week agg
+      val nxt = uw.select(col("user_id"), (col("week") - 1).as("week"),
+        lit(1).as("__next"))
+      val maxW = uw.agg(max(col("week")).as("__maxw"))
+      uw.join(nxt, Seq("user_id", "week"), "left")
+        .crossJoin(broadcast(maxW))
+        .filter(col("week") < col("__maxw"))
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("active"),
+          sum(when(col("__next").isNull, 1L).otherwise(0L)).as("churned"))
+        .withColumn("churn_rate",
+          round(col("churned").cast("double") / col("active").cast("double"), 6))
+        .orderBy(col("week"))
+    }),
+
+    // Market-basket co-occurrence (the frequent-itemset first pass):
+    // per-user DISTINCT event types, then type pairs within each user
+    // and their support counts. The per-user set is bounded by the
+    // type universe (5 here; catalogs in the thousands at most), so
+    // the within-user self-join is linear in users times a small
+    // constant — never |events|². Support = distinct users, exact.
+    "q_basket_pairs" -> ((s, dir) => {
+      val ut = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(true) // both sides of the pair join
+      ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Activity heatmap feed: events by (ISO weekday, hour) — two
+    // integer field extracts, one hash agg. dayofweek spelling: both
+    // engines emit ISO Monday=1 via the explicit formula on epoch days
+    // (Thursday rule anchor: 1970-01-01 was a Thursday = ISO 4).
+    "q_weekday_hour_heatmap" -> ((s, dir) => {
+      val epochDay = expr("unix_micros(ts) div 86400000000")
+      Tables(s, dir, "events")
+        .select(((epochDay + 3) % 7 + 1).as("dow"), hour(col("ts")).as("hr"),
+          col("value"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value"), 3).cast(DecimalType(30, 3))).cast("double")
+            .as("sum_value"))
+        .orderBy(col("dow"), col("hr"))
+    }),
+
     // Session-duration distribution: sessions re-derived by the same
     // 30-minute gap/cumsum rule the sessionize family pins, then
     // count / mean / p50 / p90 of duration-in-seconds. Durations are
@@ -315,6 +377,38 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_churn" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS week
+        |  FROM events),
+        |mw AS (SELECT MAX(week) AS maxw FROM uw),
+        |j AS (SELECT a.week,
+        |    CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+        |  FROM uw a LEFT JOIN uw b
+        |    ON a.user_id = b.user_id AND b.week = a.week + 1)
+        |SELECT week, COUNT(*) AS active,
+        |  CAST(SUM(churned) AS BIGINT) AS churned,
+        |  ROUND(CAST(SUM(churned) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS churn_rate
+        |FROM j, mw WHERE week < maxw GROUP BY week ORDER BY week""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS support
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin,
+
+    "q_weekday_hour_heatmap" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 + 1
+        |    AS dow,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY dow, hr ORDER BY dow, hr""".stripMargin,
 
     // same 30-min gap/cumsum session rule as the sessionize oracles,
     // nearest-rank percentile picks on the duration longs

@@ -100,6 +100,44 @@ class PandasParitySpec extends SparkSpecBase {
       Tables(spark, sf, "events").select(col("user_id")).distinct().count())
   }
 
+  test("churn: rates in [0,1], active bounded by the user universe") {
+    val df = graft.queries.EventAnalytics.queries("q_churn")(spark, sf)
+    assert(df.filter(col("churn_rate") < 0 || col("churn_rate") > 1)
+      .count() === 0)
+    assert(df.filter(col("churned") > col("active")).count() === 0)
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(df.filter(col("active") > users).count() === 0)
+  }
+
+  test("basket pairs: ordered pairs, support bounded by either type") {
+    val df = graft.queries.EventAnalytics.queries("q_basket_pairs")(spark, sf)
+    assert(df.filter(col("type_a") >= col("type_b")).count() === 0)
+    val perType = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("nu")).toMap
+    df.collect().foreach { r =>
+      val cap = math.min(perType(r.getAs[String]("type_a")),
+        perType(r.getAs[String]("type_b")))
+      assert(r.getAs[Long]("support") <= cap)
+    }
+  }
+
+  test("heatmap: dow in 1..7, hour in 0..23, counts total the table") {
+    val df = graft.queries.EventAnalytics
+      .queries("q_weekday_hour_heatmap")(spark, sf)
+    assert(df.filter(col("dow") < 1 || col("dow") > 7 ||
+      col("hr") < 0 || col("hr") > 23).count() === 0)
+    assert(df.agg(sum(col("n"))).collect()(0).getLong(0) ===
+      Tables(spark, sf, "events").count())
+    // the ISO formula agrees with Spark's own weekday()
+    val bad = Tables(spark, sf, "events").select(
+      ((expr("unix_micros(ts) div 86400000000") + 3) % 7 + 1).as("f"),
+      (weekday(col("ts")) + 1).as("w")).filter(col("f") =!= col("w"))
+    assert(bad.count() === 0)
+  }
+
   test("session stats: consistent with the sessionize query") {
     val r = graft.queries.EventAnalytics.queries("q_session_stats")(spark, sf)
       .collect()(0)
