@@ -65,6 +65,42 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov statistic (distribution-drift
+    // detection between cohorts — here click vs view values):
+    // D = max |F_a(v) − F_b(v)| evaluated on the DISTINCT-VALUE frame:
+    // per-value group counts from one hash agg, cumulative counts via
+    // the two-pass integer prefix sum over value order (the frame is
+    // |distinct values| ≪ |events|), and the max of |ca·nb − cb·na|
+    // in EXACT long arithmetic — the one division happens once at the
+    // end, so the statistic is deterministic to the last bit before
+    // its final rounding. Ties are handled exactly: the CDF is
+    // evaluated after each full value group (per-value aggregation
+    // guarantees it).
+    "q_ks_test" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("value"))
+      val perValue = ev.groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("__ca"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("__cb"))
+      val cum = GlobalOrder.withRunningSum(
+          GlobalOrder.withRunningSum(perValue, Seq(col("value")),
+            col("__ca"), "__cca", scale = 0),
+          Seq(col("value")), col("__cb"), "__ccb", scale = 0)
+        .localCheckpoint(true) // feeds the totals AND the max pass
+      val totals = cum.agg(sum(col("__ca")).as("n_a"),
+        sum(col("__cb")).as("n_b"))
+      cum.crossJoin(broadcast(totals))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(abs(col("__cca") * col("n_b") - col("__ccb") * col("n_a")))
+            .as("__num"))
+        .select(col("n_a"), col("n_b"),
+          round(col("__num") / (col("n_a") * col("n_b")).cast("double"), 6)
+            .as("d_stat"))
+    }),
+
     // Week-over-week churn: users active in week W but absent in W+1,
     // as a per-week rate. The (user, week) frame is deduplicated once
     // (|users|·|weeks| rows max), the absence test is a left join onto
@@ -377,6 +413,31 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // same exact-integer cumulative construction on the distinct-value
+    // frame; the |ca·nb − cb·na| numerator stays exact until one
+    // rounded division
+    "q_ks_test" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |pv AS (SELECT value,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM ev GROUP BY value),
+        |c AS (SELECT value, ca, cb,
+        |    CAST(SUM(CAST(ca AS DECIMAL(30,0))) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS cca,
+        |    CAST(SUM(CAST(cb AS DECIMAL(30,0))) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS ccb
+        |  FROM pv),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b FROM pv)
+        |SELECT n_a, n_b,
+        |  ROUND(MAX(ABS(cca * n_b - ccb * n_a))
+        |    / CAST(n_a * n_b AS DOUBLE), 6) AS d_stat
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
 
     "q_churn" ->
       """WITH uw AS (SELECT DISTINCT user_id,

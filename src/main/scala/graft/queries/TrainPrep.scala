@@ -114,6 +114,33 @@ object TrainPrep {
     // vocab table hurts, the sketch swap is Misra-Gries/Count-Min with
     // this exact query as its verifier — same contract as the
     // q_approx_* sketch tier.
+    // Character-entropy quality signal (low entropy ⇒ repetitive /
+    // degenerate text — the boilerplate gate corpus filters run).
+    // Over the CLOSED 36-char alphabet the whole computation is one
+    // codegen projection — char counts as length-difference
+    // expressions, entropy as a 36-term in-row sum — so the query is
+    // scan-only: no explode, no shuffle, nothing but the final sort.
+    // ln is libm (≤1 ulp each, not bit-pinned); 36 accumulated terms
+    // diverge < 1e-13 cross-engine, invisible at the 6-dp rounding —
+    // the q_tfidf precedent, green at both SFs.
+    "q_char_entropy" -> ((s, dir) => {
+      val alphabet = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+      val n = col("__n")
+      val terms = alphabet.map { ch =>
+        val c = (length(col("__t")) -
+          length(regexp_replace(col("__t"), ch, ""))).cast("double")
+        when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0))
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("__t"))
+        .withColumn("__n", length(col("__t")).cast("double"))
+        .select(col("doc_id"),
+          when(n > 0, round(terms.reduceLeft(_ + _), 6)).otherwise(0.0)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Feature hashing (the hashing-trick featurizer): token → one of
     // 64 buckets via the salted md5 fold, per-doc bucket counts. The
     // 100 TB-friendly property is NO vocabulary pass: one explode +
@@ -261,6 +288,21 @@ object TrainPrep {
         |  ROUND(CAST(COALESCE(SUM(c) FILTER (WHERE rn <= 1000), 0) AS DOUBLE)
         |    / CAST(SUM(c) AS DOUBLE), 6) AS cov1000
         |FROM r""".stripMargin,
+
+    // identical 36-term chain, REPLACE per literal char, same ln/round
+    "q_char_entropy" -> {
+      val terms = (('a' to 'z') ++ ('0' to '9')).map { ch =>
+        val c = s"CAST(LENGTH(t) - LENGTH(REPLACE(t, '$ch', '')) AS DOUBLE)"
+        s"CASE WHEN $c > 0 THEN -($c / n) * ln($c / n) ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id,
+        |    regexp_replace(LOWER(text), '[^a-z0-9]', '', 'g') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, CAST(LENGTH(t) AS DOUBLE) AS n FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN n > 0 THEN ROUND($terms, 6) ELSE 0.0 END AS entropy
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "q_feature_hash" ->
       s"""WITH tok AS (

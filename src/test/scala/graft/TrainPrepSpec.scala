@@ -111,6 +111,32 @@ class TrainPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("char entropy: bounded by ln(36), maximal only under diversity") {
+    val df = TrainPrep.queries("q_char_entropy")(spark, sf)
+      .localCheckpoint(true)
+    val cap = math.log(36.0) + 1e-9
+    assert(df.filter(col("entropy") < 0 || col("entropy") > cap)
+      .count() === 0)
+    // zero entropy ⟺ the normalized text has at most one distinct char
+    val distinctChars = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(array_distinct(split(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", ""), "")))
+        .as("nd"))
+    val joined = df.join(distinctChars, Seq("doc_id"))
+    assert(joined.filter(col("entropy") === 0.0 && col("nd") > 2)
+      .count() === 0) // split("") may yield an empty-string element
+    assert(joined.filter(col("entropy") > 0.0 && col("nd") <= 1)
+      .count() === 0)
+  }
+
+  test("ks test: statistic in [0,1], zero against itself") {
+    val r = graft.queries.EventAnalytics.queries("q_ks_test")(spark, sf)
+      .collect()(0)
+    val d = r.getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+  }
+
   test("feature hash: buckets bounded, counts total the token stream") {
     val df = TrainPrep.queries("q_feature_hash")(spark, sf)
     assert(df.filter(col("bucket") < 0 || col("bucket") > 63).count() === 0)
