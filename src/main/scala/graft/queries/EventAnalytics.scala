@@ -65,6 +65,28 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // Gini coefficient of user spend concentration (the inequality
+    // metric behind "the top 1% of users drive X% of value"). User
+    // totals are quantized to exact milli-unit LONGS, ranked ascending
+    // by (total, user_id) via the two-pass row number over the USER
+    // frame, and Gini = (2·Σ i·mᵢ − (n+1)·Σ mᵢ) / (n·Σ mᵢ) — every
+    // term an exact long (Σ i·mᵢ stays under 2⁶³ far past this scale),
+    // one rounded division at the end. Fully deterministic.
+    "q_gini" -> ((s, dir) => {
+      val totals = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(round(col("value"), 3).cast(DecimalType(30, 3))) * 1000)
+          .cast("long").as("m"))
+      val ranked = GlobalOrder.withRowNumberLong(totals,
+        Seq(col("m"), col("user_id")), "i")
+      ranked.agg(count(lit(1)).as("__n"), sum(col("m")).as("__s0"),
+          sum(col("i") * col("m")).as("__s1"))
+        .select(col("__n").as("n_users"),
+          round((lit(2L) * col("__s1") - (col("__n") + 1) * col("__s0"))
+            .cast("double") /
+            (col("__n") * col("__s0")).cast("double"), 6).as("gini"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov statistic (distribution-drift
     // detection between cohorts — here click vs view values):
     // D = max |F_a(v) − F_b(v)| evaluated on the DISTINCT-VALUE frame:
@@ -413,6 +435,20 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_gini" ->
+      """WITH m AS (SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) * 1000
+        |      AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, user_id) AS i FROM m),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(m) AS BIGINT) AS s0,
+        |    CAST(SUM(i * m) AS BIGINT) AS s1 FROM r)
+        |SELECT n AS n_users,
+        |  ROUND(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+        |    / CAST(n * s0 AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
 
     // same exact-integer cumulative construction on the distinct-value
     // frame; the |ca·nb − cb·na| numerator stays exact until one

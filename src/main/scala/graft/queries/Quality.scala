@@ -52,6 +52,72 @@ object Quality {
         .orderBy(col("column"))
     }),
 
+    // Population stability index (the binned drift screen paired with
+    // q_ks_test's exact CDF distance): click vs view values in 10
+    // fixed-width bins, PSI = Σ (pa−pb)·ln(pa/pb). The bin counts are
+    // one conditional hash agg; the term sum is quantized to 1e-9
+    // longs BEFORE summing (the kmeans quantize-exact pattern) so the
+    // cross-bin addition is order-free and the single rounded division
+    // at the end is deterministic.
+    "q_psi" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(least(floor(col("value") / 50).cast("int"), lit(9)).as("bin"),
+          col("event_type"))
+      val bins = ev.groupBy(col("bin"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("ca"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint(true) // feeds the totals AND the term sum
+      val tot = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val withP = bins.crossJoin(broadcast(tot))
+        .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
+        .withColumn("pb", col("cb").cast("double") / col("nb").cast("double"))
+        .withColumn("__term",
+          when(col("ca") > 0 && col("cb") > 0,
+            (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+            .otherwise(lit(0.0)))
+        .withColumn("__tq",
+          floor(col("__term") * lit(1e9) + lit(0.5)).cast("long"))
+      withP.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(col("__tq")).as("__s"))
+        .select(col("n_a"), col("n_b"),
+          round(col("__s").cast("double") / lit(1e9), 6).as("psi"))
+    }),
+
+    // Benford first-digit screen (the classic fabricated-numbers
+    // audit): leading digit extracted by EXACT integer-cents division
+    // (no log10, no float-boundary digits), observed frequency vs the
+    // Benford expectation log10(1+1/d) — inlined as the same double
+    // literal on both engines, so the deviation column compares
+    // identically.
+    "q_benford" -> ((s, dir) => {
+      val c = (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+        * 100).cast("long")
+      val digit = when(c >= 10000L, expr("__c div 10000"))
+        .when(c >= 1000L, expr("__c div 1000"))
+        .when(c >= 100L, expr("__c div 100"))
+        .when(c >= 10L, expr("__c div 10"))
+        .otherwise(col("__c"))
+      val expFreq = (1 to 9).map(d => d ->
+        BigDecimal(math.log10(1.0 + 1.0 / d))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      val ev = Tables(s, dir, "events")
+        .filter(col("value") >= 0.01)
+        .withColumn("__c", c)
+        .withColumn("digit", digit)
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = ev.agg(sum(col("n")).as("__t"))
+      ev.crossJoin(broadcast(tot))
+        .withColumn("freq",
+          round(col("n").cast("double") / col("__t").cast("double"), 6))
+        .withColumn("exp_freq",
+          (1 to 9).foldLeft(lit(Double.NaN)) { case (acc, d) =>
+            when(col("digit") === d, lit(expFreq(d))).otherwise(acc) })
+        .select(col("digit"), col("n"), col("freq"), col("exp_freq"))
+        .orderBy(col("digit"))
+    }),
+
     // Constraint report: key non-null + unique, value-range bounds,
     // domain membership, and referential integrity orders→customer —
     // each check a conditional aggregate; the FK check is a broadcast
@@ -99,6 +165,49 @@ object Quality {
         row("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
         row("o_totalprice", "CAST(ROUND(o_totalprice, 2) AS VARCHAR)"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    "q_psi" ->
+      """WITH ev AS (SELECT LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin,
+        |    event_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |b AS (SELECT bin,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM ev GROUP BY bin),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM b),
+        |w AS (SELECT ca, cb, na, nb,
+        |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb FROM b, t),
+        |q AS (SELECT na, nb,
+        |    CAST(FLOOR(CASE WHEN ca > 0 AND cb > 0
+        |      THEN (pa - pb) * ln(pa / pb) ELSE 0.0 END * 1e9 + 0.5)
+        |      AS BIGINT) AS tq
+        |  FROM w)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS psi
+        |FROM q GROUP BY na, nb""".stripMargin,
+
+    "q_benford" -> {
+      val ef = (1 to 9).map(d => d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      val caseExp = (1 to 9)
+        .map(d => s"WHEN digit = $d THEN ${ef(d)}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH c AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value >= 0.01),
+        |d AS (SELECT CASE WHEN c >= 10000 THEN c // 10000
+        |    WHEN c >= 1000 THEN c // 1000
+        |    WHEN c >= 100 THEN c // 100
+        |    WHEN c >= 10 THEN c // 10 ELSE c END AS digit FROM c),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM g)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS freq,
+        |  $caseExp AS exp_freq
+        |FROM g, t ORDER BY digit""".stripMargin
     },
 
     "q_quality_checks" ->

