@@ -597,6 +597,24 @@ object Extras {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup-graph degree histogram (pipeline introspection: a fat tail
+    // here means one boilerplate cluster is about to dominate the
+    // component pass — the operational dashboard read before tuning
+    // maxBucket / the threshold). Rides the standard minhash pair
+    // pipeline once (checkpointed — both union branches reuse the
+    // materialized pairs); degrees come from a union + hash agg over
+    // PAIRS (≪ corpus), the histogram over the degree table.
+    "q_degree_histogram" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"),
+          "doc_id", "text", k = 16, bands = 4, threshold = 0.5)
+        .localCheckpoint(true)
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    }),
+
     // Near-dup threshold sweep (the tuning report run BEFORE committing
     // a dedup threshold at corpus scale): candidate pairs computed ONCE
     // through the same bucketed hyperplane-LSH path as q_emb_neardup,
@@ -1524,6 +1542,16 @@ object Extras {
         |FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id
         |WHERE emb.vec_id = COALESCE(cc.cluster, emb.vec_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same pair pipeline; degrees and histogram over the pair CTE
+    "q_degree_histogram" ->
+      s"""WITH $minhashPairsCte,
+        |pr AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+        |d AS (SELECT id, COUNT(*) AS deg FROM (
+        |    SELECT id_a AS id FROM pr
+        |    UNION ALL SELECT id_b AS id FROM pr) u GROUP BY id)
+        |SELECT deg, COUNT(*) AS n_nodes FROM d GROUP BY deg
+        |ORDER BY deg""".stripMargin,
 
     // the q_emb_neardup pair CTEs, aggregated into per-threshold counts
     // on the rounded cosine (the Spark sweep's comparand)

@@ -121,6 +121,21 @@ object Sources {
   /** Orders written as a partitioned parquet dataset (hive layout,
     * `o_orderpriority=<v>/` directories) — the sink side of §2.1 plus
     * the partition-pruned scan the round-trip query exercises. */
+  /** Two parquet generations in ONE directory: v1 files without
+    * c_mktsegment, v2 files with it — the lakehouse schema-evolution
+    * layout `mergeSchema` exists for. */
+  private def customerEvolved(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"cevo:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_cevo_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val c = Tables(s, dir, "customer")
+      c.select(col("c_custkey"), col("c_name"))
+        .write.mode("overwrite").parquet(tmp)
+      c.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .write.mode("append").parquet(tmp)
+      tmp
+    })
+
   private def ordersPartitioned(s: SparkSession, dir: String): String =
     fixtures.computeIfAbsent(s"opart:$dir", { _ =>
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_opart_" +
@@ -232,6 +247,21 @@ object Sources {
         .orderBy(col("o_custkey"))
     }),
 
+    // Schema-evolution read (the lakehouse reality: files written
+    // before and after a column was added live in one dataset):
+    // mergeSchema unions the file footers at planning time, and rows
+    // from pre-evolution files surface the added column as null. The
+    // aggregate proves the null semantics (old rows count toward
+    // n_total but not n_with_segment).
+    "q_schema_merge" -> ((s, dir) => {
+      val path = customerEvolved(s, dir)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // df.to_csv round-trip: distributed multi-part CSV write, schema'd
     // read-back, aggregate — proves the write is lossless (doubles
     // round-trip via shortest-repr strings) and driver-free.
@@ -322,6 +352,16 @@ object Sources {
       """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders WHERE o_orderkey >= 100
         |ORDER BY o_orderkey""".stripMargin,
+
+    // v1 generation replayed as the NULL-segment union branch
+    "q_schema_merge" ->
+      """WITH u AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_mktsegment
+        |  FROM customer
+        |  UNION ALL SELECT c_custkey, c_mktsegment FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  COUNT(DISTINCT c_custkey) AS n_cust
+        |FROM u GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_read_csv_converters" ->
       """SELECT o_orderkey,

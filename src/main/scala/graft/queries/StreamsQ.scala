@@ -57,6 +57,11 @@ object StreamsQ {
     // sides: purchases × trailing-hour clicks per user
     "q_stream_stream_join" -> ((s, dir) => Streams.clickAttribution(s, dir)),
 
+    // streaming drift monitor: per-hour PSI of the value distribution
+    // against the static baseline — fixed bins make PSI streamable;
+    // the windowed counters are the only state
+    "q_stream_drift" -> ((s, dir) => Streams.driftMonitor(s, dir)),
+
     // streaming data-quality monitor: per-hour violation counters
     // (value cap, null payloads, type domain, error-event rate) — the
     // Quality tier's constraints as watermark-evicted window state
@@ -114,6 +119,33 @@ object StreamsQ {
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_stream_drift" ->
+      """WITH bb AS (SELECT LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin
+        |  FROM events),
+        |base AS (SELECT bin, COUNT(*) AS cb FROM bb GROUP BY bin),
+        |bt AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM base),
+        |bl AS (SELECT bin, CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb
+        |  FROM base, bt),
+        |wc AS (SELECT
+        |    time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |      AS win_start,
+        |    LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin,
+        |    COUNT(*) AS ca
+        |  FROM events GROUP BY 1, 2),
+        |wt AS (SELECT win_start, CAST(SUM(ca) AS BIGINT) AS na
+        |  FROM wc GROUP BY win_start),
+        |j AS (SELECT wc.win_start, wt.na, bl.pb,
+        |    CAST(wc.ca AS DOUBLE) / CAST(wt.na AS DOUBLE) AS pa
+        |  FROM wc JOIN wt USING (win_start) JOIN bl USING (bin)),
+        |q AS (SELECT win_start, na,
+        |    CAST(FLOOR(CASE WHEN pa > 0 AND pb > 0
+        |      THEN (pa - pb) * ln(pa / pb) ELSE 0.0 END * 1e9 + 0.5)
+        |      AS BIGINT) AS tq
+        |  FROM j)
+        |SELECT win_start, MAX(na) AS n,
+        |  ROUND(CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS psi
+        |FROM q GROUP BY win_start ORDER BY win_start""".stripMargin,
+
     "q_stream_quality" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
         |    AS win_start,

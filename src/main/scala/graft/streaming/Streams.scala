@@ -150,6 +150,53 @@ object Streams {
       .orderBy(col("win_start"))
   }
 
+  /** Streaming drift monitor: per-hour PSI of the ingest value
+    * distribution against the static whole-corpus baseline — the
+    * production shape for "alert when today's traffic stops looking
+    * like the training distribution". The baseline is a 10-row
+    * broadcast of fixed-bin frequencies (no quantiles — fixed bins
+    * are what make PSI streamable); streaming state is 10 counters
+    * per open hour window, watermark-evicted. The PSI fold runs in
+    * the finishing pass over the tiny windowed-count table through
+    * the same quantize-to-long term sum as the batch q_psi, so the
+    * result is exact under any batching. Bins absent from a window
+    * contribute no term (inner join) — mirrored verbatim by the
+    * oracle. */
+  def driftMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def bin = least(floor(col("value") / 50).cast("int"), lit(9))
+    val base = normalize(spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("__cb"))
+    val baseline = base.crossJoin(
+        broadcast(base.agg(sum(col("__cb")).as("__nb"))))
+      .select(col("bin"),
+        (col("__cb").cast("double") / col("__nb").cast("double")).as("pb"))
+    val stream = normalize(
+      spark.readStream.schema(schema).parquet(eventsDir(sfDir)))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
+        bin.as("bin"))
+      .agg(count(lit(1)).as("ca"))
+    // sever the memory-sink view before the self-join (the sink view
+    // resolves to the same attribute ids on both sides otherwise)
+    val counts = runToTable(spark, stream, OutputMode.Complete())
+      .localCheckpoint(true)
+    val totals = counts.groupBy(col("win_start")).agg(sum(col("ca")).as("na"))
+    counts.join(totals, Seq("win_start"))
+      .join(broadcast(baseline), Seq("bin"))
+      .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("__term", when(col("pa") > 0 && col("pb") > 0,
+        (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+        .otherwise(lit(0.0)))
+      .withColumn("__tq", floor(col("__term") * lit(1e9) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("win_start"))
+      .agg(max(col("na")).as("n"),
+        round(sum(col("__tq")).cast("double") / lit(1e9), 6).as("psi"))
+      .orderBy(col("win_start"))
+  }
+
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val distinctKeys = spark.readStream.schema(schema).parquet(eventsDir(sfDir))

@@ -64,6 +64,34 @@ class QualitySpec extends SparkSpecBase {
     assert(agg.getLong(3) === ev.filter(col("event_type") === "error").count())
   }
 
+  test("stream drift: psi near zero when the window IS the baseline") {
+    val df = graft.queries.StreamsQ.queries("q_stream_drift")(spark, sf)
+    // each hourly window is drawn from the same distribution as the
+    // whole-corpus baseline — PSI should be small but non-negative
+    assert(df.filter(col("psi") < 0).count() === 0)
+    val total = df.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total === Tables(spark, sf, "events").count())
+  }
+
+  test("schema merge: old-generation rows surface the added column as null") {
+    val rows = graft.queries.Sources.queries("q_schema_merge")(spark, sf)
+      .collect()
+    val n = Tables(spark, sf, "customer").count()
+    val nullRow = rows.find(r => r.isNullAt(r.fieldIndex("c_mktsegment")))
+    assert(nullRow.nonEmpty && nullRow.get.getAs[Long]("n") === n)
+    assert(rows.map(_.getAs[Long]("n")).sum === 2 * n)
+  }
+
+  test("degree histogram: node total matches the pair graph") {
+    val hist = graft.queries.Extras.queries("q_degree_histogram")(spark, sf)
+      .collect()
+    val pairs = graft.queries.Extras.queries("q_dedup_minhash")(spark, sf)
+    val nodes = pairs.select(col("id_a")).union(pairs.select(col("id_b")))
+      .distinct().count()
+    assert(hist.map(_.getAs[Long]("n_nodes")).sum === nodes)
+    assert(hist.forall(_.getAs[Long]("deg") >= 1))
+  }
+
   test("quality checks: injected violations are counted, not just flagged") {
     // corrupt a copy in-memory: nulls in the key, dup keys, bad status
     val o = Tables(spark, sf, "orders").limit(100)
