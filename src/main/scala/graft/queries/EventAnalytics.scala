@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions._
 import graft.operators.GlobalOrder
 
 /** Event-analytics tier: CDC latest-wins upsert, SCD2 history
@@ -63,6 +64,106 @@ object EventAnalytics {
         .withColumn("rfm",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
         .orderBy(col("user_id"))
+    }),
+
+    // Lorenz curve (the curve the Gini coefficient summarizes):
+    // cumulative share of spend held by the bottom-x% of users, at
+    // deciles. Same exact milli-long user totals and two-pass ranking
+    // as q_gini; the decile read-off picks the cumulative sum at rank
+    // ⌈n·k/10⌉ — every number an exact long until the one rounded
+    // division per decile.
+    "q_lorenz_curve" -> ((s, dir) => {
+      val totals = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(round(col("value"), 3).cast(DecimalType(30, 3))) * 1000)
+          .cast("long").as("m"))
+      val ranked = GlobalOrder.withRunningSum(
+          GlobalOrder.withRowNumberLong(totals,
+            Seq(col("m"), col("user_id")), "i"),
+          Seq(col("m"), col("user_id")), col("m"), "cm", scale = 0)
+        .localCheckpoint(true) // feeds the totals AND the decile picks
+      val t = ranked.agg(max(col("i")).as("__n"),
+        sum(col("m")).as("__s"))
+      val withT = ranked.crossJoin(broadcast(t))
+      val picks = (1 to 10).map { k =>
+        sum(when(col("i") ===
+          ceil(col("__n").cast("double") * (k / 10.0)).cast("long"),
+          col("cm"))).as(s"__c$k")
+      }
+      val aggs = Seq(max(col("__n")).as("__nn"),
+        max(col("__s")).as("__ss")) ++ picks
+      withT.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((1 to 10).map { k =>
+          struct(lit(k).as("decile"),
+            round(col(s"__c$k") / col("__ss").cast("double"), 6)
+              .as("spend_share"))
+        }: _*)).as("r"))
+        .select(col("r.decile"), col("r.spend_share"))
+        .orderBy(col("decile"))
+    }),
+
+    // Deterministic A/B test readout: users hash-split 50/50 (salted
+    // md5 — the assignment IS the experiment system's), metric =
+    // "purchase share above the uniform 1/5" (every fixture user
+    // purchases at least once, so raw conversion is degenerate at
+    // 100%; the share metric has real variance). Effect read out as
+    // the two-proportion z statistic: exact integer numerators and
+    // denominators feed one deterministic double sequence, rounded —
+    // the gate pins the whole stats pipeline, not just the counts.
+    "q_ab_test" -> ((s, dir) => {
+      val users = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(when(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5 >
+            count(lit(1)), 1L).otherwise(0L).as("converted"))
+        .withColumn("grp",
+          when(md5Bucket(col("user_id"), 2L, salt = "ab:") === 0, "A")
+            .otherwise("B"))
+      users.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+        .agg(
+          sum(when(col("grp") === "A", col("n"))).as("n_a"),
+          sum(when(col("grp") === "A", col("conv"))).as("c_a"),
+          sum(when(col("grp") === "B", col("n"))).as("n_b"),
+          sum(when(col("grp") === "B", col("conv"))).as("c_b"))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          round(col("c_a").cast("double") / col("n_a").cast("double"), 6)
+            .as("p_a"),
+          round(col("c_b").cast("double") / col("n_b").cast("double"), 6)
+            .as("p_b"),
+          round(
+            (col("c_a").cast("double") / col("n_a").cast("double") -
+              col("c_b").cast("double") / col("n_b").cast("double")) /
+              sqrt(((col("c_a") + col("c_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+                (lit(1.0) - (col("c_a") + col("c_b")).cast("double") /
+                  (col("n_a") + col("n_b")).cast("double")) *
+                (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double"))), 6).as("z"))
+    }),
+
+    // Time-to-convert distribution: for users whose first view
+    // precedes their first purchase, seconds between the two firsts —
+    // count, exact mean, nearest-rank p50/p90 (data values, the
+    // q_winsorize argument). Two conditional min aggregates per user
+    // (one events shuffle), then the rank pass over |converters| rows.
+    "q_funnel_time" -> ((s, dir) => {
+      val firsts = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view",
+          unix_micros(col("ts")))).as("__v"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("__p"))
+        .filter(col("__v").isNotNull && col("__p").isNotNull &&
+          col("__p") > col("__v"))
+        .select(expr("(__p - __v) div 1000000").as("tts"))
+        .localCheckpoint(true) // feeds the scalar agg AND the rank picks
+      val stats = firsts.agg(count(lit(1)).as("n_converted"),
+        round(sum(col("tts")).cast("double") / count(lit(1)), 6)
+          .as("mean_tts_s"))
+      val picks = GlobalOrder.nearestRankPicks(firsts,
+        col("tts").cast("double"), Seq(("p50_tts_s", 0.5), ("p90_tts_s", 0.9)))
+      stats.crossJoin(broadcast(picks))
     }),
 
     // Gini coefficient of user spend concentration (the inequality
@@ -435,6 +536,86 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // same milli-long ranking; decile read-off at rank ⌈n·k/10⌉
+    "q_lorenz_curve" -> {
+      val decile = (1 to 10).map { k =>
+        s"""SELECT $k AS decile, ROUND(
+           |  (SELECT CAST(cm AS DOUBLE) FROM r, a
+           |   WHERE i = CAST(CEIL(CAST(n AS DOUBLE) * ${k / 10.0}) AS BIGINT))
+           |  / (SELECT CAST(s AS DOUBLE) FROM a), 6) AS spend_share"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n", "")
+      s"""WITH m AS (SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) * 1000
+        |      AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, user_id) AS i,
+        |    CAST(SUM(CAST(m AS DECIMAL(30,0))) OVER (ORDER BY m, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS cm
+        |  FROM m),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(m) AS BIGINT) AS s FROM m)
+        |$decile
+        |ORDER BY decile""".stripMargin
+    },
+
+    // same salted split, same pooled-z op sequence on exact integers
+    "q_ab_test" ->
+      s"""WITH u AS (SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) * 5 > COUNT(*) THEN 1 ELSE 0 END
+        |      AS converted,
+        |    CASE WHEN ${Extras.hex8("'ab:' || user_id::VARCHAR")} % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS grp
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN grp = 'A' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN grp = 'B' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS c_b
+        |  FROM u)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+        |  ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+        |  ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |    AS z
+        |FROM g""".stripMargin,
+
+    "q_funnel_time" ->
+      """WITH f AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT (p - v) // 1000000 AS tts FROM f
+        |  WHERE v IS NOT NULL AND p IS NOT NULL AND p > v),
+        |r AS (SELECT CAST(tts AS DOUBLE) AS w,
+        |    ROW_NUMBER() OVER (ORDER BY CAST(tts AS DOUBLE)) AS rn FROM d),
+        |n AS (SELECT MAX(rn) AS n FROM r),
+        |st AS (SELECT COUNT(*) AS n_converted,
+        |    ROUND(CAST(SUM(tts) AS DOUBLE) / COUNT(*), 6) AS mean_tts_s
+        |  FROM d),
+        |p AS (SELECT
+        |    SUM(CASE WHEN rn = GREATEST(
+        |      CAST(CEIL(CAST(n AS DOUBLE) * 0.5) AS BIGINT), 1) THEN w END)
+        |      AS p50_tts_s,
+        |    SUM(CASE WHEN rn = GREATEST(
+        |      CAST(CEIL(CAST(n AS DOUBLE) * 0.9) AS BIGINT), 1) THEN w END)
+        |      AS p90_tts_s
+        |  FROM r, n)
+        |SELECT n_converted, mean_tts_s, p50_tts_s, p90_tts_s
+        |FROM st, p""".stripMargin,
 
     "q_gini" ->
       """WITH m AS (SELECT user_id,

@@ -100,6 +100,47 @@ class PandasParitySpec extends SparkSpecBase {
       Tables(spark, sf, "events").select(col("user_id")).distinct().count())
   }
 
+  test("lorenz: monotone deciles ending at 1.0, below the diagonal") {
+    val rows = graft.queries.EventAnalytics.queries("q_lorenz_curve")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("decile"))
+    val shares = rows.map(_.getAs[Double]("spend_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+    // Lorenz curve lies on or below the equality diagonal evaluated at
+    // the ACTUAL read-off fraction ⌈n·k/10⌉/n (k/10 itself only bounds
+    // it when n divides evenly)
+    val n = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      val k = r.getAs[Int]("decile")
+      val frac = math.ceil(n * (k / 10.0)) / n
+      assert(r.getAs[Double]("spend_share") <= frac + 1e-6,
+        s"decile $k: ${r.getAs[Double]("spend_share")} vs $frac")
+    }
+  }
+
+  test("ab test: cohorts partition users, z consistent with proportions") {
+    val r = graft.queries.EventAnalytics.queries("q_ab_test")(spark, sf)
+      .collect()(0)
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users)
+    assert(r.getAs[Long]("c_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("c_b") <= r.getAs[Long]("n_b"))
+    // z sign agrees with the proportion difference
+    val z = r.getAs[Double]("z")
+    val diff = r.getAs[Double]("p_a") - r.getAs[Double]("p_b")
+    assert(z == 0.0 || z.sign == diff.sign)
+  }
+
+  test("funnel time: percentiles ordered, mean within range") {
+    val r = graft.queries.EventAnalytics.queries("q_funnel_time")(spark, sf)
+      .collect()(0)
+    assert(r.getAs[Long]("n_converted") > 0)
+    assert(r.getAs[Double]("p50_tts_s") <= r.getAs[Double]("p90_tts_s"))
+    assert(r.getAs[Double]("mean_tts_s") >= 0.0)
+  }
+
   test("churn: rates in [0,1], active bounded by the user universe") {
     val df = graft.queries.EventAnalytics.queries("q_churn")(spark, sf)
     assert(df.filter(col("churn_rate") < 0 || col("churn_rate") > 1)
