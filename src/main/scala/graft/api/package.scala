@@ -72,6 +72,13 @@ package object api {
     def quantiles(value: Column, qs: Seq[(String, Double)]): DataFrame =
       GlobalOrder.exactQuantiles(df, value, qs)
 
+    /** `S.quantile(qs, interpolation='higher')` — nearest-rank picks:
+      * the bound of choice for comparisons/outputs (data values,
+      * bit-stable at any n; interpolation keeps last-ulp freedom). */
+    def quantilesNearestRank(value: Column,
+                             qs: Seq[(String, Double)]): DataFrame =
+      GlobalOrder.nearestRankPicks(df, value, qs)
+
     // ——— joins (SURVEY §2.3) ———
 
     /** `pd.merge_asof`; direction ∈ backward | forward | nearest. */

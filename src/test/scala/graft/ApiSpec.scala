@@ -109,4 +109,14 @@ class ApiSpec extends SparkSpecBase {
       .select("lid", "rid").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 10L)))
   }
+
+  test("quantilesNearestRank picks actual data values at ceil-rank") {
+    import spark.implicits._
+    val df = (1 to 97).map(_.toDouble).toDF("v")
+    val r = df.quantilesNearestRank(col("v"),
+      Seq(("p25", 0.25), ("p50", 0.5), ("p100", 1.0))).collect()(0)
+    assert(r.getAs[Double]("p25") === math.ceil(97 * 0.25))
+    assert(r.getAs[Double]("p50") === math.ceil(97 * 0.5))
+    assert(r.getAs[Double]("p100") === 97.0)
+  }
 }
