@@ -229,9 +229,40 @@ class StreamsIncrementalSpec extends SparkSpecBase {
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
 
-  test("contamination ingestion gate over >=3 micro-batches equals the batch scan") {
-    import graft.streaming.Streams
+  test("quality monitor over >=3 micro-batches equals the batch counters") {
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_qual_inc").toString
+    events.withColumn("__b", pmod(col("event_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val known = Seq("view", "click", "purchase", "signup", "error")
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 300.0, 1L).otherwise(0L))
+          .as("value_over_cap"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
+        sum(when(!col("event_type").isin(known: _*), 1L).otherwise(0L))
+          .as("type_out_of_domain"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+    val q = agg.writeStream.format("memory").queryName("qual_inc_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3)
+    val streamed = spark.table("qual_inc_sink")
+    val direct = SparkEntry.queries("q_stream_quality")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(streamed).isEmpty)
+  }
+
+  test("contamination ingest gate over >=3 micro-batches equals the batch scan") {
     import graft.operators.Dedup
+    import graft.streaming.Streams
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = Files.createTempDirectory("graft_ingest_inc").toString
     docs.withColumn("__b", pmod(col("doc_id"), lit(3)))
