@@ -66,6 +66,52 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // Time-constrained funnel (the product semantic q_funnel's
+    // unconditional version misses): first view → first click within
+    // 30 min of it → first purchase within 60 min of that click, per
+    // user. Three conditional-min aggregates chained on the user key:
+    // stage k+1's candidate events are gated by stage k's timestamp,
+    // so each stage is one groupBy over the SAME user-keyed shuffle —
+    // Spark plans the three as a single exchange. Counts are exact.
+    "q_window_funnel" -> ((s, dir) => {
+      val us = unix_micros(col("ts"))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), us.as("__us"))
+        .localCheckpoint(true) // three stage passes over one frame
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("__us")).as("__tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("__us") > col("__tv") &&
+          col("__us") - col("__tv") <= 1800000000L)
+        .groupBy(col("user_id")).agg(min(col("__us")).as("__tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("__us") > col("__tc") &&
+          col("__us") - col("__tc") <= 3600000000L)
+        .groupBy(col("user_id")).agg(min(col("__us")).as("__tp"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+          c.agg(count(lit(1)).as("n_click_30m")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_60m")))
+    }),
+
+    // Retention curve summary: the fraction of users still active ≥1,
+    // ≥7, and ≥30 days after their first activity — the D1/D7/D30
+    // headline the cohort matrix (q_retention) details. One user agg
+    // (first/last epoch-day), three conditional counts, exact ratios.
+    "q_retention_curve" -> ((s, dir) => {
+      val day = expr("unix_micros(ts) div 86400000000")
+      val span = Tables(s, dir, "events")
+        .select(col("user_id"), day.as("__d"))
+        .groupBy(col("user_id"))
+        .agg((max(col("__d")) - min(col("__d"))).as("__span"))
+      def rate(k: Int) = round(
+        sum(when(col("__span") >= k, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6)
+      span.agg(count(lit(1)).as("n_users"), rate(1).as("d1"),
+        rate(7).as("d7"), rate(30).as("d30"))
+    }),
+
     // Lorenz curve (the curve the Gini coefficient summarizes):
     // cumulative share of spend held by the bottom-x% of users, at
     // deciles. Same exact milli-long user totals and two-pass ranking
@@ -536,6 +582,36 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS tv FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(us) AS tc FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > tv AND us - tv <= 1800000000
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(us) AS tp FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > tc
+        |    AND us - tc <= 3600000000
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_click_30m,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase_60m""".stripMargin,
+
+    "q_retention_curve" ->
+      """WITH s AS (SELECT user_id,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |      - MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS span
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  ROUND(CAST(SUM(CASE WHEN span >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS d1,
+        |  ROUND(CAST(SUM(CASE WHEN span >= 7 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS d7,
+        |  ROUND(CAST(SUM(CASE WHEN span >= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS d30
+        |FROM s""".stripMargin,
 
     // same milli-long ranking; decile read-off at rank ⌈n·k/10⌉
     "q_lorenz_curve" -> {

@@ -100,6 +100,28 @@ class PandasParitySpec extends SparkSpecBase {
       Tables(spark, sf, "events").select(col("user_id")).distinct().count())
   }
 
+  test("window funnel: stage counts monotone non-increasing") {
+    val r = graft.queries.EventAnalytics.queries("q_window_funnel")(spark, sf)
+      .collect()(0)
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click_30m"),
+      r.getAs[Long]("n_purchase_60m"))
+    assert(v >= c && c >= p && p >= 0)
+    // windowed counts are bounded by the unconditional funnel's stages
+    val unconditional = graft.queries.EventAnalytics
+      .queries("q_funnel")(spark, sf)
+    assert(v <= Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count())
+  }
+
+  test("retention curve: rates monotone decreasing in the horizon") {
+    val r = graft.queries.EventAnalytics.queries("q_retention_curve")(spark, sf)
+      .collect()(0)
+    val (d1, d7, d30) = (r.getAs[Double]("d1"), r.getAs[Double]("d7"),
+      r.getAs[Double]("d30"))
+    assert(d1 >= d7 && d7 >= d30)
+    assert(d1 <= 1.0 && d30 >= 0.0)
+  }
+
   test("lorenz: monotone deciles ending at 1.0, below the diagonal") {
     val rows = graft.queries.EventAnalytics.queries("q_lorenz_curve")(spark, sf)
       .collect().sortBy(_.getAs[Int]("decile"))
