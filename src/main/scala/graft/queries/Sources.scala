@@ -118,6 +118,22 @@ object Sources {
       tmp
     })
 
+  /** Customer CSV with every 7th acctbal corrupted to non-numeric text
+    * — the PERMISSIVE-mode fixture (a clean fixture can't exercise the
+    * malformed-row path). Corruption keyed on c_custkey so the oracle
+    * can predict exactly which rows null out. */
+  private def customerCsvBad(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"csvbad:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvbad_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          when(col("c_custkey") % 7 === 0, lit("corrupted"))
+            .otherwise(col("c_acctbal").cast("string")).as("c_acctbal"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      tmp
+    })
+
   /** Orders written as a partitioned parquet dataset (hive layout,
     * `o_orderpriority=<v>/` directories) — the sink side of §2.1 plus
     * the partition-pruned scan the round-trip query exercises. */
@@ -247,6 +263,24 @@ object Sources {
         .orderBy(col("o_custkey"))
     }),
 
+    // read_csv robustness (pandas errors='coerce' at the FILE level /
+    // Spark PERMISSIVE mode — the only mode that survives a 100 TB
+    // ingest with a handful of mangled rows): typed schema over a CSV
+    // with corrupted numeric cells → the bad CELL nulls, the row
+    // survives. The aggregate proves both halves: corrupt rows still
+    // counted, their values excluded from the sum.
+    "q_read_csv_badrecords" -> ((s, dir) => {
+      val path = customerCsvBad(s, dir)
+      s.read.option("header", "true").option("mode", "PERMISSIVE")
+        .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+        .csv(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_acctbal")).as("n_parsed"),
+          dsum(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Schema-evolution read (the lakehouse reality: files written
     // before and after a column was added live in one dataset):
     // mergeSchema unions the file footers at planning time, and rows
@@ -352,6 +386,15 @@ object Sources {
       """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders WHERE o_orderkey >= 100
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the corruption rule replayed: every 7th custkey's balance nulls
+    "q_read_csv_badrecords" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN c_custkey % 7 <> 0 THEN 1 END) AS n_parsed,
+        |  CAST(SUM(CASE WHEN c_custkey % 7 <> 0
+        |    THEN CAST(c_acctbal AS DECIMAL(30,2)) END) AS DOUBLE) AS bal
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     // v1 generation replayed as the NULL-segment union branch
     "q_schema_merge" ->
