@@ -69,4 +69,50 @@ class PartitionInvarianceSpec extends SparkSpecBase {
         "doc_id", "text")
     }
   }
+
+  // the exact-rank statistics family: Gini / Lorenz / KS / nearest-rank
+  // picks claim bit-identical answers on any layout — the property the
+  // milli-long quantization and two-pass rank machinery exist for
+  test("gini-style milli-long rank statistic is partition-invariant") {
+    import graft.operators.GlobalOrder
+    invariant("gini") { d =>
+      val totals = d.groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("m"))
+      val ranked = GlobalOrder.withRowNumberLong(totals,
+        Seq(col("m"), col("lang")), "i")
+      ranked.agg(count(lit(1)).as("n"), sum(col("m")).as("s0"),
+          sum(col("i") * col("m")).as("s1"))
+        .select(round((lit(2L) * col("s1") - (col("n") + 1) * col("s0"))
+          .cast("double") / (col("n") * col("s0")).cast("double"), 6)
+          .as("gini"))
+    }
+  }
+
+  test("nearest-rank picks are partition-invariant") {
+    import graft.operators.GlobalOrder
+    invariant("nearestRank") { d =>
+      GlobalOrder.nearestRankPicks(d, col("n_chars").cast("double"),
+        Seq(("p05", 0.05), ("p50", 0.5), ("p95", 0.95)))
+    }
+  }
+
+  test("ks cumulative-count statistic is partition-invariant") {
+    import graft.operators.GlobalOrder
+    invariant("ks") { d =>
+      val perValue = d.groupBy(col("n_chars"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cb"))
+      val cum = GlobalOrder.withRunningSum(
+          GlobalOrder.withRunningSum(perValue, Seq(col("n_chars")),
+            col("ca"), "cca", scale = 0),
+          Seq(col("n_chars")), col("cb"), "ccb", scale = 0)
+        .localCheckpoint(true)
+      val totals = cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cum.crossJoin(broadcast(totals))
+        .agg(max(abs(col("cca") * col("nb") - col("ccb") * col("na")))
+          .as("num"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .select(round(col("num") /
+          (col("na") * col("nb")).cast("double"), 6).as("d"))
+    }
+  }
 }
