@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions._
+import graft.operators.GlobalOrder
 
 /** Data-quality observability: the profile/constraint surface a
   * production pipeline runs on every ingest (the Deequ/dbt-test shape,
@@ -50,6 +52,57 @@ object Quality {
         .select(col("p.column"), col("p.n"), col("p.n_null"),
           col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
         .orderBy(col("column"))
+    }),
+
+    // Deterministic bootstrap resampling (the CI machinery behind
+    // "how stable is this mean"): three resamples of size n drawn WITH
+    // replacement, each draw the row at rank (md5(b,slot) mod n) + 1
+    // over the deterministic o_orderkey order — random access replaced
+    // by an equi-join of the salted slot spine against the two-pass
+    // ranked frame, the scale-correct spelling of np.random.choice.
+    // Every pick is hash-deterministic (reruns, retries, engines), the
+    // resample means are exact-decimal sums of 2-dec picks, and the
+    // slot spine is generated from the 1-row count — no driver loop.
+    "q_bootstrap_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val ranked = GlobalOrder.withRowNumberLong(o,
+          Seq(col("o_orderkey")), "rk")
+        .localCheckpoint(true) // feeds the count AND the pick join
+      val n = ranked.agg(max(col("rk")).as("__n"))
+      val spine = n
+        .select(col("__n"), explode(sequence(lit(1L), col("__n"))).as("slot"))
+        .select(col("__n"), col("slot"),
+          explode(sequence(lit(1), lit(3))).as("b"))
+        .withColumn("rk",
+          pmod(md5Fold32(concat(lit("boot:"), col("b"), lit(":"),
+            col("slot"))), col("__n")) + 1)
+        .select(col("b"), col("rk"))
+      spine.join(ranked, Seq("rk"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_draws"),
+          round(sum(col("o_totalprice").cast(DecimalType(30, 2)))
+            .cast("double") / count(lit(1)), 6).as("boot_mean"))
+        .orderBy(col("b"))
+    }),
+
+    // Normal-approximation CI for the mean from exact power sums — the
+    // one-pass companion the bootstrap cross-checks: mean ± 1.96·s/√n,
+    // every sum exact decimal, the tail a deterministic double chain.
+    "q_mean_ci" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val agg = Tables(s, dir, "orders")
+        .agg(count(col("o_totalprice")).as("n"),
+          dsum(col("o_totalprice")).as("__s1"),
+          sum((col("o_totalprice") * col("o_totalprice"))
+            .cast(DecimalType(34, 4))).cast("double").as("__s2"))
+      val nd = col("n").cast("double")
+      val m = col("__s1") / nd
+      val v = (col("__s2") - col("__s1") * col("__s1") / nd) / (nd - 1.0)
+      val half = lit(1.96) * sqrt(v) / sqrt(nd)
+      agg.select(col("n"), round(m, 6).as("mean"),
+        round(m - half, 6).as("ci_lo"), round(m + half, 6).as("ci_hi"))
     }),
 
     // Population stability index (the binned drift screen paired with
@@ -166,6 +219,38 @@ object Quality {
         row("o_totalprice", "CAST(ROUND(o_totalprice, 2) AS VARCHAR)"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    // same ranked-join spelling of the with-replacement draw
+    "q_bootstrap_mean" ->
+      s"""WITH r AS (SELECT o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rk FROM orders),
+        |n AS (SELECT MAX(rk) AS n FROM r),
+        |sp AS (SELECT b,
+        |    ${Extras.hex8("'boot:' || b || ':' || slot")} % n + 1 AS rk
+        |  FROM n,
+        |    (SELECT unnest(generate_series(1, (SELECT n FROM n))) AS slot) s,
+        |    (SELECT unnest([1, 2, 3]) AS b) bb)
+        |SELECT b, COUNT(*) AS n_draws,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    / COUNT(*), 6) AS boot_mean
+        |FROM sp JOIN r USING (rk) GROUP BY b ORDER BY b""".stripMargin,
+
+    "q_mean_ci" ->
+      """WITH a AS (SELECT COUNT(o_totalprice) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(34,4)))
+        |      AS DOUBLE) AS s2
+        |  FROM orders)
+        |SELECT n, ROUND(s1 / CAST(n AS DOUBLE), 6) AS mean,
+        |  ROUND(s1 / CAST(n AS DOUBLE)
+        |    - 1.96 * sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) / sqrt(CAST(n AS DOUBLE)), 6)
+        |    AS ci_lo,
+        |  ROUND(s1 / CAST(n AS DOUBLE)
+        |    + 1.96 * sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) / sqrt(CAST(n AS DOUBLE)), 6)
+        |    AS ci_hi
+        |FROM a""".stripMargin,
 
     "q_psi" ->
       """WITH ev AS (SELECT LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin,

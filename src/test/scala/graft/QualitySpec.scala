@@ -31,6 +31,24 @@ class QualitySpec extends SparkSpecBase {
     assert(r.getAs[Long]("fk_orphans") === 0 && r.getAs[Long]("key_dups") === 0)
   }
 
+  test("bootstrap means cluster around the true mean, CI brackets it") {
+    val true_mean = {
+      val r = Tables(spark, sf, "orders")
+        .agg(avg(col("o_totalprice"))).collect()(0)
+      r.getDouble(0)
+    }
+    val boots = Quality.queries("q_bootstrap_mean")(spark, sf).collect()
+    assert(boots.length === 3)
+    boots.foreach { b =>
+      assert(math.abs(b.getAs[Double]("boot_mean") - true_mean) <
+        true_mean * 0.2, s"resample far off: ${b.getAs[Double]("boot_mean")}")
+    }
+    val ci = Quality.queries("q_mean_ci")(spark, sf).collect()(0)
+    assert(ci.getAs[Double]("ci_lo") <= true_mean + 1e-6 &&
+      true_mean <= ci.getAs[Double]("ci_hi") + 1e-6)
+    assert(ci.getAs[Double]("ci_lo") < ci.getAs[Double]("mean"))
+  }
+
   test("psi: non-negative, zero when a cohort is compared to itself") {
     val r = Quality.queries("q_psi")(spark, sf).collect()(0)
     assert(r.getAs[Double]("psi") >= 0.0)
