@@ -114,6 +114,46 @@ object TrainPrep {
     // vocab table hurts, the sketch swap is Misra-Gries/Count-Min with
     // this exact query as its verifier — same contract as the
     // q_approx_* sketch tier.
+    // Tokenizer fertility by language (BPE-ish tokens per whitespace
+    // word — the metric that decides whether a tokenizer needs more
+    // vocab for a language): exact integer token counts per doc, one
+    // lang-keyed hash agg, one rounded division per row.
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("__ws"),
+          TextOps.bpeTokenCount(col("text")).as("__bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ws").cast("long")).as("n_ws"),
+          sum(col("__bpe").cast("long")).as("n_bpe"))
+        .withColumn("fertility",
+          round(col("n_bpe").cast("double") / col("n_ws").cast("double"), 6))
+        .orderBy(col("lang"))
+    }),
+
+    // Dataset card (the one-row summary a corpus release ships with):
+    // doc/char/token totals, language count, exact-duplicate rate, and
+    // mean whitespace-token length — every number a count or exact
+    // ratio from TWO passes (one over documents, one distinct-digest
+    // agg), composed by 1-row broadcasts. At 100 TB this is the same
+    // two scans; nothing collects.
+    "q_dataset_card" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      val dup = d.select(md5(col("text")).as("__h"))
+        .agg(count(lit(1)).as("__n"),
+          countDistinct(col("__h")).as("__nd"))
+        .select(round((col("__n") - col("__nd")).cast("double") /
+          col("__n").cast("double"), 6).as("dup_rate"))
+      base.crossJoin(broadcast(dup))
+        .withColumn("mean_doc_tokens",
+          round(col("n_tokens").cast("double") / col("n_docs").cast("double"),
+            6))
+    }),
+
     // Character-entropy quality signal (low entropy ⇒ repetitive /
     // degenerate text — the boilerplate gate corpus filters run).
     // Over the CLOSED 36-char alphabet the whole computation is one
@@ -288,6 +328,41 @@ object TrainPrep {
         |  ROUND(CAST(COALESCE(SUM(c) FILTER (WHERE rn <= 1000), 0) AS DOUBLE)
         |    / CAST(SUM(c) AS DOUBLE), 6) AS cov1000
         |FROM r""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |  CASE WHEN LENGTH(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11))) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')) AS INT)
+        |  END AS ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS INT) AS bpe
+        |FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS n_ws,
+        |  CAST(SUM(bpe) AS BIGINT) AS n_bpe,
+        |  ROUND(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6)
+        |    AS fertility
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |  CASE WHEN LENGTH(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11))) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(TRIM(text, ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')) AS INT)
+        |  END AS ws,
+        |  md5(text) AS h
+        |FROM documents),
+        |b AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(SUM(ws) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS nd
+        |  FROM t)
+        |SELECT n_docs, n_chars, n_tokens, n_langs,
+        |  ROUND(CAST(n_docs - nd AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS dup_rate,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS mean_doc_tokens
+        |FROM b""".stripMargin,
 
     // identical 36-term chain, REPLACE per literal char, same ln/round
     "q_char_entropy" -> {

@@ -111,6 +111,23 @@ class TrainPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("tokenizer fertility >= 1 (a word is at least one bpe token)") {
+    val df = TrainPrep.queries("q_tokenizer_fertility")(spark, sf)
+    assert(df.filter(col("fertility") < 1.0).count() === 0)
+    assert(df.filter(col("n_bpe") < col("n_ws")).count() === 0)
+  }
+
+  test("dataset card: totals consistent with direct counts") {
+    val r = TrainPrep.queries("q_dataset_card")(spark, sf).collect()(0)
+    val d = Tables(spark, sf, "documents")
+    assert(r.getAs[Long]("n_docs") === d.count())
+    assert(r.getAs[Long]("n_langs") ===
+      d.select(col("lang")).distinct().count())
+    val dup = r.getAs[Double]("dup_rate")
+    assert(dup >= 0.0 && dup < 1.0)
+    assert(r.getAs[Double]("mean_doc_tokens") > 0.0)
+  }
+
   test("char entropy: bounded by ln(36), maximal only under diversity") {
     val df = TrainPrep.queries("q_char_entropy")(spark, sf)
       .localCheckpoint(true)
