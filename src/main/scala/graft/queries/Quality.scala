@@ -54,6 +54,43 @@ object Quality {
         .orderBy(col("column"))
     }),
 
+    // Whole-warehouse referential integrity: every FK edge of the star
+    // schema audited in one report — (edge, fact rows, orphans). Each
+    // edge is a left join of the fact's key column against the dim's
+    // distinct keys (dims broadcast; the fact never shuffles) plus one
+    // conditional count; the seven 1-row results union into the
+    // report. The full-mesh audit a warehouse runs nightly.
+    "q_fk_audit" -> ((s, dir) => {
+      def edge(name: String, fact: org.apache.spark.sql.DataFrame,
+               key: String, dim: org.apache.spark.sql.DataFrame,
+               dimKey: String) = {
+        val keys = dim.select(col(dimKey)).distinct()
+          .withColumnRenamed(dimKey, "__dk")
+        fact.select(col(key).as("__fk"))
+          .join(broadcast(keys), col("__fk") === col("__dk"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("__dk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
+      }
+      val li = Tables(s, dir, "lineitem")
+      val frames = Seq(
+        edge("lineitem->orders", li, "l_orderkey",
+          Tables(s, dir, "orders"), "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey",
+          Tables(s, dir, "part"), "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey",
+          Tables(s, dir, "supplier"), "s_suppkey"),
+        edge("orders->customer", Tables(s, dir, "orders"), "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey"),
+        edge("customer->nation", Tables(s, dir, "customer"), "c_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey"),
+        edge("supplier->nation", Tables(s, dir, "supplier"), "s_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey"),
+        edge("nation->region", Tables(s, dir, "nation"), "n_regionkey",
+          Tables(s, dir, "region"), "r_regionkey"))
+      frames.reduce(_ union _).orderBy(col("edge"))
+    }),
+
     // Deterministic bootstrap resampling (the CI machinery behind
     // "how stable is this mean"): three resamples of size n drawn WITH
     // replacement, each draw the row at rank (md5(b,slot) mod n) + 1
@@ -218,6 +255,32 @@ object Quality {
         row("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
         row("o_totalprice", "CAST(ROUND(o_totalprice, 2) AS VARCHAR)"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    "q_fk_audit" -> {
+      def edge(name: String, fact: String, key: String,
+               dim: String, dimKey: String) =
+        s"""SELECT '$name' AS edge, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN d.__dk IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_orphans
+           |FROM $fact f LEFT JOIN
+           |  (SELECT DISTINCT $dimKey AS __dk FROM $dim) d
+           |  ON f.$key = d.__dk""".stripMargin
+      Seq(
+        edge("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edge("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("customer->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        edge("nation->region", "nation", "n_regionkey",
+          "region", "r_regionkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
     },
 
     // same ranked-join spelling of the with-replacement draw

@@ -31,6 +31,14 @@ class QualitySpec extends SparkSpecBase {
     assert(r.getAs[Long]("fk_orphans") === 0 && r.getAs[Long]("key_dups") === 0)
   }
 
+  test("fk audit: all seven edges present, clean fixture has no orphans") {
+    val rows = Quality.queries("q_fk_audit")(spark, sf).collect()
+    assert(rows.length === 7)
+    assert(rows.forall(_.getAs[Long]("n_orphans") === 0L))
+    val li = rows.find(_.getAs[String]("edge") == "lineitem->orders").get
+    assert(li.getAs[Long]("n_rows") === Tables(spark, sf, "lineitem").count())
+  }
+
   test("bootstrap means cluster around the true mean, CI brackets it") {
     val true_mean = {
       val r = Tables(spark, sf, "orders")
