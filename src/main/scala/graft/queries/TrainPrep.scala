@@ -58,6 +58,54 @@ object TrainPrep {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    // Mixture summary report (what a data lead actually reads before
+    // training): per source, the achieved epoch factor of the
+    // fractional-coin rule vs its target weight — doc counts from the
+    // SAME n_rep expression the mixture query explodes, so the two
+    // queries cannot drift apart. One broadcast join + one hash agg;
+    // the ratio is exact longs divided once, rounded.
+    "q_mixture_report" -> ((s, dir) => {
+      val w = s.createDataFrame(mixtureWeights).toDF("source", "wt")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(w), Seq("source"))
+        .withColumn("__rep",
+          floor(col("wt")).cast("long") +
+            when(md5Bucket(col("doc_id"), 1000L, salt = "mix:") <
+              ((col("wt") - floor(col("wt"))) * 1000).cast("long"), 1L)
+              .otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__rep")).as("n_mixture"),
+          max(col("wt")).as("target_epochs"))
+        .withColumn("achieved_epochs",
+          round(col("n_mixture").cast("double") / col("n_docs").cast("double"),
+            6))
+        .orderBy(col("source"))
+    }),
+
+    // Per-source label-diversity audit: Shannon entropy of the
+    // language distribution inside each source (a monoculture source
+    // scores 0; the mixture designer reads this next to the weights).
+    // Group counts from one hash agg; the entropy fold runs on the
+    // (source × lang) frame — tiny — with the ln+round-6 determinism
+    // precedent (q_tfidf) and the quantize-to-long order-free sum.
+    "q_groupby_entropy" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      counts.join(totals, Seq("source"))
+        .withColumn("__p", col("c").cast("double") / col("n").cast("double"))
+        .withColumn("__tq",
+          floor(-(col("__p")) * log(col("__p")) * lit(1e9) + lit(0.5))
+            .cast("long"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          round(sum(col("__tq")).cast("double") / lit(1e9), 6)
+            .as("lang_entropy"))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic shard assignment + balance audit: shard = salted
     // md5 bucket of doc_id (reproducible across engines/runs/retries —
     // the property a round-robin over an arbitrary partitioning does
@@ -325,6 +373,39 @@ object TrainPrep {
         |SELECT doc_id, source, CAST(g AS BIGINT) AS epoch
         |FROM e ORDER BY doc_id, epoch""".stripMargin
     },
+
+    "q_mixture_report" -> {
+      val srcs = mixtureWeights.map(p => s"'${p._1}'").mkString(", ")
+      val wts = mixtureWeights.map(_._2).mkString(", ")
+      s"""WITH w AS (SELECT unnest([$srcs]) AS source,
+        |            unnest(CAST([$wts] AS DOUBLE[])) AS wt),
+        |d AS (SELECT documents.source, wt,
+        |  CAST(FLOOR(wt) AS BIGINT) +
+        |    CASE WHEN ${Extras.hex8("'mix:' || doc_id::VARCHAR")} % 1000 <
+        |      CAST((wt - FLOOR(wt)) * 1000 AS BIGINT) THEN 1 ELSE 0 END
+        |    AS rep
+        |  FROM documents JOIN w USING (source))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(rep) AS BIGINT) AS n_mixture,
+        |  MAX(wt) AS target_epochs,
+        |  ROUND(CAST(SUM(rep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS achieved_epochs
+        |FROM d GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q_groupby_entropy" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS c FROM documents
+        |  GROUP BY source, lang),
+        |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c
+        |  GROUP BY source),
+        |q AS (SELECT c.source, n,
+        |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9 + 0.5)
+        |      AS BIGINT) AS tq
+        |  FROM c JOIN t USING (source))
+        |SELECT source, MAX(n) AS n_docs, COUNT(*) AS n_langs,
+        |  ROUND(CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS lang_entropy
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "q_shard_assign" ->
       s"""SELECT ${Extras.hex8("'shard:' || doc_id::VARCHAR")} % 16 AS shard,

@@ -111,6 +111,28 @@ class TrainPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("mixture report agrees with the exploded mixture") {
+    val rep = TrainPrep.queries("q_mixture_report")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_mixture")).toMap
+    val mix = TrainPrep.queries("q_domain_mixture")(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    // sources whose docs all drew zero repeats are absent from the
+    // exploded mixture but present (n_mixture = 0) in the report
+    rep.foreach { case (s0, n) => assert(mix.getOrElse(s0, 0L) === n, s0) }
+  }
+
+  test("groupby entropy: bounded by ln(n_langs), zero iff monoculture") {
+    val rows = TrainPrep.queries("q_groupby_entropy")(spark, sf).collect()
+    rows.foreach { r =>
+      val e = r.getAs[Double]("lang_entropy")
+      val k = r.getAs[Long]("n_langs")
+      assert(e >= 0.0 && e <= math.log(k.toDouble) + 1e-6,
+        s"${r.getAs[String]("source")}: $e vs ln($k)")
+      assert((e == 0.0) == (k == 1L))
+    }
+  }
+
   test("tokenizer fertility >= 1 (a word is at least one bpe token)") {
     val df = TrainPrep.queries("q_tokenizer_fertility")(spark, sf)
     assert(df.filter(col("fertility") < 1.0).count() === 0)
