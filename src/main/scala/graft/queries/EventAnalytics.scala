@@ -66,6 +66,26 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // Day-over-day spike ranking (the monitoring query behind volume
+    // alerts): daily decimal-exact totals, lag diff over the day
+    // series, top-10 absolute changes via a bounded TakeOrdered. The
+    // unpartitioned window runs over the CALENDAR-sized daily frame —
+    // one row per day, never per event — so the single-partition sort
+    // is a few hundred rows at any corpus size.
+    "q_value_spikes" -> ((s, dir) => {
+      val w = Window.orderBy(col("day"))
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(round(col("value"), 3).cast(DecimalType(30, 3)))
+          .cast("double").as("total"))
+        .withColumn("prev", lag(col("total"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("delta", round(col("total") - col("prev"), 6))
+        .select(col("day"), col("total"), col("prev"), col("delta"))
+        .orderBy(abs(col("delta")).desc, col("day"))
+        .limit(10)
+    }),
+
     // Time-constrained funnel (the product semantic q_funnel's
     // unconditional version misses): first view → first click within
     // 30 min of it → first purchase within 60 min of that click, per
@@ -582,6 +602,18 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_value_spikes" ->
+      """WITH d AS (SELECT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) AS DOUBLE)
+        |      AS total
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT day, total,
+        |    LAG(total) OVER (ORDER BY day) AS prev FROM d)
+        |SELECT day, total, prev, ROUND(total - prev, 6) AS delta
+        |FROM l WHERE prev IS NOT NULL
+        |ORDER BY ABS(ROUND(total - prev, 6)) DESC, day LIMIT 10""".stripMargin,
 
     "q_window_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -597,6 +597,32 @@ object Extras {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Per-doc n-gram novelty (the memorization-risk / boilerplate
+    // score): the fraction of a doc's DISTINCT bigrams that appear in
+    // no other document. One shingle pass → per-doc distinct digests →
+    // digest-keyed doc-frequency counts → per-doc novel fraction. Only
+    // (doc_id, 128-bit digest) rows shuffle (the span_dedup scale
+    // shape); the digest frame feeds the count agg AND the join, so it
+    // materializes once.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val grams = Dedup.shingleRows(
+          Parallelism.fanOut(Tables(s, dir, "documents")),
+          "doc_id", "text", w = 2)
+        .select(col("id").as("doc_id"), md5(col("shingle")).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val dfreq = grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("__df"))
+      grams.join(dfreq, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"),
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"),
+            6).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup-graph degree histogram (pipeline introspection: a fat tail
     // here means one boilerplate cluster is about to dominate the
     // component pass — the operational dashboard read before tuning
@@ -1542,6 +1568,27 @@ object Extras {
         |FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id
         |WHERE emb.vec_id = COALESCE(cc.cluster, emb.vec_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same bigram construction as the ngram oracles, DISTINCT per doc,
+    // md5 digests, doc-frequency == 1 ⇒ novel
+    "q_ngram_novelty" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+') AS ws
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ws)-1),
+        |                i -> array_to_string(ws[i:i+1], ' '))
+        |    END) AS bigram
+        |  FROM base),
+        |bg AS (SELECT DISTINCT doc_id, md5(bigram) AS h FROM bg0),
+        |f AS (SELECT h, COUNT(*) AS df FROM bg GROUP BY h)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        |FROM bg JOIN f USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same pair pipeline; degrees and histogram over the pair CTE
     "q_degree_histogram" ->

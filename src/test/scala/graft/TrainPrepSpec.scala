@@ -111,6 +111,31 @@ class TrainPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("ngram novelty in [0,1]; exact duplicate docs score zero") {
+    val df = graft.queries.Extras.queries("q_ngram_novelty")(spark, sf)
+      .localCheckpoint(true)
+    assert(df.filter(col("novelty") < 0 || col("novelty") > 1).count() === 0)
+    // exact duplicate texts share every bigram with their twin ⇒ 0
+    val dups = Tables(spark, sf, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("doc_id"))
+      .filter(col("c") > 1).select(col("doc_id"))
+    val bad = df.join(dups, Seq("doc_id")).filter(col("novelty") > 0)
+    assert(bad.count() === 0)
+  }
+
+  test("value spikes: top-10 by absolute delta, internally consistent") {
+    val rows = graft.queries.EventAnalytics.queries("q_value_spikes")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("total") - r.getAs[Double]("prev") -
+        r.getAs[Double]("delta")) < 1e-5)
+    }
+    val deltas = rows.map(r => math.abs(r.getAs[Double]("delta")))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
+  }
+
   test("mixture report agrees with the exploded mixture") {
     val rep = TrainPrep.queries("q_mixture_report")(spark, sf).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_mixture")).toMap
