@@ -66,6 +66,60 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }),
 
+    // Within-session conversion (the funnel variant bounded by the
+    // session, not a fixed clock window): sessions from the pinned
+    // 30-minute gap rule, a session converts when its first purchase
+    // follows its first view. One session pass + one (user, session)
+    // aggregate with two conditional mins — same shuffle as the
+    // sessionize family; the report is a 1-row ratio of exact counts.
+    "q_session_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("__new",
+          when(col("__prev").isNull ||
+            unix_micros(col("ts")) - col("__prev") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("__sid", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min(when(col("event_type") === "view",
+          unix_micros(col("ts")))).as("__tv"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("__tp"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("__tv").isNotNull, 1L).otherwise(0L))
+            .as("n_with_view"),
+          sum(when(col("__tv").isNotNull && col("__tp").isNotNull &&
+            col("__tp") > col("__tv"), 1L).otherwise(0L)).as("n_converted"))
+        .withColumn("conversion",
+          round(col("n_converted").cast("double") /
+            col("n_with_view").cast("double"), 6))
+    }),
+
+    // Inter-event dwell-time distribution (the engagement metric):
+    // per-user consecutive gaps in seconds from ONE lag pass over the
+    // user-keyed shuffle, then count / exact mean / nearest-rank
+    // p50/p90 over the gap frame.
+    "q_dwell_time" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(expr("(unix_micros(ts) - __prev) div 1000000").as("gap_s"))
+        .localCheckpoint(true) // feeds the scalar agg AND the rank picks
+      val stats = gaps.agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_s")).cast("double") / count(lit(1)), 6)
+          .as("mean_gap_s"))
+      val picks = GlobalOrder.nearestRankPicks(gaps,
+        col("gap_s").cast("double"), Seq(("p50_gap_s", 0.5), ("p90_gap_s", 0.9)))
+      stats.crossJoin(broadcast(picks))
+    }),
+
     // Day-over-day spike ranking (the monitoring query behind volume
     // alerts): daily decimal-exact totals, lag diff over the day
     // series, top-10 absolute changes via a bounded TakeOrdered. The
@@ -602,6 +656,60 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // same gap/cumsum session CTEs; conversion = first purchase after
+    // first view inside the session
+    "q_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_type, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) IS NULL
+        |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_type, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |d AS (SELECT user_id, sid,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS tp
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_view,
+        |  CAST(SUM(CASE WHEN tv IS NOT NULL AND tp IS NOT NULL AND tp > tv
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(SUM(CASE WHEN tv IS NOT NULL AND tp IS NOT NULL
+        |      AND tp > tv THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE), 6) AS conversion
+        |FROM d""".stripMargin,
+
+    "q_dwell_time" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |g AS (SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+        |    AS gap_s
+        |  FROM e),
+        |d AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL),
+        |r AS (SELECT CAST(gap_s AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER (ORDER BY CAST(gap_s AS DOUBLE)) AS rn FROM d),
+        |n AS (SELECT MAX(rn) AS n FROM r),
+        |st AS (SELECT COUNT(*) AS n_gaps,
+        |    ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*), 6) AS mean_gap_s
+        |  FROM d),
+        |p AS (SELECT
+        |    SUM(CASE WHEN rn = GREATEST(
+        |      CAST(CEIL(CAST(n AS DOUBLE) * 0.5) AS BIGINT), 1) THEN v END)
+        |      AS p50_gap_s,
+        |    SUM(CASE WHEN rn = GREATEST(
+        |      CAST(CEIL(CAST(n AS DOUBLE) * 0.9) AS BIGINT), 1) THEN v END)
+        |      AS p90_gap_s
+        |  FROM r, n)
+        |SELECT n_gaps, mean_gap_s, p50_gap_s, p90_gap_s FROM st, p""".stripMargin,
 
     "q_value_spikes" ->
       """WITH d AS (SELECT

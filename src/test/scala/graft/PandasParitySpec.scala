@@ -100,6 +100,26 @@ class PandasParitySpec extends SparkSpecBase {
       Tables(spark, sf, "events").select(col("user_id")).distinct().count())
   }
 
+  test("session funnel: consistent with the session universe") {
+    val r = graft.queries.EventAnalytics.queries("q_session_funnel")(spark, sf)
+      .collect()(0)
+    val sessions = graft.queries.StreamsQ.queries("q_sessionize")(spark, sf)
+      .count()
+    assert(r.getAs[Long]("n_sessions") === sessions)
+    assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_with_view"))
+    val conv = r.getAs[Double]("conversion")
+    assert(conv >= 0.0 && conv <= 1.0)
+  }
+
+  test("dwell time: gap count = events - users, percentiles ordered") {
+    val r = graft.queries.EventAnalytics.queries("q_dwell_time")(spark, sf)
+      .collect()(0)
+    val ev = Tables(spark, sf, "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_gaps") === expected)
+    assert(r.getAs[Double]("p50_gap_s") <= r.getAs[Double]("p90_gap_s"))
+  }
+
   test("window funnel: stage counts monotone non-increasing") {
     val r = graft.queries.EventAnalytics.queries("q_window_funnel")(spark, sf)
       .collect()(0)
