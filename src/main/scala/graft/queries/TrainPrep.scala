@@ -151,6 +151,24 @@ object TrainPrep {
             .as("cov1000"))
     }),
 
+    // Zipf sanity check (rank · frequency ≈ constant for natural
+    // language; a flat product curve is the classic synthetic-or-
+    // boilerplate tell): top-20 types by frequency with their rank and
+    // the rank·freq product — pure integers, no libm fit, the
+    // constancy is visible in the data itself. Vocabulary ranked by
+    // the two-pass row number; the cut is a bounded top-k on the
+    // (count DESC, word) total order.
+    "q_zipf_check" -> ((s, dir) => {
+      val counts = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(explode(TextOps.normWords(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      GlobalOrder.withRowNumberLong(counts, Seq(col("c").desc, col("w")), "rank")
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("w").as("word"), col("c").as("freq"),
+          (col("rank") * col("c")).as("rank_freq"))
+        .orderBy(col("rank"))
+    }),
+
     // Heavy hitters: token types above 0.5% of all occurrences — the
     // exact two-aggregate path (type counts, then a broadcast 1-row
     // total). Map-side partial aggregation absorbs the heavy keys by
@@ -525,6 +543,14 @@ object TrainPrep {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n) AS BIGINT) AS n_tok_total
         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_zipf_check" ->
+      s"""$tokCte,
+        |r AS (SELECT w, c,
+        |    ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank FROM c)
+        |SELECT rank, w AS word, c AS freq,
+        |  rank * c AS rank_freq
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q_heavy_hitters" ->
       s"""$tokCte,

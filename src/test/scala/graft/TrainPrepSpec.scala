@@ -111,6 +111,17 @@ class TrainPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("zipf check: rank contiguous 1..20, freqs non-increasing") {
+    val rows = TrainPrep.queries("q_zipf_check")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to rows.length.toLong))
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getAs[Long]("rank_freq") ===
+      r.getAs[Long]("rank") * r.getAs[Long]("freq")))
+  }
+
   test("ngram novelty in [0,1]; exact duplicate docs score zero") {
     val df = graft.queries.Extras.queries("q_ngram_novelty")(spark, sf)
       .localCheckpoint(true)
