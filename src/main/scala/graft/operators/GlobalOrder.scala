@@ -198,26 +198,6 @@ object GlobalOrder {
       .drop(PID, LOCAL, OFF)
   }
 
-  /** Exact interpolated quantiles (pandas 'linear' / SQL quantile_cont)
-    * of one column, sort-based: global rank via the two-pass range
-    * composition, then ONE scan picks the two bracketing ranks per
-    * quantile and interpolates as lower + (upper − lower) · frac — the
-    * op sequence DuckDB's quantile_cont uses, so oracle results match
-    * bit-for-bit. (Spark's Percentile interpolates as
-    * (higher−pos)·lower + (pos−lower)·higher, which can differ in the
-    * last ulp; GlobalOrderSpec's exact compare against percentile() is
-    * fixture-specific, not an engine identity.)
-    *
-    * Spark's exact `percentile` aggregate builds a value→count hashmap
-    * per partition and merges them — slow and memory-heavy on
-    * near-unique columns (4.8 s vs ~1.5 s at sf0.1 on 600k distinct
-    * doubles), and the merged map must fit on one reducer. The
-    * sort-based path is the classic distributed exact quantile: nothing
-    * ever exceeds a partition's rows, and the rank targets are exact
-    * ((n−1)·q for dyadic q; rank compares are long equality).
-    *
-    * Reference: exact quantiles named a hard part in SURVEY §7;
-    * `S.quantile` at `sdc/datatypes/hpat_pandas_series_functions.py:2880`. */
   /** Exact nearest-rank quantiles (pandas interpolation='higher':
     * the VALUE at rank max(1, ⌈q·n⌉)) as a 1-row frame — the bound of
     * choice when the result feeds comparisons or output columns,
@@ -246,6 +226,26 @@ object GlobalOrder {
     joined.agg(picks.head, picks.tail: _*)
   }
 
+  /** Exact interpolated quantiles (pandas 'linear' / SQL quantile_cont)
+    * of one column, sort-based: global rank via the two-pass range
+    * composition, then ONE scan picks the two bracketing ranks per
+    * quantile and interpolates as lower + (upper − lower) · frac — the
+    * op sequence DuckDB's quantile_cont uses, so oracle results match
+    * bit-for-bit. (Spark's Percentile interpolates as
+    * (higher−pos)·lower + (pos−lower)·higher, which can differ in the
+    * last ulp; GlobalOrderSpec's exact compare against percentile() is
+    * fixture-specific, not an engine identity.)
+    *
+    * Spark's exact `percentile` aggregate builds a value→count hashmap
+    * per partition and merges them — slow and memory-heavy on
+    * near-unique columns (4.8 s vs ~1.5 s at sf0.1 on 600k distinct
+    * doubles), and the merged map must fit on one reducer. The
+    * sort-based path is the classic distributed exact quantile: nothing
+    * ever exceeds a partition's rows, and the rank targets are exact
+    * ((n−1)·q for dyadic q; rank compares are long equality).
+    *
+    * Reference: exact quantiles named a hard part in SURVEY §7;
+    * `S.quantile` at `sdc/datatypes/hpat_pandas_series_functions.py:2880`. */
   def exactQuantiles(df: DataFrame, value: Column,
                      qs: Seq[(String, Double)], parts: Int = 0): DataFrame = {
     val vals = df.select(value.as("__v")).filter(col("__v").isNotNull)

@@ -251,15 +251,21 @@ object EventAnalytics {
             .as("p_a"),
           round(col("c_b").cast("double") / col("n_b").cast("double"), 6)
             .as("p_b"),
-          round(
-            (col("c_a").cast("double") / col("n_a").cast("double") -
-              col("c_b").cast("double") / col("n_b").cast("double")) /
-              sqrt(((col("c_a") + col("c_b")).cast("double") /
-                (col("n_a") + col("n_b")).cast("double")) *
-                (lit(1.0) - (col("c_a") + col("c_b")).cast("double") /
+          // null-gate: the pooled variance is 0 when every user (or no
+          // user) converts — both engines emit null there instead of
+          // each one's own divide-by-zero convention (exact integer
+          // predicate, so the gate itself can't float-drift).
+          when(col("c_a") + col("c_b") > 0 &&
+            col("c_a") + col("c_b") < col("n_a") + col("n_b"),
+            round(
+              (col("c_a").cast("double") / col("n_a").cast("double") -
+                col("c_b").cast("double") / col("n_b").cast("double")) /
+                sqrt(((col("c_a") + col("c_b")).cast("double") /
                   (col("n_a") + col("n_b")).cast("double")) *
-                (lit(1.0) / col("n_a").cast("double") +
-                  lit(1.0) / col("n_b").cast("double"))), 6).as("z"))
+                  (lit(1.0) - (col("c_a") + col("c_b")).cast("double") /
+                    (col("n_a") + col("n_b")).cast("double")) *
+                  (lit(1.0) / col("n_a").cast("double") +
+                    lit(1.0) / col("n_b").cast("double"))), 6)).as("z"))
     }),
 
     // Time-to-convert distribution: for users whose first view
@@ -799,12 +805,13 @@ object EventAnalytics {
         |SELECT n_a, c_a, n_b, c_b,
         |  ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
         |  ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+        |  CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
         |  ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
         |      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
         |    / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
         |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
         |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
-        |    AS z
+        |    END AS z
         |FROM g""".stripMargin,
 
     "q_funnel_time" ->

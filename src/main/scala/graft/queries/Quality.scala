@@ -108,8 +108,12 @@ object Quality {
           Seq(col("o_orderkey")), "rk")
         .localCheckpoint(true) // feeds the count AND the pick join
       val n = ranked.agg(max(col("rk")).as("__n"))
-      val spine = n
-        .select(col("__n"), explode(sequence(lit(1L), col("__n"))).as("slot"))
+      // The slot spine IS the ranked frame: it already holds exactly one
+      // row per rank 1..n, spread across partitions — no single-task
+      // n-element sequence array (that spelling caps out long before
+      // scale; this one inherits the table's own partitioning).
+      val spine = ranked.select(col("rk").as("slot"))
+        .crossJoin(broadcast(n))
         .select(col("__n"), col("slot"),
           explode(sequence(lit(1), lit(3))).as("b"))
         .withColumn("rk",
@@ -176,19 +180,16 @@ object Quality {
     }),
 
     // Benford first-digit screen (the classic fabricated-numbers
-    // audit): leading digit extracted by EXACT integer-cents division
-    // (no log10, no float-boundary digits), observed frequency vs the
-    // Benford expectation log10(1+1/d) — inlined as the same double
-    // literal on both engines, so the deviation column compares
-    // identically.
+    // audit): leading digit = first character of the EXACT integer-cents
+    // decimal rendering (no log10, no float-boundary digits, and —
+    // unlike a fixed when-chain — correct at every magnitude a
+    // DECIMAL(12,2) can hold), observed frequency vs the Benford
+    // expectation log10(1+1/d) — inlined as the same double literal on
+    // both engines, so the deviation column compares identically.
     "q_benford" -> ((s, dir) => {
       val c = (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
         * 100).cast("long")
-      val digit = when(c >= 10000L, expr("__c div 10000"))
-        .when(c >= 1000L, expr("__c div 1000"))
-        .when(c >= 100L, expr("__c div 100"))
-        .when(c >= 10L, expr("__c div 10"))
-        .otherwise(col("__c"))
+      val digit = substring(col("__c").cast("string"), 1, 1).cast("long")
       val expFreq = (1 to 9).map(d => d ->
         BigDecimal(math.log10(1.0 + 1.0 / d))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
@@ -346,10 +347,8 @@ object Quality {
       s"""WITH c AS (SELECT
         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
         |  FROM events WHERE value >= 0.01),
-        |d AS (SELECT CASE WHEN c >= 10000 THEN c // 10000
-        |    WHEN c >= 1000 THEN c // 1000
-        |    WHEN c >= 100 THEN c // 100
-        |    WHEN c >= 10 THEN c // 10 ELSE c END AS digit FROM c),
+        |d AS (SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit FROM c),
         |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM g)
         |SELECT digit, n,

@@ -113,24 +113,19 @@ object Streams {
       .orderBy(col("win_start"), col("event_type"))
   }
 
-  /** Streaming exact deduplication: `dropDuplicates` on the key columns
-    * themselves — each micro-batch emits only keys never seen before, so
-    * the sink receives exactly the distinct key set for ANY batching or
-    * arrival order (the emitted rows ARE the keys; nothing
-    * order-dependent rides along). Dedup state is one entry per distinct
-    * key; the finishing batch aggregation then runs over |distinct keys|
-    * rows, not |events|. Exact unbounded-key state is the right trade
-    * here, where the key domain (event_type × user) is far smaller than
-    * the event log; [[dedupStreamBounded]] is the watermark-evicted
-    * twin for unbounded key domains. */
   /** Streaming data-quality monitor: per-hour violation counters over
     * the ingest stream — the streaming face of the Quality tier's
     * constraint checks (value cap, null payloads, event-type domain,
     * plus the error-event ops metric). Pure windowed conditional
-    * aggregation: state is one row of counters per open hour window,
-    * evicted by the watermark — O(active windows), never O(events) —
-    * and every counter is an exact long, so the AvailableNow result
-    * hash-matches the batch oracle under any batching. */
+    * aggregation, one counter row per hour window — never O(events).
+    * This harness spelling runs Complete() into the memory sink so the
+    * whole history is collectible for the oracle compare; under
+    * Complete the watermark does NOT evict aggregation state, so state
+    * here is O(all windows ever opened). A production deployment flips
+    * to Append/Update output, where the declared watermark evicts
+    * closed windows and state becomes O(active windows). Every counter
+    * is an exact long, so the AvailableNow result hash-matches the
+    * batch oracle under any batching. */
   def qualityMonitor(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val known = Seq("view", "click", "purchase", "signup", "error")
@@ -155,8 +150,11 @@ object Streams {
     * production shape for "alert when today's traffic stops looking
     * like the training distribution". The baseline is a 10-row
     * broadcast of fixed-bin frequencies (no quantiles — fixed bins
-    * are what make PSI streamable); streaming state is 10 counters
-    * per open hour window, watermark-evicted. The PSI fold runs in
+    * are what make PSI streamable); streaming state is 10 counters per
+    * hour window — O(all windows) in this Complete()-mode harness
+    * spelling (the watermark evicts nothing under Complete; see
+    * [[qualityMonitor]] for the Append-mode production trade). The
+    * PSI fold runs in
     * the finishing pass over the tiny windowed-count table through
     * the same quantize-to-long term sum as the batch q_psi, so the
     * result is exact under any batching. Bins absent from a window
@@ -197,6 +195,16 @@ object Streams {
       .orderBy(col("win_start"))
   }
 
+  /** Streaming exact deduplication: `dropDuplicates` on the key columns
+    * themselves — each micro-batch emits only keys never seen before, so
+    * the sink receives exactly the distinct key set for ANY batching or
+    * arrival order (the emitted rows ARE the keys; nothing
+    * order-dependent rides along). Dedup state is one entry per distinct
+    * key; the finishing batch aggregation then runs over |distinct keys|
+    * rows, not |events|. Exact unbounded-key state is the right trade
+    * here, where the key domain (event_type × user) is far smaller than
+    * the event log; [[dedupStreamBounded]] is the watermark-evicted
+    * twin for unbounded key domains. */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val distinctKeys = spark.readStream.schema(schema).parquet(eventsDir(sfDir))
