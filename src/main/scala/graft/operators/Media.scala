@@ -19,13 +19,26 @@ import org.apache.spark.sql.functions._
   *   - decoded features are small fixed-width columns; the blob is
   *     dropped as early as possible so shuffles never carry bytes.
   *
-  * The byte-decoding step itself is a STUB: this container has no image
-  * or audio codecs, so `decodeStub` derives deterministic fake
-  * width/height/luma from the blob length. The surrounding plumbing —
-  * schema, encoders, partitioning, iterator signature — is the real
-  * production shape; swap `decodeStub` for a codec call.
+  * Two decoder paths share the batch seam:
+  *   - [[decodeImage]] is a REAL codec — JDK `javax.imageio` (PNG, JPEG,
+  *     BMP, GIF readers ship with Java 17, zero extra dependency) decodes
+  *     the actual byte stream and integrates pixel luma;
+  *   - [[decodeStub]] stays for blobs that are not images at all (the
+  *     documents fixture's UTF-8 text bytes under `image/fake`), deriving
+  *     deterministic pseudo-features from the byte length so the DuckDB
+  *     oracle can verify the PIPELINE (schema, fan-out, resize math)
+  *     end-to-end without a codec of its own.
+  * [[syntheticImages]] generates real striped-grayscale PNGs from doc_id
+  * alone, which makes the real-codec path oracle-checkable too: the
+  * expected width/height/mean-luma are closed-form in doc_id, and PNG is
+  * lossless, so DuckDB can predict what the codec must read back.
   */
 object Media {
+
+  // ImageIO defaults to spooling decode buffers through temp FILES; with
+  // in-memory blobs that is pure overhead (and a local-disk dependency
+  // executors shouldn't have). Per-JVM, set once at class load.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Input: one media blob + metadata (the real decode batch row). */
   case class MediaIn(doc_id: Long, bytes: Array[Byte], mime: String)
@@ -34,10 +47,92 @@ object Media {
   case class MediaMeta(doc_id: Long, width: Int, height: Int,
                        mean_luma: Int, n_bytes: Long)
 
-  /** STUB decoder — deterministic fake in lieu of an image codec.
-    * Real implementation: ImageIO/ffmpeg per batch. The fake must stay
-    * a pure function of (bytes.length) so the DuckDB oracle can verify
-    * the pipeline end-to-end. */
+  /** REAL image decode: parse the blob with `javax.imageio` and
+    * integrate luma over the actual pixels. Single-band (grayscale)
+    * images sum raw raster samples — exact, no color-management pass;
+    * multi-band images fold Rec.601 integer luma
+    * ((299R + 587G + 114B) / 1000) per pixel. `mean_luma` is the
+    * truncating integer mean, so for the lossless PNGs
+    * [[syntheticImages]] emits it is bit-exact and oracle-predictable.
+    * Undecodable bytes under an image mime are a loud error, not a
+    * silent stub fallback — corrupt media should fail the batch. */
+  private[graft] def decodeImage(m: MediaIn): MediaMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.bytes))
+    require(img != null, s"undecodable ${m.mime} blob, doc_id=${m.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    if (raster.getNumBands == 1) {
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+    } else {
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)) / 1000L
+          x += 1
+        }
+        y += 1
+      }
+    }
+    MediaMeta(m.doc_id, w, h, (sum / (w.toLong * h)).toInt,
+      m.bytes.length.toLong)
+  }
+
+  /** Encode one striped grayscale PNG: even rows at `g1`, odd rows at
+    * `g2`. With an even height the truncating mean luma is exactly
+    * (g1 + g2) / 2 — the closed form the oracle replays. */
+  private[graft] def encodeGrayPng(width: Int, height: Int,
+                                   g1: Int, g2: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      val g = if (y % 2 == 0) g1 else g2
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, g); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic real-PNG corpus: one striped grayscale PNG per id,
+    * every parameter a closed form in doc_id (width 8+id%16, even
+    * height 8+2·(id%8), stripes at g and g+40 → mean luma g+20 where
+    * g = 7·id % 200). Encoding runs per-partition — each executor
+    * produces its own rows' blobs; no bytes originate at the driver. */
+  def syntheticImages(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + 2 * (id % 8)).toInt
+          val g = ((id * 7) % 200).toInt
+          MediaIn(id, encodeGrayPng(w, h, g, g + 40), "image/png")
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("bytes"),
+        struct(col("mime"), length(col("bytes")).cast("long").as("n_bytes"))
+          .as("meta"))
+  }
+
+  /** STUB decoder for non-image blobs — deterministic fake features
+    * from the byte length, a pure function DuckDB reproduces with
+    * octet_length, so the pipeline shape stays oracle-checkable even
+    * where the blob isn't decodable media at all. */
   private[graft] def decodeStub(m: MediaIn): MediaMeta = {
     val n = m.bytes.length.toLong
     MediaMeta(m.doc_id,
@@ -57,14 +152,19 @@ object Media {
         length(col("text").cast("binary")).as("n_bytes"),
         col("lang").as("lang")).as("meta"))
 
-  /** Decode stage: per-partition batch iteration, blob dropped on exit. */
+  /** Decode stage: per-partition batch iteration, blob dropped on exit.
+    * Mime-dispatched — real image mimes hit the `javax.imageio` codec;
+    * the fixture's `image/fake` text blobs keep the byte-length stub. */
   def decode(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col("doc_id"), col("bytes"), col("meta.mime").as("mime"))
       .as[MediaIn]
       .mapPartitions { batch =>
-        // real decoder: init codec once here, then decode each record
-        batch.map(decodeStub)
+        batch.map { m =>
+          if (m.mime.startsWith("image/") && m.mime != "image/fake")
+            decodeImage(m)
+          else decodeStub(m)
+        }
       }
   }
 
@@ -96,6 +196,91 @@ object Media {
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong)))
           .as("frame_idx"))
+
+  /** Per-chunk feature of REAL decoded audio. */
+  case class AudioFeat(doc_id: Long, chunk_idx: Int, n_samples: Int, rms: Long)
+
+  /** Encode a 16-bit mono PCM WAV (±amp square wave) via the JDK's
+    * `javax.sound.sampled` writer — a real RIFF/WAVE byte stream. With
+    * every sample at magnitude `amp`, RMS over ANY window is exactly
+    * `amp`, which is what makes the decode oracle-checkable. */
+  private[graft] def encodePcmWav(nSamples: Int, amp: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = if (i % 2 == 0) amp else -amp
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: parse the WAV container with
+    * `javax.sound.sampled`, then integrate RMS energy per fixed-size
+    * sample chunk. 16-bit mono PCM only (what [[syntheticAudio]]
+    * emits); anything else errors loudly. RMS is truncated to a long —
+    * exact for the square-wave fixture (perfect-square mean, and IEEE
+    * sqrt is correctly rounded). */
+  private[graft] def decodeWavChunks(m: MediaIn,
+                                     chunkSamples: Int): Seq[AudioFeat] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"unsupported WAV format $fmt, doc_id=${m.doc_id}")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    (0 until (n + chunkSamples - 1) / chunkSamples).map { c =>
+      val lo = c * chunkSamples
+      val hi = math.min(lo + chunkSamples, n)
+      var sumSq = 0L
+      var i = lo
+      while (i < hi) {
+        val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toLong
+        sumSq += s * s
+        i += 1
+      }
+      AudioFeat(m.doc_id, c, hi - lo,
+        math.sqrt(sumSq.toDouble / (hi - lo)).toLong)
+    }
+  }
+
+  /** Deterministic real-WAV corpus: square wave, amplitude and length
+    * closed forms in doc_id (amp 1000+500·(id%16); 1600+800·(id%4)
+    * samples — a whole number of 800-sample chunks). Encoded
+    * per-partition like [[syntheticImages]]. */
+  def syntheticAudio(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val amp = (1000 + (id % 16) * 500).toInt
+          val nSamples = (1600 + 800 * (id % 4)).toInt
+          MediaIn(id, encodePcmWav(nSamples, amp), "audio/wav")
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("bytes"),
+        struct(col("mime"), length(col("bytes")).cast("long").as("n_bytes"))
+          .as("meta"))
+  }
+
+  /** Decode stage for real audio blobs: mapPartitions batch shape,
+    * rows fan out to one per chunk, blob dropped on exit. */
+  def decodeAudio(spark: SparkSession, media: DataFrame,
+                  chunkSamples: Int): Dataset[AudioFeat] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("bytes"), col("meta.mime").as("mime"))
+      .as[MediaIn]
+      .mapPartitions(_.flatMap(decodeWavChunks(_, chunkSamples)))
+  }
 
   /** "Audio" pipeline shape: fixed-duration chunking + a per-chunk
     * feature (RMS-energy STUB — a pure function of (blob length,

@@ -6,11 +6,16 @@ import graft.Tables
 import graft.operators.Media
 
 /** Multimodal-column queries over the documents table (see
-  * `graft.operators.Media` for the design and the decode-stub caveat).
+  * `graft.operators.Media` for the design).
   *
-  * All three pipelines are oracle-checked: the stub decoder is a pure
-  * function of the blob's byte length, which DuckDB reproduces with
+  * All pipelines are oracle-checked. The text-blob pipelines use the
+  * byte-length stub decoder, which DuckDB reproduces with
   * `octet_length(encode(text))` (UTF-8 byte length on both engines).
+  * `q_media_decode_real` exercises the REAL `javax.imageio` codec:
+  * each executor encodes a striped grayscale PNG whose geometry and
+  * stripe levels are closed forms in doc_id, decodes the actual bytes
+  * back, and integrates pixel luma — PNG is lossless, so DuckDB
+  * predicts the codec's output arithmetically without decoding anything.
   */
 object Multimodal {
 
@@ -26,11 +31,32 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL codec round trip: per-partition PNG encode (geometry/stripes
+    // derived from doc_id) → javax.imageio decode → pixel-luma features;
+    // the oracle replays the closed forms. Bytes never cross a shuffle.
+    "q_media_decode_real" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      val media = Media.syntheticImages(s, ids)
+      Media.decode(s, media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
     // frame-sample: every 2nd synthetic frame per 1000-byte "video" chunk
     "q_media_frames" -> ((s, dir) => {
       val media = Media.mediaTable(Tables(s, dir, "documents"))
       Media.frameSample(media, bytesPerFrame = 1000L, step = 2)
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // REAL WAV round trip: per-partition PCM encode (square wave, amp
+    // and length closed forms in doc_id) → javax.sound.sampled decode →
+    // per-800-sample-chunk RMS; |sample| is constant so RMS == amp.
+    "q_media_audio_real" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      val media = Media.syntheticAudio(s, ids)
+      Media.decodeAudio(s, media, chunkSamples = 800).toDF()
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
     // audio: 4000-byte chunks + per-chunk energy (stubbed feature)
@@ -56,6 +82,14 @@ object Multimodal {
         |    THEN GREATEST(width, height) / 256.0 ELSE 1.0 END)) AS INT) AS out_h
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // what the real codec MUST read back from the lossless PNGs
+    "q_media_decode_real" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + 2 * (doc_id % 8) AS INT) AS height,
+        |  CAST((doc_id * 7) % 200 + 20 AS INT) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_media_frames" ->
       """WITH b AS (SELECT doc_id,
         |  (CAST(octet_length(encode(text)) AS BIGINT) + 999) // 1000 AS n_frames
@@ -63,6 +97,18 @@ object Multimodal {
         |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS BIGINT)
         |  AS frame_idx
         |FROM b WHERE n_frames > 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // what the real WAV decode MUST read back from the square wave
+    "q_media_audio_real" ->
+      """WITH p AS (SELECT doc_id,
+        |    2 + doc_id % 4 AS n_chunks,
+        |    1000 + (doc_id % 16) * 500 AS amp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(0, n_chunks - 1)) AS INT) AS chunk_idx,
+        |  CAST(800 AS INT) AS n_samples,
+        |  CAST(amp AS BIGINT) AS rms
+        |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_media_audio" ->
       """WITH b AS (SELECT doc_id,

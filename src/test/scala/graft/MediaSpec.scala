@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Media
 
-/** Multimodal plumbing: schema, batch decode shape, explode fan-out.
-  * (The decoder itself is a documented deterministic stub.) */
+/** Multimodal plumbing (schema, batch decode shape, explode fan-out)
+  * plus the REAL `javax.imageio` codec path on actual PNG/JPEG bytes. */
 class MediaSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -31,6 +31,73 @@ class MediaSpec extends SparkSpecBase {
     assert(d.columns.toSeq ==
       Seq("doc_id", "width", "height", "mean_luma", "n_bytes"))
     assert(d.count() == 3)
+  }
+
+  test("decodeImage reads real PNG bytes back exactly (lossless)") {
+    // striped gray PNG: even rows 50, odd rows 90, even height -> mean 70
+    val png = Media.encodeGrayPng(13, 10, 50, 90)
+    // PNG magic: the blob is a genuine PNG stream, not a raw buffer
+    assert((png.take(4).map(_ & 0xff).toSeq) == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val m = Media.decodeImage(Media.MediaIn(1L, png, "image/png"))
+    assert(m == Media.MediaMeta(1L, 13, 10, 70, png.length.toLong))
+  }
+
+  test("decodeImage handles real JPEG bytes (lossy: exact dims, close luma)") {
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(120, 120, 120))
+    g.fillRect(0, 0, 24, 16)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val m = Media.decodeImage(Media.MediaIn(2L, bos.toByteArray, "image/jpeg"))
+    assert(m.width == 24 && m.height == 16)
+    // solid gray survives JPEG to within quantization error of the DC term
+    assert(math.abs(m.mean_luma - 119) <= 4,  s"luma ${m.mean_luma}")
+  }
+
+  test("decodeImage rejects undecodable bytes loudly") {
+    intercept[IllegalArgumentException] {
+      Media.decodeImage(Media.MediaIn(3L, Array.fill(64)(7.toByte), "image/png"))
+    }
+  }
+
+  test("decode dispatches real image mimes to the codec end-to-end") {
+    val ids = Seq(0L, 1L, 5L, 12L, 31L).toDF("doc_id")
+    val got = Media.decode(spark, Media.syntheticImages(spark, ids)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("mean_luma"))
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val want = Set(0L, 1L, 5L, 12L, 31L).map { id =>
+      (id, (8 + id % 16).toInt, (8 + 2 * (id % 8)).toInt,
+        ((id * 7) % 200 + 20).toInt)
+    }
+    assert(got == want)
+  }
+
+  test("decodeWavChunks parses a real WAV container and integrates RMS") {
+    val wav = Media.encodePcmWav(nSamples = 2000, amp = 3000)
+    // RIFF magic: a genuine WAV byte stream
+    assert(new String(wav.take(4), "ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "ASCII") == "WAVE")
+    val chunks = Media.decodeWavChunks(
+      Media.MediaIn(9L, wav, "audio/wav"), chunkSamples = 800)
+    // 2000 samples -> chunks of 800, 800, 400; square wave RMS == amp
+    assert(chunks == Seq(
+      Media.AudioFeat(9L, 0, 800, 3000L),
+      Media.AudioFeat(9L, 1, 800, 3000L),
+      Media.AudioFeat(9L, 2, 400, 3000L)))
+  }
+
+  test("decodeAudio fans real WAV blobs out to per-chunk features") {
+    val ids = Seq(0L, 3L, 17L).toDF("doc_id")
+    val got = Media.decodeAudio(spark, Media.syntheticAudio(spark, ids), 800)
+      .collect().toSet
+    val want = Set(0L, 3L, 17L).flatMap { id =>
+      val amp = 1000L + (id % 16) * 500
+      (0 until (2 + id % 4).toInt).map(c => Media.AudioFeat(id, c, 800, amp))
+    }
+    assert(got == want)
   }
 
   test("resize never upscales and preserves aspect ratio bound") {
