@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinOps
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard.
@@ -257,7 +258,7 @@ object Dedup {
       // this twice). localCheckpoint blocks are RDD-level and reclaimed
       // by the ContextCleaner once the returned frame is unreferenced,
       // unlike CacheManager entries.
-      .localCheckpoint(true)
+      .pinned
     member.unpersist(false)
     cand.unpersist(false)
     candSh.unpersist(false)
@@ -394,7 +395,7 @@ object Dedup {
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .localCheckpoint(true)
+      .pinned
     sig.unpersist(false)
     member.unpersist(false)
     result
@@ -431,10 +432,10 @@ object Dedup {
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
-      .localCheckpoint(true) // consumed every round; sever the LSH plan
+      .pinned // consumed every round; sever the LSH plan
     var lab = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
-      .localCheckpoint(true)
+      .pinned
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIter) {
@@ -449,7 +450,7 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("lab")).as("lab"),
           max(when(col("__self") === 1, col("lab"))).as("__prev"))
-        .localCheckpoint(true)
+        .pinned
       // labels only decrease, so decreased ⟺ changed
       changed = next.filter(col("lab") < col("__prev")).count()
       lab = next.select(col("id"), col("lab"))
@@ -488,7 +489,7 @@ object Dedup {
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     var e = norm(pairs.select(col("id_a").cast("long").as("u"),
         col("id_b").cast("long").as("v")))
-      .localCheckpoint(true)
+      .pinned
     var stable = e.isEmpty
     var round = 0
     while (!stable && round < maxIter) {
@@ -507,7 +508,7 @@ object Dedup {
       val next = norm(
           sm.join(mins2, Seq("u")).select(col("v").as("u"), col("m").as("v"))
             .union(mins2.select(col("u"), col("m").as("v"))))
-        .localCheckpoint(true)
+        .pinned
       stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
       e = next
       round += 1
@@ -584,7 +585,7 @@ object Dedup {
       shingleRows(Parallelism.fanOut(src), idCol, textCol, w)
         .select(col("id"), shingleBaseHash(col("shingle")).as("h"))
     val trainH = hashes(train).select(col("h")).distinct()
-      .localCheckpoint(true) // feeds the sketch build AND the confirm join
+      .pinned // feeds the sketch build AND the confirm join
     // The sketch travels as an UNCORRELATED SCALAR SUBQUERY — evaluated
     // once, broadcast into the probe plan — exactly how Spark's own
     // injected runtime filters ship their blooms. Keeping the bytes out
@@ -606,7 +607,7 @@ object Dedup {
       lit(false))
     val testH = hashes(test).distinct()
       .withColumn("__cand", candidate)
-      .localCheckpoint(true)
+      .pinned
     // the subquery is fully evaluated by the eager checkpoint above;
     // drop the view so repeated calls don't accumulate catalog entries
     // pinning the train-hash checkpoint for the session lifetime
@@ -683,7 +684,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       // materialize the (tiny) pair result, then release the block cache —
       // same leak-avoidance shape as minhashPairs.
-      .localCheckpoint(true)
+      .pinned
     base.unpersist(false)
     result
   }

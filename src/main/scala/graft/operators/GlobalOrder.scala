@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.operators.Pin.PinOps
 
 /** Scale-safe positional-index operators.
   *
@@ -51,15 +52,17 @@ object GlobalOrder {
     * then the per-partition offsets are composed against the wrong
     * partitioning (observed as a 27-row rank shift at sf0.01).
     *
-    * `localCheckpoint(eager)` freezes ONE partitioning: the range
-    * shuffle runs exactly once, its output blocks are pinned, and every
-    * downstream branch scans the same blocks — so `spark_partition_id()`
+    * An eager [[Pin]] freezes ONE partitioning: the range shuffle runs
+    * exactly once, its output blocks are pinned, and every downstream
+    * branch scans the same blocks — so `spark_partition_id()`
     * (non-deterministic, never pushed across an exchange) is evaluated
     * in the narrow projection directly over the checkpointed scan and
     * agrees across branches. Unlike the previous `df.rdd.
     * mapPartitionsWithIndex` freeze, no row is decoded to GenericRow and
     * re-encoded — the frame stays in Tungsten format and the projection
-    * stays inside whole-stage codegen.
+    * stays inside whole-stage codegen. (Pin selects localCheckpoint
+    * locally, a reliable `checkpoint` on clusters — see [[Pin]] for the
+    * fault-tolerance trade.)
     *
     * Scale note: the checkpoint materializes the (projected) input to
     * executor block storage (memory, spilling to disk). That is the
@@ -73,7 +76,7 @@ object GlobalOrder {
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
-      .localCheckpoint(true)
+      .pinned
       .withColumn(PID, spark_partition_id())
   }
 
@@ -212,7 +215,7 @@ object GlobalOrder {
                        qs: Seq[(String, Double)], parts: Int = 0): DataFrame = {
     val vals = df.select(value.as("__v")).filter(col("__v").isNotNull)
     val (local, counts0) = localRanks(vals, Seq(col("__v")), parts)
-    val counts = counts0.localCheckpoint(true)
+    val counts = counts0.pinned
     val offsets = exclusivePrefix(counts, "__cnt", lit(0L))
     val n = counts.agg(sum(col("__cnt")).as("__n"))
     val ranked = local.join(broadcast(offsets), PID)
@@ -254,7 +257,7 @@ object GlobalOrder {
     // re-scan the source, and deriving it from the ranked frame would
     // recompute the range shuffle.
     val (local, counts0) = localRanks(vals, Seq(col("__v")), parts)
-    val counts = counts0.localCheckpoint(true)
+    val counts = counts0.pinned
     val offsets = exclusivePrefix(counts, "__cnt", lit(0L))
     val n = counts.agg(sum(col("__cnt")).as("__n"))
     val ranked = local.join(broadcast(offsets), PID)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.dotp
+import graft.operators.Pin.PinOps
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -333,7 +334,7 @@ object Similarity {
       .withColumn("__n", count(lit(1)).over(bucketW))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
-      .localCheckpoint(true)
+      .pinned
     val a = sig.select(col("sig"), col("id").as("id_a"), col("e").as("e_a"),
       col("nrm").as("nrm_a"))
     val b = sig.select(col("sig"), col("id").as("id_b"), col("e").as("e_b"),
@@ -401,8 +402,8 @@ object Similarity {
         .select(col("cent"), col("pc").getField("c").as("ce"))
     var a: DataFrame = null
     for (_ <- 0 until iters) {
-      a = assign(cents).localCheckpoint(true)
-      cents = update(a).localCheckpoint(true)
+      a = assign(cents).pinned
+      cents = update(a).pinned
     }
     val cSum = (0 until dim).map(d => element_at(col("ce"), d + 1))
       .reduce(_ + _)
@@ -410,7 +411,7 @@ object Similarity {
       .join(cents.select(col("cent"),
         round(cSum / lit(1e6), 6).as("c_sum")), Seq("cent"))
       .orderBy(col("cent"))
-      .localCheckpoint(true)
+      .pinned
     pts.unpersist(false)
     res
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinOps
 
 /** Text-analysis primitives for large-scale training-data pipelines.
   *
@@ -156,7 +157,7 @@ object TextOps {
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .pinned
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, Seq("term"))

@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions._
 import graft.operators.GlobalOrder
+import graft.operators.Pin.PinOps
 
 /** Event-analytics tier: CDC latest-wins upsert, SCD2 history
   * construction, funnel conversion, cohort retention, and Markov
@@ -44,7 +45,7 @@ object EventAnalytics {
           expr("(__max_us - __last_us) div 86400000000"))
         .select(col("user_id"), col("recency_days"), col("frequency"),
           col("monetary"))
-        .localCheckpoint(true) // feeds three rank passes + the result
+        .pinned // feeds three rank passes + the result
       def score(metric: String, name: String, invert: Boolean) = {
         val ranked = GlobalOrder.withRowNumberLong(
           base.select(col("user_id").as(s"__u_$name"), col(metric).as("__m")),
@@ -111,7 +112,7 @@ object EventAnalytics {
         .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
         .filter(col("__prev").isNotNull)
         .select(expr("(unix_micros(ts) - __prev) div 1000000").as("gap_s"))
-        .localCheckpoint(true) // feeds the scalar agg AND the rank picks
+        .pinned // feeds the scalar agg AND the rank picks
       val stats = gaps.agg(count(lit(1)).as("n_gaps"),
         round(sum(col("gap_s")).cast("double") / count(lit(1)), 6)
           .as("mean_gap_s"))
@@ -151,7 +152,7 @@ object EventAnalytics {
       val us = unix_micros(col("ts"))
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"), us.as("__us"))
-        .localCheckpoint(true) // three stage passes over one frame
+        .pinned // three stage passes over one frame
       val v = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("__us")).as("__tv"))
       val c = ev.filter(col("event_type") === "click")
@@ -201,7 +202,7 @@ object EventAnalytics {
           GlobalOrder.withRowNumberLong(totals,
             Seq(col("m"), col("user_id")), "i"),
           Seq(col("m"), col("user_id")), col("m"), "cm", scale = 0)
-        .localCheckpoint(true) // feeds the totals AND the decile picks
+        .pinned // feeds the totals AND the decile picks
       val t = ranked.agg(max(col("i")).as("__n"),
         sum(col("m")).as("__s"))
       val withT = ranked.crossJoin(broadcast(t))
@@ -283,7 +284,7 @@ object EventAnalytics {
         .filter(col("__v").isNotNull && col("__p").isNotNull &&
           col("__p") > col("__v"))
         .select(expr("(__p - __v) div 1000000").as("tts"))
-        .localCheckpoint(true) // feeds the scalar agg AND the rank picks
+        .pinned // feeds the scalar agg AND the rank picks
       val stats = firsts.agg(count(lit(1)).as("n_converted"),
         round(sum(col("tts")).cast("double") / count(lit(1)), 6)
           .as("mean_tts_s"))
@@ -338,7 +339,7 @@ object EventAnalytics {
           GlobalOrder.withRunningSum(perValue, Seq(col("value")),
             col("__ca"), "__cca", scale = 0),
           Seq(col("value")), col("__cb"), "__ccb", scale = 0)
-        .localCheckpoint(true) // feeds the totals AND the max pass
+        .pinned // feeds the totals AND the max pass
       val totals = cum.agg(sum(col("__ca")).as("n_a"),
         sum(col("__cb")).as("n_b"))
       cum.crossJoin(broadcast(totals))
@@ -362,7 +363,7 @@ object EventAnalytics {
         .select(col("user_id"),
           expr("unix_micros(ts) div 86400000000 div 7").as("week"))
         .distinct()
-        .localCheckpoint(true) // feeds both join sides + the max-week agg
+        .pinned // feeds both join sides + the max-week agg
       val nxt = uw.select(col("user_id"), (col("week") - 1).as("week"),
         lit(1).as("__next"))
       val maxW = uw.agg(max(col("week")).as("__maxw"))
@@ -386,7 +387,7 @@ object EventAnalytics {
     "q_basket_pairs" -> ((s, dir) => {
       val ut = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type")).distinct()
-        .localCheckpoint(true) // both sides of the pair join
+        .pinned // both sides of the pair join
       ut.select(col("user_id"), col("event_type").as("type_a"))
         .join(ut.select(col("user_id"), col("event_type").as("type_b")),
           Seq("user_id"))
@@ -439,7 +440,7 @@ object EventAnalytics {
         // integer seconds (`div`, not `/` — Column./ is double division)
         .select(col("user_id"), col("__sid"),
           expr("__us div 1000000").as("dur_s"))
-        .localCheckpoint(true) // feeds the scalar agg AND the rank picks
+        .pinned // feeds the scalar agg AND the rank picks
       val stats = sessions.agg(count(lit(1)).as("n_sessions"),
         round(sum(col("dur_s")).cast("double") / count(lit(1)), 6)
           .as("mean_dur_s"))
@@ -459,7 +460,7 @@ object EventAnalytics {
         .select(col("user_id"),
           date_trunc("day", col("ts")).cast("date").as("day"))
         .distinct()
-        .localCheckpoint(true) // feeds the DAU agg AND the window explode
+        .pinned // feeds the DAU agg AND the window explode
       val dau = userDays.groupBy(col("day"))
         .agg(count(lit(1)).as("dau"))
       val w7 = userDays
@@ -490,7 +491,7 @@ object EventAnalytics {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(graft.functions.dsum(col("l_extendedprice")).as("revenue"))
-        .localCheckpoint(true) // feeds the prefix pass AND the total
+        .pinned // feeds the prefix pass AND the total
       val tot = rev.agg(
         sum(col("revenue").cast(DecimalType(30, 2))).cast("double")
           .as("__tot"))

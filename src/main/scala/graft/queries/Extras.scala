@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions._
 import graft.operators.{Dedup, Parallelism, Similarity, TextOps}
+import graft.operators.Pin.PinOps
 
 /** LLM-training-data pipeline operators (parity-plus; BASELINE.json north
   * star): dedup, similarity search, text analysis, plus the CSV source
@@ -65,7 +66,7 @@ object Extras {
         .select(col("doc_id"), md5(concat_ws(" ",
           Seq(col("col")) ++ (1 until W).map(j => get(col("ws"), col("pos") + j)): _*))
           .as("h"))
-        .localCheckpoint(true)
+        .pinned
       val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
       spans.join(counts, Seq("h"))
         .groupBy(col("doc_id"))
@@ -120,7 +121,7 @@ object Extras {
     "q_text_repetition" -> ((s, dir) => {
       val base = Parallelism.fanOut(Tables(s, dir, "documents"))
         .select(col("doc_id"), TextOps.normWords(col("text")).as("ws"))
-        .localCheckpoint(true)
+        .pinned
       val stats = base.select(col("doc_id"),
         size(col("ws")).as("n_words"),
         size(array_distinct(col("ws"))).as("n_distinct"))
@@ -610,7 +611,7 @@ object Extras {
           "doc_id", "text", w = 2)
         .select(col("id").as("doc_id"), md5(col("shingle")).as("h"))
         .distinct()
-        .localCheckpoint(true)
+        .pinned
       val dfreq = grams.groupBy(col("h"))
         .agg(count(lit(1)).as("__df"))
       grams.join(dfreq, Seq("h"))
@@ -633,7 +634,7 @@ object Extras {
     "q_degree_histogram" -> ((s, dir) => {
       val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"),
           "doc_id", "text", k = 16, bands = 4, threshold = 0.5)
-        .localCheckpoint(true)
+        .pinned
       pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions._
 import graft.operators.{GlobalOrder, Skew}
+import graft.operators.Pin.PinOps
 
 /** SURVEY §2.5 GroupBy.
   *
@@ -379,7 +380,7 @@ object GroupBy {
         .groupBy(col("l_suppkey"))
         .agg(sum(discountedRevenue(col("l_extendedprice"), col("l_discount")))
           .as("total_rev"))
-        .localCheckpoint(true)
+        .pinned
       val top = rev.agg(max(col("total_rev")).as("max_rev"))
       rev.join(broadcast(top), col("total_rev") === col("max_rev"))
         .join(broadcast(Tables(s, dir, "supplier")
@@ -431,7 +432,7 @@ object GroupBy {
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
         .join(broadcast(pt),
           col("l_partkey") === col("p_partkey"), "left_semi")
-        .localCheckpoint(true)
+        .pinned
       val avgq = li.groupBy(col("l_partkey"))
         .agg((sum(col("l_quantity")) / count(col("l_quantity")))
           .as("avg_qty"))
@@ -484,7 +485,7 @@ object GroupBy {
         .filter(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"))
-        .localCheckpoint(true)
+        .pinned
       val suppN = Tables(s, dir, "supplier")
         .join(broadcast(Tables(s, dir, "nation")
             .filter(col("n_name") === "NATION_3")),
@@ -560,7 +561,7 @@ object GroupBy {
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .select(col("p_partkey"), col("s_name"), col("s_acctbal"),
           col("n_name"))
-        .localCheckpoint(true)
+        .pinned
       val mins = cand.groupBy(col("p_partkey").as("mp_partkey"))
         .agg(min(col("s_acctbal")).as("min_bal"))
       cand.join(broadcast(mins),
@@ -670,7 +671,7 @@ object GroupBy {
         .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2))).as("value"))
-        .localCheckpoint(true)
+        .pinned
       val thresh = value
         .agg((sum(col("value")) *
           lit(BigDecimal(0.001)).cast(DecimalType(4, 3))).as("min_value"))

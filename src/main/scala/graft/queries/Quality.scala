@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
 import graft.operators.GlobalOrder
+import graft.operators.Pin.PinOps
 
 /** Data-quality observability: the profile/constraint surface a
   * production pipeline runs on every ingest (the Deequ/dbt-test shape,
@@ -106,7 +107,7 @@ object Quality {
         .select(col("o_orderkey"), col("o_totalprice"))
       val ranked = GlobalOrder.withRowNumberLong(o,
           Seq(col("o_orderkey")), "rk")
-        .localCheckpoint(true) // feeds the count AND the pick join
+        .pinned // feeds the count AND the pick join
       val n = ranked.agg(max(col("rk")).as("__n"))
       // The slot spine IS the ranked frame: it already holds exactly one
       // row per rank 1..n, spread across partitions — no single-task
@@ -162,7 +163,7 @@ object Quality {
         .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
           .as("ca"),
           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
-        .localCheckpoint(true) // feeds the totals AND the term sum
+        .pinned // feeds the totals AND the term sum
       val tot = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
       val withP = bins.crossJoin(broadcast(tot))
         .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))

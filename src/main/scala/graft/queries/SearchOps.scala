@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Parallelism, TextOps}
+import graft.operators.Pin.PinOps
 
 /** Corpus-retrieval and data-layout operators: BM25 ranking, inverted
   * posting lists, a per-source duplicate-rate report, and Z-order
@@ -55,7 +56,7 @@ object SearchOps {
         .select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+        .pinned
       val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val qtf = tfAll.filter(col("term").isin(bm25Terms: _*))
       val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -183,6 +183,47 @@ object Sources {
       tmp
     })
 
+  /** np.tofile sink, distributed: every partition packs its rows as
+    * little-endian int64 and writes its own part file through the
+    * Hadoop FileSystem API — `file://` here, HDFS/object store on a
+    * cluster, with no driver collect and no single-file funnel (the
+    * write twin of `np.fromfile`'s chunked parallel read,
+    * `sdc/io/np_io.py:58-186`). Returns the part directory. */
+  private[graft] def writeBinaryI64(df: DataFrame, outDir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val written = df.select(col(df.columns.head).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        var n = 0L
+        while (it.hasNext) {
+          buf.clear(); buf.putLong(it.next())
+          bos.write(buf.array()); n += 1
+        }
+        if (n > 0) {
+          val path = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.i64")
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(path, true)
+          try out.write(bos.toByteArray) finally out.close()
+        }
+        Iterator.single(n)
+      }
+    // one tiny count aggregate forces the distributed write
+    written.agg(sum(col("value"))).collect()
+  }
+
+  /** Round-trip fixture for `q_to_binary`: customer keys written once
+    * per (kind, sfDir) per JVM via [[writeBinaryI64]]. */
+  private def customerBinOut(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"binout:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_binout_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      writeBinaryI64(Tables(s, dir, "customer").select(col("c_custkey")), tmp)
+      tmp
+    })
+
   val queries: Map[String, Q] = Map(
     // read_csv with header + explicit schema (dtype)
     "q_read_csv" -> ((s, dir) => {
@@ -360,6 +401,25 @@ object Sources {
         .orderBy(col("o_orderkey"))
     }),
 
+    // np.tofile round-trip: distributed multi-part int64 sink, read
+    // back through the binaryFile source + the same per-partition
+    // decode as q_binary_source — the multiset of values must survive
+    // the byte round-trip exactly (hash gate over ALL rows).
+    "q_to_binary" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val path = customerBinOut(s, dir)
+      s.read.format("binaryFile").load(s"$path/part-*.i64")
+        .select(col("content"))
+        .as[Array[Byte]]
+        .flatMap { bytes =>
+          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          Iterator.continually(bb).takeWhile(_.remaining >= 8).map(_.getLong)
+        }
+        .toDF("v")
+        .orderBy(col("v"))
+    }),
+
     // np.fromfile: binaryFile source + per-partition int64 decode
     "q_binary_source" -> ((s, dir) => {
       val spark = s
@@ -467,6 +527,10 @@ object Sources {
         |FROM src, st ORDER BY o_orderkey""".stripMargin,
 
     "q_binary_source" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation ORDER BY v"""
+      """SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation ORDER BY v""",
+
+    // the written-then-reread key multiset must equal the source column
+    "q_to_binary" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS v FROM customer ORDER BY v"""
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
 import graft.operators.{GlobalOrder, Parallelism, TextOps}
+import graft.operators.Pin.PinOps
 
 /** Training-mixture governance: the corpus-level weighting / sharding /
   * vocabulary ops a pretraining data pipeline runs AFTER cleaning and
@@ -349,7 +350,7 @@ object TrainPrep {
       val counts = Parallelism.fanOut(Tables(s, dir, "documents"))
         .select(explode(TextOps.normWords(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .pinned
       val tot = counts.agg(sum(col("c")).as("__tot"))
       counts.crossJoin(broadcast(tot))
         .filter(col("c") * 200 > col("__tot"))

@@ -9,6 +9,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.DecimalType
+import graft.operators.Pin.PinOps
 
 /** Structured Streaming surface (parity-plus: the reference has no
   * streaming — SURVEY §2.6 note — but the driver's `events` table is a
@@ -179,7 +180,7 @@ object Streams {
     // sever the memory-sink view before the self-join (the sink view
     // resolves to the same attribute ids on both sides otherwise)
     val counts = runToTable(spark, stream, OutputMode.Complete())
-      .localCheckpoint(true)
+      .pinned
     val totals = counts.groupBy(col("win_start")).agg(sum(col("ca")).as("na"))
     counts.join(totals, Seq("win_start"))
       .join(broadcast(baseline), Seq("bin"))
@@ -276,7 +277,7 @@ object Streams {
         graft.operators.Parallelism.fanOut(docs.filter(b < 80)),
         "doc_id", "text", 3)
       .select(graft.operators.Dedup.shingleBaseHash(col("shingle")).as("h"))
-      .distinct().localCheckpoint(true)
+      .distinct().pinned
   }
 
   /** Streaming ingestion gate: each arriving document is
