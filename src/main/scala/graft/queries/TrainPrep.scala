@@ -223,43 +223,39 @@ object TrainPrep {
 
     // Character-entropy quality signal (low entropy ⇒ repetitive /
     // degenerate text — the boilerplate gate corpus filters run).
-    // Over the CLOSED 36-char alphabet the whole computation is one
-    // codegen projection — char counts as length-difference
-    // expressions, entropy as a 36-term in-row sum — so the query is
-    // scan-only: no explode, no shuffle, nothing but the final sort.
-    // ln is libm (≤1 ulp each, not bit-pinned); 36 accumulated terms
-    // diverge < 1e-13 cross-engine, invisible at the 6-dp rounding —
-    // the q_tfidf precedent, green at both SFs.
+    // Shape: explode(char) → (doc, char) hash agg → per-doc fold.
+    // Map-side partial aggregation collapses each partition to ≤36
+    // rows per doc BEFORE the shuffle, so the exchange carries
+    // O(36·|docs|), never O(chars). This replaced a 36×translate
+    // scan-only projection: that shape re-reads every row's text 36
+    // times, and the A/B at sf0.1 measured 3.9-4.2 s (translate,
+    // warm) vs 0.6 s here with zero 6-dp mismatches — one O(chars)
+    // pass + a narrow shuffle beats 36 O(chars) passes. Cross-engine
+    // determinism: the per-count c·ln(c) terms are quantized to 1e-9
+    // longs BEFORE the order-free sum (the q_psi pattern), and the
+    // only unquantized libm call left, ln(n), is a single op both
+    // engines sequence identically; entropy = ln(n) − (Σq/1e9)/n.
     "q_char_entropy" -> ((s, dir) => {
-      val alphabet = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
-      // counts run over lower(text) DIRECTLY — normalization would only
-      // strip characters outside the alphabet, which cannot change any
-      // per-symbol count, and a normalized intermediate column tempts
-      // Catalyst into inlining the regex into all 36 terms (measured:
-      // inlined regexp_replace 5.7 s / 8.1 s isolated at sf0.1 vs
-      // 4.8 s for this shape). translate is a plain char scan per
-      // symbol — no regex anywhere; n is the SUM of the 36 counts
-      // (≡ the normalized length). 36 symbols of per-row character
-      // work is the honest floor of the op; it stays a single
-      // projection with no shuffle.
-      val cs = alphabet.map { ch =>
-        (length(col("__lt")) - length(translate(col("__lt"), ch, "")))
-          .cast("double")
-      }
-      val n = col("__n")
-      val terms = alphabet.indices.map { i =>
-        val c = col(s"__c$i")
-        when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0))
-      }
-      Tables(s, dir, "documents")
-        .select(col("doc_id") +: lower(col("text")).as("__lt") +: Nil: _*)
-        .select(col("doc_id") +: cs.zipWithIndex.map { case (c, i) =>
-          c.as(s"__c$i") }: _*)
-        .withColumn("__n", cs.indices.map(i => col(s"__c$i"))
-          .reduceLeft(_ + _))
+      val docs = Tables(s, dir, "documents")
+      val chs = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "")).as("__ch"))
+        .filter((col("__ch") >= "a" && col("__ch") <= "z") ||
+          (col("__ch") >= "0" && col("__ch") <= "9"))
+      val agg = chs.groupBy(col("doc_id"), col("__ch"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__c")).as("__n"),
+          sum(floor(col("__c").cast("double") *
+            log(col("__c").cast("double")) * 1e9 + 0.5).cast("long"))
+            .as("__sq"))
+      // left join back so alphabet-free docs keep their entropy-0 row
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          when(n > 0, round(terms.reduceLeft(_ + _), 6)).otherwise(0.0)
-            .as("entropy"))
+          when(col("__n").isNotNull && col("__n") > 0,
+            round(log(col("__n").cast("double")) -
+              (col("__sq").cast("double") / 1e9) /
+                col("__n").cast("double"), 6))
+            .otherwise(0.0).as("entropy"))
         .orderBy(col("doc_id"))
     }),
 
@@ -480,19 +476,26 @@ object TrainPrep {
         |FROM b""".stripMargin,
 
     // identical 36-term chain, REPLACE per literal char, same ln/round
-    "q_char_entropy" -> {
-      val terms = (('a' to 'z') ++ ('0' to '9')).map { ch =>
-        val c = s"CAST(LENGTH(t) - LENGTH(REPLACE(t, '$ch', '')) AS DOUBLE)"
-        s"CASE WHEN $c > 0 THEN -($c / n) * ln($c / n) ELSE 0.0 END"
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT doc_id,
-        |    regexp_replace(LOWER(text), '[^a-z0-9]', '', 'g') AS t
-        |  FROM documents),
-        |c AS (SELECT doc_id, t, CAST(LENGTH(t) AS DOUBLE) AS n FROM b)
-        |SELECT doc_id,
-        |  CASE WHEN n > 0 THEN ROUND($terms, 6) ELSE 0.0 END AS entropy
-        |FROM c ORDER BY doc_id""".stripMargin
-    },
+    // same op sequence: per-char counts, 1e-9-quantized c·ln(c) sum
+    "q_char_entropy" ->
+      """WITH lt AS (SELECT doc_id, LOWER(text) AS t FROM documents),
+        |pos AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, LENGTH(t))) AS i FROM lt),
+        |ch AS (SELECT doc_id, substr(t, i, 1) AS ch FROM pos
+        |  WHERE substr(t, i, 1) BETWEEN 'a' AND 'z'
+        |     OR substr(t, i, 1) BETWEEN '0' AND '9'),
+        |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN a.n IS NULL OR a.n = 0 THEN 0.0
+        |    ELSE ROUND(ln(CAST(a.n AS DOUBLE))
+        |      - (CAST(a.sq AS DOUBLE) / 1e9) / CAST(a.n AS DOUBLE), 6)
+        |  END AS entropy
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_feature_hash" ->
       s"""WITH tok AS (
