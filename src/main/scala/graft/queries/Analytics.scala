@@ -118,9 +118,101 @@ object Analytics {
         .select(col("label"), col("vec_id"),
           round(col("cs"), 6).as("cos_sim"))
         .orderBy(col("label"), col("cos_sim").desc, col("vec_id"))
+    }),
+
+    // Two deterministic logistic-regression GD steps over lineitem
+    // (label: returnflag == 'R'; features: intercept, quantity/50,
+    // discount) — the downstream-classifier shape the reference's
+    // census benchmark feeds (`benchmarks/census_benchmark.py:70-80`;
+    // excluded until now for want of a cross-engine exp() guarantee).
+    // Each float hazard is collapsed at the seam where it arises:
+    // step-1 gradients are EXACT decimal sums (w=0 ⇒ p=1/2, no exp at
+    // all — and quantity/100, discount/2 are exact 2/3-dp decimals);
+    // the step-2 linear predictor is quantized to 1e-6 BEFORE the
+    // sigmoid (the q_outlier_iqr ulp-collapsing move), so the lone
+    // libm exp sees the identical double on both engines; per-row
+    // gradient terms quantize to 1e-9 longs before the order-free sum
+    // (the q_psi pattern); weights re-quantize at each step boundary.
+    // Two scans + one 1-row broadcast — nothing iterative touches the
+    // driver, and more steps are the same plan repeated.
+    "q_logreg_step" -> ((s, dir) => {
+      val lr = 0.5
+      val d6 = DecimalType(30, 6)
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def q9(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e9) + lit(0.5)).cast("long")
+      val li = Tables(s, dir, "lineitem").select(
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+        (col("l_quantity").cast("double") / lit(50.0)).as("x1"),
+        col("l_discount").cast("double").as("x2"))
+      val g1 = li.agg(count(lit(1)).as("n"),
+        sum((lit(0.5) - col("y")).cast(d6)).as("__s0"),
+        sum(((lit(0.5) - col("y")) * col("x1")).cast(d6)).as("__s1"),
+        sum(((lit(0.5) - col("y")) * col("x2")).cast(d6)).as("__s2"))
+      def w1j(sc: String) = q6(lit(-lr) *
+        (col(sc).cast("double") / col("n").cast("double")))
+      val w1 = g1.select(col("n"), w1j("__s0").as("w0"),
+        w1j("__s1").as("w1"), w1j("__s2").as("w2"))
+      val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-q6(z)))
+      val g2 = li.crossJoin(broadcast(w1))
+        .select(col("n"), col("w0"), col("w1"), col("w2"),
+          q9(p - col("y")).as("__t0"),
+          q9((p - col("y")) * col("x1")).as("__t1"),
+          q9((p - col("y")) * col("x2")).as("__t2"))
+        .groupBy(col("n"), col("w0"), col("w1"), col("w2"))
+        .agg(sum(col("__t0")).as("__g0"), sum(col("__t1")).as("__g1"),
+          sum(col("__t2")).as("__g2"))
+      def w2j(w: String, g: String) = q6(col(w) - lit(lr) *
+        (col(g).cast("double") / lit(1e9) / col("n").cast("double")))
+      g2.select(col("n"), w2j("w0", "__g0").as("w_intercept"),
+        w2j("w1", "__g1").as("w_qty"), w2j("w2", "__g2").as("w_disc"))
     }))
 
   val oracle: Map[String, String] = Map(
+
+    // identical op sequence: exact-decimal step-1 sums, 1e-6-quantized
+    // linear predictor before exp, 1e-9-quantized gradient terms
+    "q_logreg_step" ->
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |    CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2
+        |  FROM lineitem),
+        |g1 AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(0.5 - y AS DECIMAL(30,6))) AS s0,
+        |    SUM(CAST((0.5 - y) * x1 AS DECIMAL(30,6))) AS s1,
+        |    SUM(CAST((0.5 - y) * x2 AS DECIMAL(30,6))) AS s2
+        |  FROM li),
+        |w1 AS (SELECT n,
+        |    FLOOR((-0.5 * (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * 1e6 + 0.5) / 1e6 AS w0,
+        |    FLOOR((-0.5 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * 1e6 + 0.5) / 1e6 AS w1,
+        |    FLOOR((-0.5 * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * 1e6 + 0.5) / 1e6 AS w2
+        |  FROM g1),
+        |r AS (SELECT n, w0, w1, w2, y, x1, x2,
+        |    1.0 / (1.0 + exp(-(FLOOR((w0 + w1 * x1 + w2 * x2) * 1e6 + 0.5)
+        |      / 1e6))) AS p
+        |  FROM li, w1),
+        |g2 AS (SELECT n, w0, w1, w2,
+        |    CAST(SUM(CAST(FLOOR((p - y) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS g0,
+        |    CAST(SUM(CAST(FLOOR((p - y) * x1 * 1e9 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS g1,
+        |    CAST(SUM(CAST(FLOOR((p - y) * x2 * 1e9 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS g2
+        |  FROM r GROUP BY n, w0, w1, w2)
+        |SELECT n,
+        |  FLOOR((w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS w_intercept,
+        |  FLOOR((w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS w_qty,
+        |  FLOOR((w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS w_disc
+        |FROM g2""".stripMargin,
 
     "q_rank_cume" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
