@@ -357,4 +357,32 @@ class PlanShapeSpec extends SparkSpecBase {
       "blocked fuzzy join must stay an equi-join:\n" + p.take(1200))
     assert(p.contains("Window"), "the block-size cap must ride a window count")
   }
+
+  test("exchange budgets: the bench's most expensive plans add no silent shuffle") {
+    // Ceilings measured from the current plans (local[4], 4 shuffle
+    // partitions — the spec session). Operator presence is pinned by
+    // the tests above; these pin the COUNT, so a Spark upgrade or an
+    // operator edit that slips in an extra exchange fails here instead
+    // of surfacing as an unexplained bench regression. The numbers are
+    // ceilings, not endorsements — q_rfm's 22 is three rank passes over
+    // the |users|-sized frame (hash) plus the numPartitions-row offset
+    // windows (single-partition by design, metadata-sized); the big
+    // scans behind the eager pins don't appear in the final plan but
+    // are each a single range/hash exchange of their own, pinned by
+    // GlobalOrderPartitionSpec.
+    val budgets = Seq(
+      "q_char_entropy" -> 3, "q_dedup_minhash" -> 1, "q_corr_matrix" -> 1,
+      "q_str_fuzzy" -> 4, "q_simhash_pairs" -> 1, "q_winsorize" -> 5,
+      "q_rfm" -> 22, "q_contamination_bloom" -> 2, "q_cube" -> 2,
+      "q_kmeans" -> 0)
+    for ((name, budget) <- budgets) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).size +
+        "Exchange rangepartitioning".r.findAllIn(p).size +
+        "Exchange SinglePartition".r.findAllIn(p).size
+      assert(ex <= budget,
+        s"$name plans $ex exchanges, budget $budget — something added a " +
+          s"silent shuffle:\n" + p.take(1600))
+    }
+  }
 }
