@@ -109,6 +109,42 @@ package object api {
     /** Repartition only when the scan under-parallelizes the session. */
     def fanOut: DataFrame = Parallelism.fanOut(df)
 
+    /** `df.isin(other_frame)` / `df.isin(series)` (SURVEY §2.2): aligned
+      * per-column equality on index key `on` — True where `values`
+      * carries the same label AND an equal cell. One index-key left
+      * join; columns without a counterpart in `values` are pandas'
+      * constant-false (omit them from `pairs` and project `lit(false)`).
+      * For the series form pass the single value column against each
+      * probed frame column. */
+    def isinAligned(values: DataFrame, on: String,
+                    pairs: Seq[(String, String)]): DataFrame = {
+      val v = values.select(col(on).as("__k") +:
+        pairs.map { case (_, vc) => col(vc).as(s"__v_$vc") }: _*)
+      df.join(v, df(on) === col("__k"), "left")
+        .select(df(on) +: pairs.map { case (dc, vc) =>
+          coalesce(df(dc) === col(s"__v_$vc"), lit(false)).as(s"${dc}_in")
+        }: _*)
+    }
+
+    /** np.tofile, distributed: pack the frame's first column as
+      * little-endian int64, one part file per partition via the Hadoop
+      * FileSystem API (file:// locally, HDFS/object store on cluster). */
+    def toBinaryI64(outDir: String): Unit =
+      graft.queries.Sources.writeBinaryI64(df, outDir)
+
+    // ——— multimodal (media-table frames: doc_id, bytes, meta) ———
+
+    /** Batch media decode — REAL `javax.imageio` codec for image mimes
+      * (pixel-luma integration), byte-length stub for non-media blobs. */
+    def decodeMedia(): DataFrame =
+      graft.operators.Media.decode(df.sparkSession, df).toDF()
+
+    /** Batch WAV decode → one row per `chunkSamples` chunk with RMS
+      * energy over the real decoded PCM samples. */
+    def decodeAudioChunks(chunkSamples: Int): DataFrame =
+      graft.operators.Media.decodeAudio(df.sparkSession, df, chunkSamples)
+        .toDF()
+
     // ——— LLM-pipeline: dedup (documents-shaped frames) ———
 
     /** Exact dedup by content digest → (content_md5, keep_id, n_dups). */

@@ -119,4 +119,41 @@ class ApiSpec extends SparkSpecBase {
     assert(r.getAs[Double]("p50") === math.ceil(97 * 0.5))
     assert(r.getAs[Double]("p100") === 97.0)
   }
+
+  test("isinAligned matches aligned cells, false on missing labels") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val vals = Seq((1L, "a", 11L), (3L, "x", 30L)).toDF("k", "s", "v")
+    val got = d.isinAligned(vals, "k", Seq("s" -> "s", "v" -> "v"))
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    // k=1: s matches, v differs; k=2: no label; k=3: s differs, v matches
+    assert(got == Set((1L, true, false), (2L, false, false),
+      (3L, false, true)))
+  }
+
+  test("toBinaryI64 round-trips through the binary source decode") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_api_bin").toString
+    val src = Seq(5L, -3L, 1L << 40, 0L).toDF("x")
+    src.toBinaryI64(out)
+    val bytes = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .toArray.map(_.toString).filter(_.endsWith(".i64"))
+      .flatMap(p => java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val vals = Iterator.continually(bb).takeWhile(_.remaining >= 8)
+      .map(_.getLong).toSeq
+    assert(vals.sorted == Seq(-3L, 0L, 5L, 1L << 40))
+  }
+
+  test("decodeMedia and decodeAudioChunks drive the real codecs") {
+    import spark.implicits._
+    val ids = Seq(4L, 9L).toDF("doc_id")
+    val img = graft.operators.Media.syntheticImages(spark, ids).decodeMedia()
+    assert(img.count() == 2 && img.columns.contains("mean_luma"))
+    val au = graft.operators.Media.syntheticAudio(spark, ids)
+      .decodeAudioChunks(800)
+    assert(au.count() == (2 + 4 % 4) + (2 + 9 % 4))
+  }
 }
