@@ -72,6 +72,7 @@ object SparkEntry {
     "q_cube", "q_approx_quantile", "q_standardize", "q_emb_topk_per_label",
     "q_vocab_coverage", "q_winsorize", "q_oov_rate", "q_rfm",
     "q_active_users", "q_char_entropy",
-    "q_media_decode", "q_emb_neardup", "q_emb_quantize",
+    "q_media_decode", "q_media_decode_real", "q_emb_neardup",
+    "q_emb_quantize", "q_logreg_step",
     "q_events_stream", "q_sessionize")
 }

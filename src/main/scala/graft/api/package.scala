@@ -151,10 +151,14 @@ package object api {
     def dedupExact(idCol: String, textCol: String): DataFrame =
       Dedup.exact(df, idCol, textCol)
 
-    /** MinHash+LSH near-duplicate pairs with verified Jaccard. */
+    /** MinHash+LSH near-duplicate pairs with verified Jaccard.
+      * `fastHash = true` switches signatures to codegen xxhash64 — the
+      * production setting when no external oracle must replay them. */
     def nearDupPairs(idCol: String, textCol: String,
-                     threshold: Double = 0.7): DataFrame =
-      Dedup.minhashPairs(df, idCol, textCol, threshold = threshold)
+                     threshold: Double = 0.7,
+                     fastHash: Boolean = false): DataFrame =
+      Dedup.minhashPairs(df, idCol, textCol, threshold = threshold,
+        fastHash = fastHash)
 
     /** 64-bit SimHash per row → (idCol, simhash). */
     def simhashed(idCol: String, textCol: String): DataFrame =

@@ -152,12 +152,31 @@ object Dedup {
     *                  than this is boilerplate, not near-duplication, and
     *                  is dropped from candidate generation (logged in the
     *                  reference pipelines as "tombstoned buckets")
+    * @param fastHash  replace the md5-derived base/band hashes with
+    *                  xxhash64 (Spark-native, whole-stage codegen, no hex
+    *                  fold) when no cross-engine oracle needs to replay
+    *                  the signatures; the plan is otherwise identical,
+    *                  every stage stays capped and verified, and exact
+    *                  duplicates are still found with certainty (equal
+    *                  text ⇒ equal signatures in any hash family).
+    *                  Measured at sf0.1: ~8% faster warm (3.87 → 3.59 s)
+    *                  — the explode/shuffle dominates this corpus, so md5
+    *                  is NOT the bottleneck here; the lever matters on
+    *                  corpora with much longer documents, where per-
+    *                  shingle hash cost scales with text volume. Default
+    *                  off: the oracle-gated queries need DuckDB to
+    *                  recompute identical md5 signatures.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4, w: Int = 3,
-                   threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
+                   threshold: Double = 0.7, maxBucket: Int = 200,
+                   fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // base hash must stay < 2^32 so a·h (a < 2^30) never overflows a long
+    val baseHash: Column => Column =
+      if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
+      else shingleBaseHash
 
     // Stage 1: (id, word, pos) token rows; shingle start positions are
     // pos ≤ n−w, plus pos = 0 for short docs (whole doc as one shingle,
@@ -179,7 +198,7 @@ object Dedup {
     // regexp work instead of a corpus-wide cache write.
     def shingleHashes(src: DataFrame): DataFrame =
       shingleRows(src, idCol, textCol, w)
-        .select(col("id"), shingleBaseHash(col("shingle")).as("__h"))
+        .select(col("id"), baseHash(col("shingle")).as("__h"))
     val fanned = Parallelism.fanOut(df)
     val coeffs = minhashCoeffs(k)
     // Signature frame: |docs| rows × (id + k longs); single consumer
@@ -193,8 +212,9 @@ object Dedup {
 
     // Stage 2: one row per (id, band, bandHash); ids only from here on.
     val bandHashes = array((0 until bands).map { b =>
-      md5(concat_ws("|",
-        (b * r until (b + 1) * r).map(s => col(s"mh$s").cast("string")): _*))
+      val joined = concat_ws("|",
+        (b * r until (b + 1) * r).map(s => col(s"mh$s").cast("string")): _*)
+      if (fastHash) xxhash64(joined).cast("string") else md5(joined)
     }: _*)
     val banded = sig.select(col("id"), posexplode(bandHashes))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
