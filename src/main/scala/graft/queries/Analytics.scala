@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.operators.Pin.PinOps
 import graft.operators.Similarity
 
 /** Analytic-surface fills: distribution ranks, feature scaling, ISO
@@ -120,6 +121,51 @@ object Analytics {
         .orderBy(col("label"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // PageRank-style centrality over the co-purchase graph, join-based
+    // power iteration (3 rounds, damping 0.85) — the recommendation /
+    // importance primitive warehouses run on co-occurrence graphs.
+    // Scale shape: edge construction self-joins lineitem ON ORDERKEY
+    // (bounded fan-out — ≤ items-per-order² pairs per order, never
+    // |parts|²), co-order count ≥ 2 prunes noise; each iteration is one
+    // (edges ⋈ ranks ⋈ degrees) join + a dst hash agg — the textbook
+    // distributed PR, no adjacency list ever collects. Determinism: rank
+    // mass is 1e-9-quantized longs; the per-edge contribution is integer
+    // division by degree, inflow sums are exact integer addition, and
+    // the damping multiply is one double op both engines sequence
+    // identically. Top-20 by (rank desc, node asc) via TakeOrdered.
+    "q_pagerank" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li
+        .join(li.withColumnRenamed("l_partkey", "pb"), Seq("l_orderkey"))
+        .filter(col("l_partkey") < col("pb"))
+        .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .pinned // consumed by deg + 3 iteration joins
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .pinned
+      val nodes = deg.select(col("src").as("node"))
+      var pr = nodes.select(col("node"), lit(1000000000L).as("prq"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst").as("node"), expr("prq div deg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"), (lit(150000000L) +
+            floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
+              + 0.5).cast("long")).as("prq"))
+          .pinned // severs the iteration chain (q_kmeans precedent)
+      }
+      pr.orderBy(col("prq").desc, col("node")).limit(20)
+        .select(col("node").as("p_partkey"),
+          round(col("prq").cast("double") / 1e9, 6).as("pagerank"))
+    }),
+
     // Two deterministic logistic-regression GD steps over lineitem
     // (label: returnflag == 'R'; features: intercept, quantity/50,
     // discount) — the downstream-classifier shape the reference's
@@ -171,6 +217,36 @@ object Analytics {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    // three unrolled power-iteration rounds in integer rank mass
+    "q_pagerank" -> {
+      def round_(i: Int, prev: String) =
+        s"""i$i AS (SELECT e.dst AS node,
+          |    CAST(SUM(p.prq // d.deg) AS BIGINT) AS inflow
+          |  FROM edges e JOIN $prev p ON p.node = e.src
+          |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+          |p$i AS (SELECT n.node, CAST(150000000 +
+          |      CAST(FLOOR(0.85 * CAST(COALESCE(i.inflow, 0) AS DOUBLE)
+          |        + 0.5) AS BIGINT) AS BIGINT) AS prq
+          |  FROM (SELECT src AS node FROM deg) n
+          |  LEFT JOIN i$i i USING (node))""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |p0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS prq
+        |  FROM deg),
+        |${round_(1, "p0")},
+        |${round_(2, "p1")},
+        |${round_(3, "p2")}
+        |SELECT node AS p_partkey,
+        |  ROUND(CAST(prq AS DOUBLE) / 1e9, 6) AS pagerank
+        |FROM p3 ORDER BY prq DESC, node LIMIT 20""".stripMargin
+    },
 
     // identical op sequence: exact-decimal step-1 sums, 1e-6-quantized
     // linear predictor before exp, 1e-9-quantized gradient terms

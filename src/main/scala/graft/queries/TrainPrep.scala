@@ -325,6 +325,67 @@ object TrainPrep {
         .orderBy(col("doc_id"))
     }),
 
+    // Multinomial Naive Bayes language classifier, trained AND
+    // self-evaluated in one plan (the quality/lang-filter model corpus
+    // pipelines train in SQL-shaped passes): top-200 word vocabulary,
+    // Laplace-smoothed per-(lang, word) log-likelihoods, log-prior,
+    // argmax per doc → confusion counts vs the labeled lang column.
+    // Scale shape: the (L×200) likelihood grid and the vocab broadcast;
+    // corpus tokens shuffle once (the per-doc score agg); the argmax is
+    // a per-doc window over ≤L rows. Determinism: every ln() term is
+    // quantized to 1e-9 longs at the (lang, word) grid — the score sum
+    // is exact integer addition, order-free, and ties break on lang asc.
+    // Docs with zero vocabulary tokens have no score rows and drop from
+    // the matrix on both engines identically. (On THIS fixture the word
+    // distribution is label-independent — measured: the en marker set
+    // appears at ~3% in every language's docs, the other langs' markers
+    // never — so the correct Bayes answer is the majority-prior argmax
+    // and the matrix shows pred=en everywhere; the gate pins the full
+    // train+score+argmax machinery, not fixture accuracy.)
+    "q_naive_bayes" -> ((s, dir) => {
+      def toks = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.normWords(col("text"))).as("w"))
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val vocab = GlobalOrder.withRowNumberLong(
+          counts, Seq(col("c").desc, col("w")), "rn")
+        .filter(col("rn") <= 200).select(col("w"))
+      val docs = Tables(s, dir, "documents")
+      val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      val total = docs.agg(count(lit(1)).as("ntot"))
+      val vtoks = toks.join(broadcast(vocab), Seq("w"))
+      val classTok = vtoks.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      val cw = vtoks.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("cw"))
+      val grid = priors.select(col("lang"))
+        .crossJoin(broadcast(vocab))
+        .join(cw, Seq("lang", "w"), "left")
+        .join(classTok, Seq("lang"))
+        .select(col("lang").as("__l"), col("w"),
+          floor(log((coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+            (col("nl") + 200).cast("double")) * 1e9 + 0.5).cast("long")
+            .as("llq"))
+      val prq = priors.crossJoin(broadcast(total))
+        .select(col("lang").as("__l"),
+          floor(log(col("nd").cast("double") / col("ntot").cast("double"))
+            * 1e9 + 0.5).cast("long").as("prq"))
+      val scored = vtoks
+        .select(col("doc_id"), col("lang").as("true_lang"), col("w"))
+        .join(broadcast(grid), Seq("w"))
+        .groupBy(col("doc_id"), col("true_lang"), col("__l"))
+        .agg(sum(col("llq")).as("__s"))
+        .join(broadcast(prq), Seq("__l"))
+        .withColumn("score", col("__s") + col("prq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("__l"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("true_lang").as("lang"), col("__l").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
     // Token-length distribution in power-of-two buckets — the corpus
     // length audit run before choosing context length / packing
     // strategy. The bucket is ⌊log₂ n⌋+1 computed as LENGTH(BIN(n)) —
@@ -518,6 +579,45 @@ object TrainPrep {
         |  FROM documents)
         |SELECT lang, doc_id FROM r, c WHERE rn <= minn
         |ORDER BY lang, doc_id""".stripMargin,
+
+    // same tok CTE; the grid's ln() terms quantize to 1e-9 longs, so
+    // score sums are exact integer addition on both engines
+    "q_naive_bayes" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(regexp_split_to_array(
+        |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
+        |    '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |v AS (SELECT w FROM (
+        |    SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM c)
+        |  WHERE rn <= 200),
+        |vt AS (SELECT t.doc_id, t.lang, t.w FROM tok t JOIN v USING (w)),
+        |nl AS (SELECT lang, COUNT(*) AS nl FROM vt GROUP BY lang),
+        |cw AS (SELECT lang, w, COUNT(*) AS cw FROM vt GROUP BY lang, w),
+        |pl AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang),
+        |tot AS (SELECT COUNT(*) AS ntot FROM documents),
+        |grid AS (SELECT l.lang AS cl, v.w,
+        |    CAST(FLOOR(ln(CAST(COALESCE(cw.cw, 0) + 1 AS DOUBLE)
+        |      / CAST(nl.nl + 200 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS llq
+        |  FROM pl l CROSS JOIN v
+        |  LEFT JOIN cw ON cw.lang = l.lang AND cw.w = v.w
+        |  JOIN nl ON nl.lang = l.lang),
+        |pr AS (SELECT lang AS cl,
+        |    CAST(FLOOR(ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT) AS prq
+        |  FROM pl, tot),
+        |sc AS (SELECT vt.doc_id, vt.lang AS true_lang, g.cl,
+        |    CAST(SUM(g.llq) AS BIGINT) AS s
+        |  FROM vt JOIN grid g ON g.w = vt.w
+        |  GROUP BY vt.doc_id, vt.lang, g.cl),
+        |best AS (SELECT doc_id, true_lang, cl,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY s + prq DESC, cl) AS rn
+        |  FROM sc JOIN pr USING (cl))
+        |SELECT true_lang AS lang, cl AS pred, COUNT(*) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
 
     "q_oov_rate" ->
       """WITH tok AS (
