@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.operators.GlobalOrder
+import graft.functions.md5Bucket
+import graft.operators.{GlobalOrder, Parallelism, TextOps}
+import graft.operators.Pin.PinOps
 
 /** Sketch/approximation scale paths and calendar machinery.
   *
@@ -137,6 +139,38 @@ object Sketches {
         .filter(col("__rn") <= 5)
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Count-Min sketch heavy-hitter readout with EXACT cross-engine
+    // parity — unlike HLL/rank sketches (envelope-gated above), CMS
+    // cells are pure functions of md5-derived bucket hashes, so the
+    // oracle replays the SKETCH itself bit-for-bit, not just the exact
+    // counts. d=4 rows × w=1024 buckets: one token pass fans each token
+    // to its 4 (row, bucket) cells in-stage (partial agg collapses to
+    // ≤4096 cells per partition before the shuffle — the fixed-size
+    // property that makes CMS the streaming/mergeable counter); the
+    // estimate for each exact top-10 token is the min over its 4 cells,
+    // and `over_ok` pins the CMS ≥-truth guarantee as data.
+    "q_count_min" -> ((s, dir) => {
+      def cellsOf(w: org.apache.spark.sql.Column) =
+        explode(array((0 until 4).map(i => struct(lit(i).as("r"),
+          md5Bucket(w, 1024L, salt = s"cms$i:").as("bucket"))): _*))
+      def toks = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(explode(TextOps.normWords(col("text"))).as("w"))
+      val cells = toks.select(cellsOf(col("w")).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cell"))
+        .pinned // ≤4096 rows; broadcast into the probe join
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("w")).limit(10)
+      top.select(col("w"), col("exact"), cellsOf(col("w")).as("rb"))
+        .select(col("w"), col("exact"), col("rb.r").as("r"),
+          col("rb.bucket").as("bucket"))
+        .join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy(col("w"), col("exact"))
+        .agg(min(col("cell")).as("cms_est"))
+        .withColumn("over_ok", col("cms_est") >= col("exact"))
+        .orderBy(col("exact").desc, col("w"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -187,5 +221,30 @@ object Sketches {
         |QUALIFY row_number() OVER (
         |  PARTITION BY lang
         |  ORDER BY md5('gs1|' || CAST(doc_id AS VARCHAR)), doc_id) <= 5
-        |ORDER BY lang, doc_id""".stripMargin)
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    // the same d×w cell table and min-over-cells probe, cell hashes
+    // replayed from the identical md5 fold
+    "q_count_min" -> {
+      val bucket = Extras.hex8("'cms' || CAST(r AS VARCHAR) || ':' || w")
+      s"""WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(
+        |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),
+        |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
+        |    '\\s+')) AS w
+        |  FROM documents),
+        |cells AS (SELECT r, CAST($bucket % 1024 AS BIGINT) AS bucket,
+        |    COUNT(*) AS cell
+        |  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS r)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT w, COUNT(*) AS exact FROM tok GROUP BY w
+        |  ORDER BY exact DESC, w LIMIT 10),
+        |probes AS (SELECT w, exact, r,
+        |    CAST($bucket % 1024 AS BIGINT) AS bucket
+        |  FROM top, (SELECT unnest([0, 1, 2, 3]) AS r))
+        |SELECT p.w, p.exact, CAST(MIN(c.cell) AS BIGINT) AS cms_est,
+        |  MIN(c.cell) >= p.exact AS over_ok
+        |FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        |GROUP BY p.w, p.exact ORDER BY p.exact DESC, p.w""".stripMargin
+    })
 }
