@@ -166,6 +166,59 @@ object Analytics {
           round(col("prq").cast("double") / 1e9, 6).as("pagerank"))
     }),
 
+    // Triangle count + global clustering coefficient over the same
+    // co-purchase graph — THE canonical scale-safe triangle spelling:
+    // each undirected edge is oriented from its (degree, id)-smaller
+    // endpoint, so a hub of degree d fans out O(√E) wedges instead of
+    // O(d²) (the Suri-Vassilvitskii MR-triangle trick); wedges close
+    // via one equi-join back onto the oriented edge list. All counts
+    // exact longs; the clustering coefficient 3T/wedges is one rounded
+    // division.
+    "q_triangle_count" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li
+        .join(li.withColumnRenamed("l_partkey", "pb"), Seq("l_orderkey"))
+        .filter(col("l_partkey") < col("pb"))
+        .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+        .pinned // feeds degrees AND orientation
+      val deg = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .pinned
+      // orient a→b when (deg, id) of a < of b; join the two degrees in
+      val ordered = pairs
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+            .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .pinned // wedge join reads it twice + the closing probe
+      val wedges = ordered.select(col("src"), col("dst").as("m"))
+        .join(ordered.select(col("src").as("m"), col("dst")), Seq("m"))
+        .select(col("src"), col("dst"))
+      // a wedge src→m→dst closes iff {src,dst} is an edge (any orient.)
+      val undirected = pairs.select(col("a").as("u"), col("b").as("v"))
+        .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      val tri = wedges.join(undirected,
+          col("src") === col("u") && col("dst") === col("v"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = pairs.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))))
+      stats.crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6).as("clustering"))
+    }),
+
     // Two deterministic logistic-regression GD steps over lineitem
     // (label: returnflag == 'R'; features: intercept, quantity/50,
     // discount) — the downstream-classifier shape the reference's
@@ -217,6 +270,40 @@ object Analytics {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    // same degree orientation; wedges close on the undirected edge set
+    "q_triangle_count" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+        |  GROUP BY node),
+        |ordered AS (SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+        |      THEN p.a ELSE p.b END AS src,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+        |      THEN p.b ELSE p.a END AS dst
+        |  FROM pairs p JOIN deg da ON da.node = p.a
+        |  JOIN deg db ON db.node = p.b),
+        |wedges AS (SELECT e1.src AS src, e2.dst AS dst
+        |  FROM ordered e1 JOIN ordered e2 ON e1.dst = e2.src),
+        |und AS (SELECT a AS u, b AS v FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM und
+        |    WHERE und.u = w.src AND und.v = w.dst)),
+        |st AS (SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+        |    COUNT(*) AS n_nodes,
+        |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges,
+        |  CAST(n_triangles AS BIGINT) AS n_triangles,
+        |  ROUND(3.0 * CAST(n_triangles AS DOUBLE)
+        |    / CAST(n_wedges AS DOUBLE), 6) AS clustering
+        |FROM st, tri""".stripMargin,
 
     // three unrolled power-iteration rounds in integer rank mass
     "q_pagerank" -> {
