@@ -166,6 +166,43 @@ object Analytics {
           round(col("prq").cast("double") / 1e9, 6).as("pagerank"))
     }),
 
+    // Association rules over order baskets (the market-basket readout
+    // q_basket_pairs' support-only table stops short of): directed
+    // rules a→b with confidence sab/na and lift sab·N/(na·nb), top-20
+    // by lift. Scale shape: the basket self-join is keyed on orderkey
+    // (fan-out bounded by basket size), item supports are one hash agg,
+    // and the 1-row order total broadcasts. Ranking sorts the ROUNDED
+    // lift with (a, b) tiebreak, so near-tie doubles cannot reorder the
+    // cut cross-engine.
+    "q_assoc_rules" -> ((s, dir) => {
+      val ob = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .pinned // item supports + both sides of the pair join
+      val tot = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val item = ob.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("supp"))
+      val pr = ob.join(ob.withColumnRenamed("l_partkey", "pb"),
+          Seq("l_orderkey"))
+        .filter(col("l_partkey") < col("pb"))
+        .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
+        .agg(count(lit(1)).as("sab")).filter(col("sab") >= 2)
+      val both = pr.select(col("a"), col("b"), col("sab"))
+        .union(pr.select(col("b").as("a"), col("a").as("b"), col("sab")))
+      both
+        .join(item.select(col("item").as("a"), col("supp").as("na")), Seq("a"))
+        .join(item.select(col("item").as("b"), col("supp").as("nb")), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("confidence",
+          round(col("sab").cast("double") / col("na").cast("double"), 6))
+        .withColumn("lift",
+          round(col("sab").cast("double") * col("n_orders").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")), 6))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a").as("antecedent"), col("b").as("consequent"),
+          col("sab").as("support"), col("confidence"), col("lift"))
+    }),
+
     // Triangle count + global clustering coefficient over the same
     // co-purchase graph — THE canonical scale-safe triangle spelling:
     // each undirected edge is oriented from its (degree, id)-smaller
@@ -270,6 +307,31 @@ object Analytics {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    // same basket joins; ranking on the rounded lift with (a,b) ties
+    "q_assoc_rules" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+        |item AS (SELECT l_partkey AS item, COUNT(*) AS supp
+        |  FROM ob GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
+        |    COUNT(*) AS sab
+        |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dr AS (SELECT a, b, sab FROM pr
+        |  UNION ALL SELECT b, a, sab FROM pr),
+        |r AS (SELECT dr.a, dr.b, sab,
+        |    ROUND(CAST(sab AS DOUBLE) / CAST(ia.supp AS DOUBLE), 6)
+        |      AS confidence,
+        |    ROUND(CAST(sab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |      / (CAST(ia.supp AS DOUBLE) * CAST(ib.supp AS DOUBLE)), 6)
+        |      AS lift
+        |  FROM dr JOIN item ia ON ia.item = dr.a
+        |  JOIN item ib ON ib.item = dr.b, tot)
+        |SELECT a AS antecedent, b AS consequent, sab AS support,
+        |  confidence, lift
+        |FROM r ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
 
     // same degree orientation; wedges close on the undirected edge set
     "q_triangle_count" ->
