@@ -166,6 +166,48 @@ object Analytics {
           round(col("prq").cast("double") / 1e9, 6).as("pagerank"))
     }),
 
+    // Sample autocorrelation of the daily value series at lags 1/2/7 —
+    // the seasonality screen run before choosing forecast features.
+    // The series is calendar-sized (one row per day), so the lag window
+    // is a deliberate single-partition pass over ~hundreds of rows; the
+    // only corpus-scale work is the daily aggregate's one shuffle.
+    // Determinism: deviations quantize to 1e-3 longs (magnitude ~1e8,
+    // so lag products stay within exact signed-64), numerator and
+    // denominator are exact integer sums, one rounded division each.
+    "q_acf" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(round(col("value"), 3).cast(DecimalType(30, 3)))
+          .cast("double").as("x"))
+      val exact = daily.agg(count(lit(1)).as("__n"),
+        sum(col("x").cast(DecimalType(30, 3))).cast("double").as("__s"))
+      val d = daily.crossJoin(broadcast(exact))
+        .withColumn("dq",
+          floor((col("x") - col("__s") / col("__n").cast("double")) *
+            lit(1e3) + lit(0.5)).cast("long"))
+        .select(col("day"), col("dq"))
+        .pinned // feeds the denominator AND all three lag passes
+      val w = Window.orderBy(col("day"))
+      val lagged = d
+        .withColumn("l1", lag(col("dq"), 1).over(w))
+        .withColumn("l2", lag(col("dq"), 2).over(w))
+        .withColumn("l7", lag(col("dq"), 7).over(w))
+      val agg = lagged.agg(
+        sum(col("dq") * col("dq")).as("den"),
+        sum(col("dq") * col("l1")).as("n1"),
+        sum(col("dq") * col("l2")).as("n2"),
+        sum(col("dq") * col("l7")).as("n7"))
+      agg.select(explode(array(
+          struct(lit(1).as("lag"), round(col("n1").cast("double") /
+            col("den").cast("double"), 6).as("acf")),
+          struct(lit(2).as("lag"), round(col("n2").cast("double") /
+            col("den").cast("double"), 6).as("acf")),
+          struct(lit(7).as("lag"), round(col("n7").cast("double") /
+            col("den").cast("double"), 6).as("acf")))).as("r"))
+        .select(col("r.lag"), col("r.acf"))
+        .orderBy(col("lag"))
+    }),
+
     // Association rules over order baskets (the market-basket readout
     // q_basket_pairs' support-only table stops short of): directed
     // rules a→b with confidence sab/na and lift sab·N/(na·nb), top-20
@@ -307,6 +349,38 @@ object Analytics {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    // same 1e-3-quantized deviations; exact integer lag sums
+    "q_acf" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) AS DOUBLE)
+        |      AS x
+        |  FROM events GROUP BY 1),
+        |ex AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(30,3))) AS DOUBLE) AS s FROM daily),
+        |d AS (SELECT day,
+        |    CAST(FLOOR((x - s / CAST(n AS DOUBLE)) * 1e3 + 0.5) AS BIGINT)
+        |      AS dq
+        |  FROM daily, ex),
+        |lagged AS (SELECT dq,
+        |    LAG(dq, 1) OVER (ORDER BY day) AS l1,
+        |    LAG(dq, 2) OVER (ORDER BY day) AS l2,
+        |    LAG(dq, 7) OVER (ORDER BY day) AS l7
+        |  FROM d),
+        |a AS (SELECT CAST(SUM(dq * dq) AS BIGINT) AS den,
+        |    CAST(SUM(dq * l1) AS BIGINT) AS n1,
+        |    CAST(SUM(dq * l2) AS BIGINT) AS n2,
+        |    CAST(SUM(dq * l7) AS BIGINT) AS n7
+        |  FROM lagged)
+        |SELECT lag, acf FROM (
+        |  SELECT 1 AS lag,
+        |    ROUND(CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf FROM a
+        |  UNION ALL SELECT 2,
+        |    ROUND(CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM a
+        |  UNION ALL SELECT 7,
+        |    ROUND(CAST(n7 AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM a)
+        |ORDER BY lag""".stripMargin,
 
     // same basket joins; ranking on the rounded lift with (a,b) ties
     "q_assoc_rules" ->
