@@ -166,6 +166,109 @@ object Analytics {
           round(col("prq").cast("double") / 1e9, 6).as("pagerank"))
     }),
 
+    // EXACT ROC AUC of quantity as a classifier for returnflag='R' —
+    // the Mann-Whitney rank form with midrank tie handling, which on an
+    // integer score collapses to pure counting: per distinct score,
+    // (pos, neg) counts (one hash agg → ≤50 rows), a cumulative window
+    // over that tiny frame, and AUC·2·NP·NN = Σ 2·posₛ·negBelow +
+    // posₛ·negₛ — exact integer arithmetic end to end, one rounded
+    // division at the close. The corpus shuffles once (the score agg);
+    // everything after runs on the |distinct scores| frame.
+    "q_auc" -> ((s, dir) => {
+      val counts = Tables(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("score"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy(col("score"))
+        .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("ng"))
+        .pinned // feeds the window pass AND the totals
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val contrib = counts
+        .withColumn("negBelow", coalesce(sum(col("ng")).over(w), lit(0L)))
+        .agg(sum(col("p") * col("negBelow") * 2 + col("p") * col("ng"))
+          .as("num2"))
+      val tot = counts.agg(sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
+      contrib.crossJoin(broadcast(tot))
+        .select(col("n_pos"), col("n_neg"),
+          round(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double")), 6).as("auc"))
+    }),
+
+    // Chi-square independence test: event_type × ISO weekday
+    // contingency table (one hash agg), expected counts from the
+    // margins, χ² = Σ (o−e)²/e with each cell's term quantized to 1e-9
+    // longs before the order-free sum (the q_psi discipline — e is the
+    // same double on both engines: exact-integer margins through one
+    // division). Output χ², dof, and the table size.
+    "q_chi2" -> ((s, dir) => {
+      val epochDay = expr("unix_micros(ts) div 86400000000")
+      val cells = Tables(s, dir, "events")
+        .select(((epochDay + 3) % 7 + 1).as("dow"), col("event_type"))
+        .groupBy(col("dow"), col("event_type"))
+        .agg(count(lit(1)).as("o"))
+        .pinned // margins + the term pass
+      val rowM = cells.groupBy(col("dow")).agg(sum(col("o")).as("nr"))
+      val colM = cells.groupBy(col("event_type")).agg(sum(col("o")).as("nc"))
+      val tot = cells.agg(sum(col("o")).as("n"))
+      val terms = cells.join(rowM, Seq("dow")).join(colM, Seq("event_type"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("nr").cast("double") * col("nc").cast("double")
+          / col("n").cast("double"))
+        .withColumn("tq", floor((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e") * lit(1e9) +
+          lit(0.5)).cast("long"))
+      terms.agg(countDistinct(col("dow")).as("__r"),
+          countDistinct(col("event_type")).as("__c"),
+          sum(col("tq")).as("__s"))
+        .select(((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+          round(col("__s").cast("double") / lit(1e9), 6).as("chi2"))
+    }),
+
+    // One-level decision tree (the stump CART/boosting starts from):
+    // best quantity threshold for returnflag='R' by weighted Gini.
+    // Same counting core as q_auc — per distinct score (pos, neg), a
+    // cumulative window over ≤50 rows gives every candidate split's
+    // (nl, posL) in one pass; the weighted impurity n_l·g_l + n_r·g_r
+    // is evaluated per candidate with the identical double op sequence
+    // on both engines and quantized to 1e-9 for the argmin, ties on
+    // threshold asc. No per-split corpus scans — the classic
+    // histogram-based split finder (the XGBoost/LightGBM shape).
+    "q_tree_stump" -> ((s, dir) => {
+      val counts = Tables(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("score"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy(col("score"))
+        .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("ng"))
+        .pinned
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = counts.agg(sum(col("p")).as("tp"), sum(col("ng")).as("tn"))
+      val cum = counts
+        .withColumn("cp", sum(col("p")).over(w))
+        .withColumn("cn", sum(col("ng")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("cp") + col("cn") < col("tp") + col("tn")) // right side non-empty
+      def gini(pos: org.apache.spark.sql.Column,
+               neg: org.apache.spark.sql.Column) = {
+        val n = (pos + neg).cast("double")
+        lit(1.0) - (pos.cast("double") / n) * (pos.cast("double") / n) -
+          (neg.cast("double") / n) * (neg.cast("double") / n)
+      }
+      val nl = (col("cp") + col("cn")).cast("double")
+      val nr = (col("tp") + col("tn") - col("cp") - col("cn")).cast("double")
+      val nAll = (col("tp") + col("tn")).cast("double")
+      val scored = cum.withColumn("gq",
+        floor((nl / nAll * gini(col("cp"), col("cn")) +
+          nr / nAll * gini(col("tp") - col("cp"), col("tn") - col("cn"))) *
+          lit(1e9) + lit(0.5)).cast("long"))
+      scored.orderBy(col("gq"), col("score")).limit(1)
+        .select(col("score").as("split_at"),
+          round(col("gq").cast("double") / lit(1e9), 6).as("weighted_gini"),
+          (col("cp") + col("cn")).as("n_left"),
+          (col("tp") + col("tn") - col("cp") - col("cn")).as("n_right"))
+    }),
+
     // Sample autocorrelation of the daily value series at lags 1/2/7 —
     // the seasonality screen run before choosing forecast features.
     // The series is calendar-sized (one row per day), so the lag window
@@ -349,6 +452,89 @@ object Analytics {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    // same per-score counting core; exact integer rank arithmetic
+    "q_auc" ->
+      """WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS score,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS ng
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT score, p, ng,
+        |    COALESCE(CAST(SUM(ng) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS negBelow
+        |  FROM c),
+        |a AS (SELECT CAST(SUM(p * negBelow * 2 + p * ng) AS BIGINT)
+        |    AS num2 FROM w),
+        |t AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(ng) AS BIGINT) AS n_neg FROM c)
+        |SELECT n_pos, n_neg,
+        |  ROUND(CAST(num2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
+        |    * CAST(n_neg AS DOUBLE)), 6) AS auc
+        |FROM a, t""".stripMargin,
+
+    // same contingency margins; 1e-9-quantized cell terms
+    "q_chi2" ->
+      """WITH cells AS (SELECT
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 + 1
+        |      AS dow,
+        |    event_type, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS nr
+        |  FROM cells GROUP BY dow),
+        |cm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS nc
+        |  FROM cells GROUP BY event_type),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT cells.dow, cells.event_type, o,
+        |    CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS e
+        |  FROM cells JOIN r USING (dow) JOIN cm USING (event_type), t),
+        |q AS (SELECT dow, event_type,
+        |    CAST(FLOOR((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |      / e * 1e9 + 0.5) AS BIGINT) AS tq
+        |  FROM terms)
+        |SELECT CAST((COUNT(DISTINCT dow) - 1)
+        |    * (COUNT(DISTINCT event_type) - 1) AS BIGINT) AS dof,
+        |  ROUND(CAST(SUM(tq) AS DOUBLE) / 1e9, 6) AS chi2
+        |FROM q""".stripMargin,
+
+    // same histogram split finder; identical gini op sequence
+    "q_tree_stump" ->
+      """WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS score,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS ng
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(p) AS BIGINT) AS tp,
+        |    CAST(SUM(ng) AS BIGINT) AS tn FROM c),
+        |cum AS (SELECT score,
+        |    CAST(SUM(p) OVER (ORDER BY score) AS BIGINT) AS cp,
+        |    CAST(SUM(ng) OVER (ORDER BY score) AS BIGINT) AS cn
+        |  FROM c),
+        |s AS (SELECT score, cp, cn, tp, tn,
+        |    CAST(cp + cn AS DOUBLE) AS nl,
+        |    CAST(tp + tn - cp - cn AS DOUBLE) AS nr,
+        |    CAST(tp + tn AS DOUBLE) AS na
+        |  FROM cum, t WHERE cp + cn < tp + tn),
+        |g AS (SELECT score, cp, cn, tp, tn,
+        |    CAST(FLOOR((nl / na * (1.0
+        |        - (CAST(cp AS DOUBLE) / nl) * (CAST(cp AS DOUBLE) / nl)
+        |        - (CAST(cn AS DOUBLE) / nl) * (CAST(cn AS DOUBLE) / nl))
+        |      + nr / na * (1.0
+        |        - (CAST(tp - cp AS DOUBLE) / nr)
+        |          * (CAST(tp - cp AS DOUBLE) / nr)
+        |        - (CAST(tn - cn AS DOUBLE) / nr)
+        |          * (CAST(tn - cn AS DOUBLE) / nr)))
+        |      * 1e9 + 0.5) AS BIGINT) AS gq
+        |  FROM s)
+        |SELECT score AS split_at,
+        |  ROUND(CAST(gq AS DOUBLE) / 1e9, 6) AS weighted_gini,
+        |  CAST(cp + cn AS BIGINT) AS n_left,
+        |  CAST(tp + tn - cp - cn AS BIGINT) AS n_right
+        |FROM g ORDER BY gq, score LIMIT 1""".stripMargin,
 
     // same 1e-3-quantized deviations; exact integer lag sums
     "q_acf" ->
