@@ -116,6 +116,19 @@ object Reshape {
           col("o_orderpriority"))
     }),
 
+    // df.stack(): wide → long with the index carried — one codegen
+    // `stack` generator (rows multiply in-stage, no shuffle), columns
+    // coerced to the common double type exactly as pandas coerces to a
+    // common dtype. The inverse (unstack/wide) is the pivot family
+    // above; non-null fixture columns make dropna moot.
+    "q_stack" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), expr(
+          "stack(2, 'acctbal', CAST(c_acctbal AS DOUBLE), " +
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (variable, value)"))
+        .orderBy(col("c_custkey"), col("variable"))
+    }),
+
     // str.translate / str.repeat / str.slice_replace — pure
     // projections; slice_replace is the substr composition (pandas
     // s.str.slice_replace(1, 3, 'XX')) spelled identically on both
@@ -132,6 +145,16 @@ object Reshape {
     }))
 
   val oracle: Map[String, String] = Map(
+    // unpivot spelled as the UNION ALL normal form
+    "q_stack" ->
+      """SELECT c_custkey, variable, value FROM (
+        |  SELECT c_custkey, 'acctbal' AS variable,
+        |    CAST(c_acctbal AS DOUBLE) AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        |  FROM customer)
+        |ORDER BY c_custkey, variable""".stripMargin,
+
     "q_concat_axis1" ->
       """WITH a AS (SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS pos,
         |    o_totalprice FROM orders),
