@@ -401,6 +401,57 @@ object Sources {
         .orderBy(col("o_orderkey"))
     }),
 
+    // The reference's OTHER flagship example end to end — the NYSE
+    // predict ETL (`examples/basic_usage_nyse_predict.py:37-60`):
+    // symbol select → date-range window → Pearson corr of two price
+    // columns → a compound arithmetic day filter → the shuffle=False
+    // 80/20 POSITIONAL train/test split (which at scale is exactly the
+    // two-pass global row number, never a single-partition sort) with
+    // per-split means. corr rides the q_corr_cov exact-power-sum
+    // recipe; split means are exact decimal sums; one row out.
+    "q_nyse_etl" -> ((s, dir) => {
+      val px = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .filter(col("l_shipdate") >= "1994-01-01" &&
+          col("l_shipdate") <= "1994-12-31")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice").as("open"),
+          col("l_quantity").as("close"), col("l_discount"))
+      val x = col("open")
+      val y = col("close")
+      val corr = px.agg(count(lit(1)).cast("double").as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("sxx"),
+          sum((y * y).cast(DecimalType(34, 4))).cast("double").as("syy"),
+          sum((x * y).cast(DecimalType(38, 4))).cast("double").as("sxy"))
+        .select(col("n"),
+          expr("""round((n*sxy - sx*sy) /
+            (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)""")
+            .as("corr_open_close"))
+      val low2high = px
+        .filter(col("open") <= y * 1000.0 && col("l_discount") >= 0.05)
+        .agg(count(lit(1)).as("n_low2high"))
+      val ranked = graft.operators.GlobalOrder.withRowNumberLong(px,
+          Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+          "rk")
+        .crossJoin(broadcast(px.agg(count(lit(1)).as("__n"))))
+        .withColumn("__cut", expr("(__n * 8) div 10"))
+      val split = ranked
+        .groupBy((col("rk") <= col("__cut")).as("__train"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("close").cast(DecimalType(30, 2))).cast("double") /
+            count(lit(1)), 6).as("mean_close"))
+        .agg(
+          sum(when(col("__train"), col("cnt"))).as("n_train"),
+          sum(when(!col("__train"), col("cnt"))).as("n_test"),
+          max(when(col("__train"), col("mean_close"))).as("train_mean_close"),
+          max(when(!col("__train"), col("mean_close"))).as("test_mean_close"))
+      corr.crossJoin(broadcast(low2high)).crossJoin(broadcast(split))
+        .select(col("n").cast("long").as("n_rows"), col("corr_open_close"),
+          col("n_low2high"), col("n_train"), col("n_test"),
+          col("train_mean_close"), col("test_mean_close"))
+    }),
+
     // np.tofile round-trip: distributed multi-part int64 sink, read
     // back through the binaryFile source + the same per-partition
     // decode as q_binary_source — the multiset of values must survive
@@ -528,6 +579,43 @@ object Sources {
 
     "q_binary_source" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation ORDER BY v""",
+
+    // same exact-power-sum corr + positional 80/20 split
+    "q_nyse_etl" ->
+      """WITH px AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |    l_extendedprice AS open, l_quantity AS close, l_discount
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_shipdate >= '1994-01-01'
+        |    AND l_shipdate <= '1994-12-31'),
+        |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(open AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(close AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(open * open AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(close * close AS DECIMAL(34,4))) AS DOUBLE)
+        |      AS syy,
+        |    CAST(SUM(CAST(open * close AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM px),
+        |corr AS (SELECT n, ROUND((n*sxy - sx*sy) /
+        |    (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+        |    AS corr_open_close FROM c),
+        |lh AS (SELECT COUNT(*) AS n_low2high FROM px
+        |  WHERE open <= close * 1000.0 AND l_discount >= 0.05),
+        |r AS (SELECT close, ROW_NUMBER() OVER (ORDER BY l_orderkey,
+        |    l_linenumber, l_partkey) AS rk, COUNT(*) OVER () AS nn
+        |  FROM px),
+        |sp AS (SELECT rk <= (nn * 8) // 10 AS tr, COUNT(*) AS cnt,
+        |    ROUND(CAST(SUM(CAST(close AS DECIMAL(30,2))) AS DOUBLE)
+        |      / COUNT(*), 6) AS mean_close
+        |  FROM r GROUP BY 1),
+        |ss AS (SELECT
+        |    CAST(SUM(CASE WHEN tr THEN cnt END) AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN NOT tr THEN cnt END) AS BIGINT) AS n_test,
+        |    MAX(CASE WHEN tr THEN mean_close END) AS train_mean_close,
+        |    MAX(CASE WHEN NOT tr THEN mean_close END) AS test_mean_close
+        |  FROM sp)
+        |SELECT CAST(n AS BIGINT) AS n_rows, corr_open_close, n_low2high,
+        |  n_train, n_test, train_mean_close, test_mean_close
+        |FROM corr, lh, ss""".stripMargin,
 
     // the written-then-reread key multiset must equal the source column
     "q_to_binary" ->
