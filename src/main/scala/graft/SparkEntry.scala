@@ -73,6 +73,7 @@ object SparkEntry {
     "q_vocab_coverage", "q_winsorize", "q_oov_rate", "q_rfm",
     "q_active_users", "q_char_entropy",
     "q_media_decode", "q_media_decode_real", "q_emb_neardup",
-    "q_emb_quantize", "q_logreg_step",
+    "q_emb_quantize", "q_logreg_step", "q_naive_bayes", "q_pagerank",
+    "q_triangle_count", "q_assoc_rules",
     "q_events_stream", "q_sessionize")
 }

@@ -126,6 +126,23 @@ package object api {
         }: _*)
     }
 
+    // ——— graph analytics (co-occurrence graphs) ———
+
+    /** Undirected co-occurrence pairs (a < b) of items sharing a key,
+      * kept at co-occurrence ≥ minCount — basket-bounded self-join. */
+    def coOccurrencePairs(keyCol: String, itemCol: String,
+                          minCount: Long = 2L): DataFrame =
+      graft.operators.Graphs.coOccurrencePairs(df, keyCol, itemCol, minCount)
+
+    /** PageRank over (a, b) pair rows → (node, prq); prq/1e9 = rank. */
+    def pageRank(iters: Int = 3): DataFrame =
+      graft.operators.Graphs.pageRank(df, iters)
+
+    /** Triangle/wedge stats over (a, b) pair rows (degree-ordered
+      * orientation — hub-safe). */
+    def triangleStats(): DataFrame =
+      graft.operators.Graphs.triangleStats(df)
+
     /** np.tofile, distributed: pack the frame's first column as
       * little-endian int64, one part file per partition via the Hadoop
       * FileSystem API (file:// locally, HDFS/object store on cluster). */

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pin.PinOps
+
+/** Join-based graph analytics over co-occurrence graphs (parity-plus:
+  * the reference has no graph surface; a warehouse running on the same
+  * star schema does — recommendations, importance, community density).
+  *
+  * Scale rules, uniformly applied:
+  *   - edges come from a self-join keyed on the CO-OCCURRENCE key
+  *     (order, session, document), so fan-out is bounded by basket
+  *     size, never |items|²;
+  *   - every iteration/closure is an equi-join + hash aggregate — no
+  *     adjacency list is ever collected or held per-task;
+  *   - rank/count state is quantized longs (exact, order-free sums),
+  *     so results are bit-stable under any partitioning or retry.
+  */
+object Graphs {
+
+  /** Undirected co-occurrence pairs (a < b) of `itemCol` values sharing
+    * a `keyCol` value, kept when the pair co-occurs ≥ `minCount` times.
+    * The self-join is keyed on `keyCol` — per-key fan-out is basket² on
+    * that key only. */
+  def coOccurrencePairs(df: DataFrame, keyCol: String, itemCol: String,
+                        minCount: Long = 2L): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+    base.join(base.withColumnRenamed("__i", "__j"), Seq("__k"))
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i").as("a"), col("__j").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= minCount)
+      .select(col("a"), col("b"))
+  }
+
+  /** PageRank over undirected (a, b) pairs: `iters` join-based power
+    * iterations at damping 0.85 on 1e-9-quantized integer rank mass
+    * (contribution = rank div degree — exact; inflow sums exact; the
+    * one damping multiply is a single double op). Returns
+    * (node, prq) — prq/1e9 is the rank. */
+  def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .pinned // consumed by deg + every iteration join
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .pinned
+    val nodes = deg.select(col("src").as("node"))
+    var pr = nodes.select(col("node"), lit(1000000000L).as("prq"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("prq div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(150000000L) +
+          floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
+            + 0.5).cast("long")).as("prq"))
+        .pinned // severs the iteration chain (q_kmeans precedent)
+    }
+    pr
+  }
+
+  /** Triangle count + wedge count over undirected (a, b) pairs via
+    * degree-ordered orientation (each edge oriented from its
+    * (degree, id)-smaller endpoint — hubs fan out O(√E) wedges, the
+    * Suri–Vassilvitskii MR-triangle trick), wedges closed with one
+    * semi-join. Returns 1 row (n_nodes, n_edges, n_wedges,
+    * n_triangles). */
+  def triangleStats(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.pinned // degrees + orientation + closing probe
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .pinned
+    val ordered = pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .pinned // wedge join reads it twice
+    val wedges = ordered.select(col("src"), col("dst").as("m"))
+      .join(ordered.select(col("src").as("m"), col("dst")), Seq("m"))
+      .select(col("src"), col("dst"))
+    val undirected = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    val tri = wedges.join(undirected,
+        col("src") === col("u") && col("dst") === col("v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
+  }
+}

@@ -134,34 +134,10 @@ object Analytics {
     // the damping multiply is one double op both engines sequence
     // identically. Top-20 by (rank desc, node asc) via TakeOrdered.
     "q_pagerank" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li
-        .join(li.withColumnRenamed("l_partkey", "pb"), Seq("l_orderkey"))
-        .filter(col("l_partkey") < col("pb"))
-        .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
-        .select(col("a"), col("b"))
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .pinned // consumed by deg + 3 iteration joins
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .pinned
-      val nodes = deg.select(col("src").as("node"))
-      var pr = nodes.select(col("node"), lit(1000000000L).as("prq"))
-      for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-          .join(deg, Seq("src"))
-          .select(col("dst").as("node"), expr("prq div deg").as("c"))
-          .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-        pr = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"), (lit(150000000L) +
-            floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
-              + 0.5).cast("long")).as("prq"))
-          .pinned // severs the iteration chain (q_kmeans precedent)
-      }
-      pr.orderBy(col("prq").desc, col("node")).limit(20)
+      val pairs = graft.operators.Graphs.coOccurrencePairs(
+        Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.operators.Graphs.pageRank(pairs, iters = 3)
+        .orderBy(col("prq").desc, col("node")).limit(20)
         .select(col("node").as("p_partkey"),
           round(col("prq").cast("double") / 1e9, 6).as("pagerank"))
     }),
@@ -357,44 +333,9 @@ object Analytics {
     // exact longs; the clustering coefficient 3T/wedges is one rounded
     // division.
     "q_triangle_count" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li
-        .join(li.withColumnRenamed("l_partkey", "pb"), Seq("l_orderkey"))
-        .filter(col("l_partkey") < col("pb"))
-        .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
-        .select(col("a"), col("b"))
-        .pinned // feeds degrees AND orientation
-      val deg = pairs.select(col("a").as("node"))
-        .union(pairs.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .pinned
-      // orient a→b when (deg, id) of a < of b; join the two degrees in
-      val ordered = pairs
-        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-        .select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("src"), col("b").as("dst")))
-            .otherwise(struct(col("b").as("src"), col("a").as("dst")))
-            .as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .pinned // wedge join reads it twice + the closing probe
-      val wedges = ordered.select(col("src"), col("dst").as("m"))
-        .join(ordered.select(col("src").as("m"), col("dst")), Seq("m"))
-        .select(col("src"), col("dst"))
-      // a wedge src→m→dst closes iff {src,dst} is an edge (any orient.)
-      val undirected = pairs.select(col("a").as("u"), col("b").as("v"))
-        .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      val tri = wedges.join(undirected,
-          col("src") === col("u") && col("dst") === col("v"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      val stats = pairs.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
-          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))))
-      stats.crossJoin(broadcast(tri))
+      val pairs = graft.operators.Graphs.coOccurrencePairs(
+        Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.operators.Graphs.triangleStats(pairs)
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
           round(lit(3.0) * col("n_triangles").cast("double") /

@@ -24,6 +24,25 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     assert(want.nonEmpty, s"$name is vacuous on the fixture")
   }
 
+  test("graph ops (pagerank, triangles) are partition-invariant") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    def run(d: DataFrame) = {
+      val pairs = graft.operators.Graphs.coOccurrencePairs(
+        d, "l_orderkey", "l_partkey")
+      (graft.operators.Graphs.pageRank(pairs, iters = 2)
+         .collect().map(_.toString).sorted.toSeq,
+       graft.operators.Graphs.triangleStats(pairs)
+         .collect().map(_.toString).toSeq)
+    }
+    val want = run(li.repartition(5))
+    assert(want._1.nonEmpty && want._2.nonEmpty)
+    for (n <- Seq(1, 97)) {
+      val got = run(li.repartition(n))
+      assert(got == want, s"graph results differ at $n partitions")
+    }
+  }
+
   test("reservoir top-k sample is partition-invariant") {
     invariant("reservoir") { d =>
       d.select(col("doc_id"),
