@@ -223,6 +223,42 @@ object EventAnalytics {
         .orderBy(col("decile"))
     }),
 
+    // Snapshot diff (the table-versioning / CDC-reconciliation
+    // primitive: "what changed between yesterday's and today's load"):
+    // v2 is a deterministic mutation of orders (≈5% deleted, ≈5%
+    // price-updated, ≈4% inserted under shifted keys — all md5-bucket
+    // coins, so both engines build the identical v2), then ONE full
+    // outer join on the key classifies every row as inserted / deleted
+    // / updated / unchanged. Output: counts per class + the exact
+    // decimal net price delta of updates. At scale this is the one
+    // key-partitioned join any snapshot reconciler runs; nothing
+    // collects.
+    "q_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val v1 = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val maxK = v1.agg(max(col("k")).as("__mk"))
+      val v2 = v1
+        .filter(md5Bucket(col("k"), 20L, salt = "del:") =!= 0)
+        .withColumn("p", when(md5Bucket(col("k"), 20L, salt = "upd:") === 0,
+          col("p") + 1.0).otherwise(col("p")))
+        .unionByName(v1.filter(md5Bucket(col("k"), 25L, salt = "ins:") === 0)
+          .crossJoin(broadcast(maxK))
+          .select((col("k") + col("__mk")).as("k"), col("p")))
+      val joined = v1.select(col("k"), col("p").as("p1"))
+        .join(v2.select(col("k"), col("p").as("p2")), Seq("k"), "full_outer")
+        .withColumn("change",
+          when(col("p1").isNull, "inserted")
+            .when(col("p2").isNull, "deleted")
+            .when(col("p1") =!= col("p2"), "updated")
+            .otherwise("unchanged"))
+      joined.groupBy(col("change"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum((col("p2") - col("p1")).cast(DecimalType(30, 2))),
+            lit(BigDecimal(0))).cast("double").as("net_delta"))
+        .orderBy(col("change"))
+    }),
+
     // Deterministic A/B test readout: users hash-split 50/50 (salted
     // md5 — the assignment IS the experiment system's), metric =
     // "purchase share above the uniform 1/5" (every fixture user
@@ -783,6 +819,28 @@ object EventAnalytics {
         |$decile
         |ORDER BY decile""".stripMargin
     },
+
+    // identical md5-coin v2 construction, one full outer join
+    "q_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |mk AS (SELECT MAX(k) AS mk FROM v1),
+        |v2 AS (SELECT k,
+        |    CASE WHEN ${Extras.hex8("'upd:' || k::VARCHAR")} % 20 = 0
+        |      THEN p + 1.0 ELSE p END AS p
+        |  FROM v1 WHERE ${Extras.hex8("'del:' || k::VARCHAR")} % 20 <> 0
+        |  UNION ALL
+        |  SELECT k + mk AS k, p FROM v1, mk
+        |  WHERE ${Extras.hex8("'ins:' || k::VARCHAR")} % 25 = 0),
+        |j AS (SELECT COALESCE(a.k, b.k) AS k, a.p AS p1, b.p AS p2,
+        |    CASE WHEN a.p IS NULL THEN 'inserted'
+        |      WHEN b.p IS NULL THEN 'deleted'
+        |      WHEN a.p <> b.p THEN 'updated'
+        |      ELSE 'unchanged' END AS change
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k)
+        |SELECT change, COUNT(*) AS n,
+        |  CAST(COALESCE(SUM(CAST(p2 - p1 AS DECIMAL(30,2))), 0) AS DOUBLE)
+        |    AS net_delta
+        |FROM j GROUP BY change ORDER BY change""".stripMargin,
 
     // same salted split, same pooled-z op sequence on exact integers
     "q_ab_test" ->
