@@ -695,6 +695,83 @@ object Extras {
     // quantized to longs (floor(·)+0.5 op sequence, identical in DuckDB)
     // so the hash compare is exact: scale, int8 checksums, and the max
     // reconstruction error per vector.
+    // Distributed PCA by POWER ITERATION — the spectral op embedding
+    // pipelines run for whitening/compression decisions, spelled so the
+    // 64×64 covariance matrix is NEVER materialized: each iteration is
+    // v ← normalize(Xᶜᵀ(Xᶜv)/n), computed as one scan with the codegen
+    // `graft_dot` per row (s = e·v − μ·v, centering via the two-dot
+    // identity) plus a posexplode hash agg for the 64 back-projection
+    // sums. Per-(row,pos) products quantize to 1e-9 longs, so every
+    // cross-row sum is exact integer addition; the norm/divide steps
+    // are identical double sequences on both engines, and the oracle
+    // unrolls the same three iterations over DuckDB list ops. Output:
+    // top eigenvalue (Rayleigh, ddof=1) + the first 8 loadings.
+    "q_pca_power" -> ((s, dir) => {
+      val dims = 64
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("embedding")).pinned // mean pass + 4 s-passes
+      val muF = emb.select(posexplode(col("embedding")))
+        .select(col("pos"),
+          floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("q"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("cnt"), sum(col("q")).as("sq"))
+        .select(col("pos"),
+          (col("sq").cast("double") / (col("cnt") * lit(1e6))).as("m"))
+        .pinned // joined every iteration
+      val muA = muF
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("pm.m").as("mu"))
+        .pinned
+      val nrF = emb.agg(count(lit(1)).as("nr")).pinned
+      var v = muA.select(array(Seq.fill(dims)(lit(0.125)): _*).as("v"))
+        .pinned
+      for (_ <- 1 to 3) {
+        val ctx = v.crossJoin(muA)
+          .select(col("v"), dotp(col("mu"), col("v")).as("__mv"))
+        val withS = emb.crossJoin(broadcast(ctx))
+          .withColumn("__s", dotp(col("embedding"), col("v")) - col("__mv"))
+          .select(col("embedding"), col("__s"))
+          .pinned // pos sums + scalar sum
+        val posSums = withS.select(col("__s"), posexplode(col("embedding")))
+          .groupBy(col("pos"))
+          .agg(sum(floor(col("col").cast("double") * col("__s") * 1e9 + 0.5)
+            .cast("long")).as("qc"))
+        val sSum = withS.agg(
+          sum(floor(col("__s") * lit(1e9) + lit(0.5)).cast("long")).as("qs"))
+        val u = posSums.join(muF, Seq("pos"))
+          .crossJoin(broadcast(sSum)).crossJoin(broadcast(nrF))
+          .select(col("pos"),
+            ((col("qc").cast("double") / 1e9 -
+              col("m") * (col("qs").cast("double") / 1e9)) /
+              col("nr").cast("double")).as("u"))
+          .pinned // norm pass + rebuild
+        val normF = u.agg(sum(floor(col("u") * col("u") * lit(1e9) +
+          lit(0.5)).cast("long")).as("qn"))
+        v = u.crossJoin(broadcast(normF))
+          .select(col("pos"),
+            (col("u") / sqrt(col("qn").cast("double") / 1e9)).as("vj"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("vj"))))
+            .as("pv"))
+          .select(col("pv.vj").as("v"))
+          .pinned
+      }
+      val ctxF = v.crossJoin(muA)
+        .select(col("v"), dotp(col("mu"), col("v")).as("__mv"))
+      val lam = emb.crossJoin(broadcast(ctxF))
+        .withColumn("__s", dotp(col("embedding"), col("v")) - col("__mv"))
+        .agg(sum(floor(col("__s") * col("__s") * lit(1e6) + lit(0.5))
+          .cast("long")).as("ql"))
+        .crossJoin(broadcast(nrF))
+        .select(lit("lambda1").as("stat"),
+          round(col("ql").cast("double") / 1e6 /
+            (col("nr").cast("double") - 1.0), 6).as("value"))
+      val loadings = v.select(posexplode(col("v")))
+        .filter(col("pos") < 8)
+        .select(concat(lit("v"), col("pos")).as("stat"),
+          round(col("col"), 6).as("value"))
+      lam.unionByName(loadings).orderBy(col("stat"))
+    }),
+
     "q_emb_quantize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
       val e = Tables(s, dir, "embeddings")
@@ -1135,6 +1212,58 @@ object Extras {
         |SELECT bigram, COUNT(*) AS n
         |FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    // the same three power iterations over DuckDB list ops: identical
+    // dot folds (list_dot_product ≡ graft_dot's ordered loop), the same
+    // 1e-9-quantized cross-row sums, the same normalize sequence
+    "q_pca_power" -> {
+      val v0lit = (1 to 64).map(_ => "0.125").mkString("[", ", ", "]")
+      def iter(k: Int, prev: String) =
+        s"""s$k AS (SELECT CAST(embedding AS DOUBLE[]) AS e,
+          |    list_dot_product(CAST(embedding AS DOUBLE[]),
+          |      (SELECT v FROM $prev))
+          |      - (SELECT list_dot_product(mu, v) FROM mua, $prev) AS s
+          |  FROM embeddings),
+          |p$k AS (SELECT i, CAST(SUM(CAST(FLOOR(e[i] * s * 1e9 + 0.5)
+          |      AS BIGINT)) AS BIGINT) AS qc
+          |  FROM s$k, (SELECT unnest(generate_series(1, 64)) AS i) ii
+          |  GROUP BY i),
+          |q$k AS (SELECT CAST(SUM(CAST(FLOOR(s * 1e9 + 0.5) AS BIGINT))
+          |    AS BIGINT) AS qs FROM s$k),
+          |u$k AS (SELECT pos,
+          |    (CAST(qc AS DOUBLE) / 1e9 - m * (CAST(qs AS DOUBLE) / 1e9))
+          |      / (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings) AS u
+          |  FROM p$k JOIN mu ON mu.pos = p$k.i - 1, q$k),
+          |n$k AS (SELECT CAST(SUM(CAST(FLOOR(u * u * 1e9 + 0.5)
+          |    AS BIGINT)) AS BIGINT) AS qn FROM u$k),
+          |v$k AS (SELECT list(u / sqrt(CAST(qn AS DOUBLE) / 1e9)
+          |    ORDER BY pos) AS v FROM u$k, n$k)""".stripMargin
+      s"""WITH mu AS (SELECT i - 1 AS pos,
+        |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS m
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) ii
+        |  GROUP BY 1),
+        |mua AS (SELECT list(m ORDER BY pos) AS mu FROM mu),
+        |v0 AS (SELECT $v0lit AS v),
+        |${iter(1, "v0")},
+        |${iter(2, "v1")},
+        |${iter(3, "v2")},
+        |sf AS (SELECT list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    (SELECT v FROM v3))
+        |    - (SELECT list_dot_product(mu, v) FROM mua, v3) AS s
+        |  FROM embeddings),
+        |lam AS (SELECT 'lambda1' AS stat,
+        |    ROUND(CAST(SUM(CAST(FLOOR(s * s * 1e6 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1e6
+        |      / ((SELECT COUNT(*) FROM embeddings) - 1.0), 6) AS value
+        |  FROM sf)
+        |SELECT stat, value FROM lam
+        |UNION ALL
+        |SELECT 'v' || CAST(pos AS VARCHAR) AS stat,
+        |  ROUND(v[pos + 1], 6) AS value
+        |FROM v3, (SELECT unnest(generate_series(0, 7)) AS pos) pp
+        |ORDER BY stat""".stripMargin
+    },
 
     // int8 quantization replica: float→double promotion is exact, so
     // every division/floor matches Spark bit for bit; the qi CASE and
