@@ -74,6 +74,6 @@ object SparkEntry {
     "q_active_users", "q_char_entropy",
     "q_media_decode", "q_media_decode_real", "q_emb_neardup",
     "q_emb_quantize", "q_logreg_step", "q_naive_bayes", "q_pagerank",
-    "q_triangle_count", "q_assoc_rules",
+    "q_triangle_count", "q_assoc_rules", "q_pca_power", "q_count_min",
     "q_events_stream", "q_sessionize")
 }
