@@ -695,6 +695,32 @@ object Extras {
     // quantized to longs (floor(·)+0.5 op sequence, identical in DuckDB)
     // so the hash compare is exact: scale, int8 checksums, and the max
     // reconstruction error per vector.
+    // Exact k-NN graph (k=3) over a bounded id subset — the
+    // retrieval-eval / graph-construction primitive, here in its exact
+    // form so the oracle is deterministic (the SCALE path for whole
+    // corpora is the bucketed [[Similarity.cosineNearDupPairs]] /
+    // IVF family; an exact all-pairs pass is only ever run on bounded
+    // slices like this eval subset). One broadcast self-join (|S|²
+    // pairs, S capped by the id filter), cosine via the ordered
+    // graft_dot fold, per-node top-3 by (unrounded sim desc, id asc) —
+    // the rank filter plans map-side WindowGroupLimit.
+    "q_knn_graph" -> ((s, dir) => {
+      val base = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val a = base.select(col("vec_id").as("src"), col("embedding").as("ea"))
+      val b = base.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
+      a.join(broadcast(b), col("src") =!= col("dst"))
+        .withColumn("cs", Similarity.cosinePair(col("ea"), col("eb"), 64))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3)
+        .select(col("src"), col("dst"), col("__rn").as("rank"),
+          round(col("cs"), 6).as("cos_sim"))
+        .orderBy(col("src"), col("rank"))
+    }),
+
     // Distributed PCA by POWER ITERATION — the spectral op embedding
     // pipelines run for whitening/compression decisions, spelled so the
     // 64×64 covariance matrix is NEVER materialized: each iteration is
@@ -1212,6 +1238,23 @@ object Extras {
         |SELECT bigram, COUNT(*) AS n
         |FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    // same bounded all-pairs cosine + QUALIFY top-3
+    "q_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.emb, b.emb) /
+        |      (sqrt(list_dot_product(a.emb, a.emb))
+        |        * sqrt(list_dot_product(b.emb, b.emb))) AS cs
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, cs,
+        |    ROW_NUMBER() OVER (PARTITION BY src
+        |      ORDER BY cs DESC, dst) AS rank
+        |  FROM p)
+        |SELECT src, dst, CAST(rank AS INT) AS rank,
+        |  ROUND(cs, 6) AS cos_sim
+        |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
 
     // the same three power iterations over DuckDB list ops: identical
     // dot folds (list_dot_product ≡ graft_dot's ordered loop), the same
