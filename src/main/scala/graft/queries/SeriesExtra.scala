@@ -279,6 +279,33 @@ object SeriesExtra {
     // while q_outlier_iqr's rounded fences do not.) The rank pass runs
     // over ONE double column via the two-pass global row_number; the
     // clip itself is a pure broadcast-join projection in codegen.
+    // Weighted median (the survey/index-stats reduction plain median
+    // can't express): the smallest quantity whose cumulative
+    // extendedprice weight reaches half the total. Weights are
+    // EXACT-decimal cumulative sums over the two-pass range shuffle
+    // (no single-partition window; the q_pareto_abc prefix machinery),
+    // so the 2·cumw ≥ totw pick is an exact decimal compare — no
+    // float boundary can move the pick on either engine.
+    "q_weighted_median" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("v"),
+          col("l_extendedprice").as("wt"))
+        // pre-aggregate per distinct value: the prefix pass then runs
+        // over ≤50 rows of exact decimal totals, not the corpus
+        .groupBy(col("v"))
+        .agg(sum(col("wt").cast(org.apache.spark.sql.types
+          .DecimalType(30, 2))).as("w"))
+      val cum = GlobalOrder.withRunningSum(li, Seq(col("v")), col("w"),
+        "cw", scale = 2)
+      val tot = cum.agg(max(col("cw")).as("tw"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .orderBy(col("v")).limit(1)
+        .select(col("v").as("weighted_median"),
+          round(col("cw").cast("double"), 2).as("cum_weight"),
+          round(col("tw").cast("double"), 2).as("total_weight"))
+    }),
+
     "q_winsorize" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
@@ -321,6 +348,18 @@ object SeriesExtra {
         |  CAST(COUNT(*) FILTER (WHERE l_extendedprice BETWEEN lo AND hi)
         |    AS BIGINT) AS n_in
         |FROM lineitem, f GROUP BY lo, hi""".stripMargin,
+
+    // same per-value decimal weights, same exact cumulative pick
+    "q_weighted_median" ->
+      """WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS w
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw FROM g),
+        |t AS (SELECT MAX(cw) AS tw FROM c)
+        |SELECT v AS weighted_median,
+        |  ROUND(CAST(cw AS DOUBLE), 2) AS cum_weight,
+        |  ROUND(CAST(tw AS DOUBLE), 2) AS total_weight
+        |FROM c, t WHERE cw * 2 >= tw ORDER BY v LIMIT 1""".stripMargin,
 
     // nearest-rank bounds: value at rank ⌈q·n⌉ — a data value, no
     // interpolation, so bit-exact at any n (see the Spark-side note)
