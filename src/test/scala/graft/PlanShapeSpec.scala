@@ -374,7 +374,12 @@ class PlanShapeSpec extends SparkSpecBase {
       "q_char_entropy" -> 3, "q_dedup_minhash" -> 1, "q_corr_matrix" -> 1,
       "q_str_fuzzy" -> 4, "q_simhash_pairs" -> 1, "q_winsorize" -> 5,
       "q_rfm" -> 22, "q_contamination_bloom" -> 2, "q_cube" -> 2,
-      "q_kmeans" -> 0)
+      "q_kmeans" -> 0,
+      // the round-7 analytics tier (iteration pins sever their upstream
+      // exchanges, so e.g. pagerank's final plan is pin-reads only)
+      "q_naive_bayes" -> 14, "q_pagerank" -> 0, "q_triangle_count" -> 7,
+      "q_assoc_rules" -> 6, "q_pca_power" -> 2, "q_count_min" -> 1,
+      "q_knn_graph" -> 2, "q_weighted_median" -> 7)
     for ((name, budget) <- budgets) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size +
