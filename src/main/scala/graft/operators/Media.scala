@@ -87,6 +87,49 @@ object Media {
       m.bytes.length.toLong)
   }
 
+  /** REAL thumbnail: decode the blob, downscale by integer factor
+    * `factor` with NEAREST-NEIGHBOR resampling (pixel (x, y) of the
+    * thumbnail is source pixel (x·factor, y·factor) — deterministic
+    * pixel selection, no filter kernel), and re-measure luma over the
+    * RESAMPLED pixels. For [[syntheticImages]]' even-row/odd-row
+    * stripes at factor 2, the thumbnail keeps only EVEN source rows, so
+    * its mean luma is exactly g1 — the closed form the oracle replays.
+    * (Production thumbnails use area/bilinear kernels; nearest keeps
+    * the op oracle-checkable while still exercising real decode →
+    * real resample → real pixel integration.) */
+  private[graft] def thumbnail(m: MediaIn, factor: Int): MediaMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.bytes))
+    require(img != null, s"undecodable ${m.mime} blob, doc_id=${m.doc_id}")
+    val tw = math.max(1, img.getWidth / factor)
+    val th = math.max(1, img.getHeight / factor)
+    val raster = img.getRaster
+    require(raster.getNumBands == 1,
+      s"thumbnail stage expects grayscale, doc_id=${m.doc_id}")
+    var sum = 0L
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        sum += raster.getSample(x * factor, y * factor, 0)
+        x += 1
+      }
+      y += 1
+    }
+    MediaMeta(m.doc_id, tw, th, (sum / (tw.toLong * th)).toInt,
+      m.bytes.length.toLong)
+  }
+
+  /** Thumbnail stage over a media table: same mapPartitions batch seam
+    * as [[decode]], real codec + real resampling per record. */
+  def thumbnails(spark: SparkSession, media: DataFrame,
+                 factor: Int): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("bytes"), col("meta.mime").as("mime"))
+      .as[MediaIn]
+      .mapPartitions(_.map(thumbnail(_, factor)))
+  }
+
   /** Encode one striped grayscale PNG: even rows at `g1`, odd rows at
     * `g2`. With an even height the truncating mean luma is exactly
     * (g1 + g2) / 2 — the closed form the oracle replays. */

@@ -49,6 +49,18 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL thumbnail round trip: encode the striped PNGs, decode +
+    // nearest-neighbor downscale by 2, integrate luma over the
+    // RESAMPLED pixels — factor 2 keeps only even source rows, so the
+    // thumbnail's mean luma is exactly the even-stripe level g1.
+    "q_media_thumbnail_real" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      val media = Media.syntheticImages(s, ids)
+      Media.thumbnails(s, media, factor = 2).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL WAV round trip: per-partition PCM encode (square wave, amp
     // and length closed forms in doc_id) → javax.sound.sampled decode →
     // per-800-sample-chunk RMS; |sample| is constant so RMS == amp.
@@ -97,6 +109,15 @@ object Multimodal {
         |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS BIGINT)
         |  AS frame_idx
         |FROM b WHERE n_frames > 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // nearest-neighbor ÷2 of the striped PNG: floor-halved dims, luma
+    // exactly the even-stripe level
+    "q_media_thumbnail_real" ->
+      """SELECT doc_id,
+        |  CAST((8 + doc_id % 16) // 2 AS INT) AS width,
+        |  CAST((8 + 2 * (doc_id % 8)) // 2 AS INT) AS height,
+        |  CAST((doc_id * 7) % 200 AS INT) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // what the real WAV decode MUST read back from the square wave
     "q_media_audio_real" ->
