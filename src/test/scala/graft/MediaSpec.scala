@@ -75,6 +75,17 @@ class MediaSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("thumbnail resamples real pixels (nearest keeps even stripe rows)") {
+    // 12x10, even rows 30 / odd rows 200; factor 2 -> 6x5 of only even
+    // rows -> mean luma exactly 30. Factor 3 -> 4x3 sampling rows
+    // 0,3,6 = even,odd,even -> floor((30+200+30)/3) = 86.
+    val png = Media.encodeGrayPng(12, 10, 30, 200)
+    val t2 = Media.thumbnail(Media.MediaIn(1L, png, "image/png"), 2)
+    assert((t2.width, t2.height, t2.mean_luma) == ((6, 5, 30)))
+    val t3 = Media.thumbnail(Media.MediaIn(1L, png, "image/png"), 3)
+    assert((t3.width, t3.height, t3.mean_luma) == ((4, 3, 86)))
+  }
+
   test("decodeWavChunks parses a real WAV container and integrates RMS") {
     val wav = Media.encodePcmWav(nSamples = 2000, amp = 3000)
     // RIFF magic: a genuine WAV byte stream
