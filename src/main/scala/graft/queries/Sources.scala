@@ -188,13 +188,28 @@ object Sources {
     * Hadoop FileSystem API — `file://` here, HDFS/object store on a
     * cluster, with no driver collect and no single-file funnel (the
     * write twin of `np.fromfile`'s chunked parallel read,
-    * `sdc/io/np_io.py:58-186`). Returns the part directory. */
+    * `sdc/io/np_io.py:58-186`).
+    *
+    * Task-commit discipline: each attempt writes a hidden
+    * attempt-tagged temp file and RENAMES it into place only if no
+    * sibling attempt committed first — so retries and speculative
+    * duplicates can never interleave bytes into one part or double a
+    * part (rename is atomic on HDFS; the loser deletes its temp). The
+    * readers' `part-*.i64` glob skips dot-temps by FS convention. */
   private[graft] def writeBinaryI64(df: DataFrame, outDir: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // fresh target: stale parts from an earlier run with a DIFFERENT
+    // partition count would otherwise survive alongside the new layout
+    // and duplicate data on read-back (mode("overwrite") semantics)
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val dfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dfs.delete(dirPath, true)
+    dfs.mkdirs(dirPath)
     val written = df.select(col(df.columns.head).cast("long")).as[Long]
       .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val bos = new java.io.ByteArrayOutputStream()
         val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         var n = 0L
@@ -203,10 +218,14 @@ object Sources {
           bos.write(buf.array()); n += 1
         }
         if (n > 0) {
-          val path = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.i64")
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val out = fs.create(path, true)
+          val dir = new org.apache.hadoop.fs.Path(outDir)
+          val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            f".part-$pid%05d.i64.attempt-${tc.taskAttemptId()}")
+          val dst = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.i64")
+          val out = fs.create(tmp, true)
           try out.write(bos.toByteArray) finally out.close()
+          if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
         }
         Iterator.single(n)
       }
