@@ -142,6 +142,30 @@ object Analytics {
           round(col("prq").cast("double") / 1e9, 6).as("pagerank"))
     }),
 
+    // Herfindahl–Hirschman concentration index per market segment (the
+    // antitrust/concentration twin of q_gini): customer revenue shares
+    // within each segment, HHI = Σ share². Two hash aggs (customer
+    // revenue exact-decimal, segment totals joined back) and the
+    // per-customer share² terms quantize to 1e-9 longs before the
+    // order-free per-segment sum — the q_psi discipline.
+    "q_hhi" -> ((s, dir) => {
+      val rev = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(30, 2))).as("r"))
+      val tot = rev.groupBy(col("c_mktsegment"))
+        .agg(sum(col("r")).as("t"), count(lit(1)).as("n_cust"))
+      rev.join(tot, Seq("c_mktsegment"))
+        .withColumn("__sh", col("r").cast("double") / col("t").cast("double"))
+        .withColumn("__q",
+          floor(col("__sh") * col("__sh") * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy(col("c_mktsegment"))
+        .agg(max(col("n_cust")).as("n_cust"),
+          round(sum(col("__q")).cast("double") / lit(1e9), 6).as("hhi"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // EXACT ROC AUC of quantity as a classifier for returnflag='R' —
     // the Mann-Whitney rank form with midrank tie handling, which on an
     // integer score collapses to pure counting: per distinct score,
@@ -393,6 +417,23 @@ object Analytics {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    // same exact-decimal shares, same 1e-9-quantized share² terms
+    "q_hhi" ->
+      """WITH rev AS (SELECT c_mktsegment, c_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS r
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT c_mktsegment, SUM(r) AS t, COUNT(*) AS n_cust
+        |  FROM rev GROUP BY 1),
+        |q AS (SELECT rev.c_mktsegment, n_cust,
+        |    CAST(FLOOR((CAST(r AS DOUBLE) / CAST(t.t AS DOUBLE))
+        |      * (CAST(r AS DOUBLE) / CAST(t.t AS DOUBLE)) * 1e9 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM rev JOIN t USING (c_mktsegment))
+        |SELECT c_mktsegment, CAST(MAX(n_cust) AS BIGINT) AS n_cust,
+        |  ROUND(CAST(SUM(q) AS DOUBLE) / 1e9, 6) AS hhi
+        |FROM q GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // same per-score counting core; exact integer rank arithmetic
     "q_auc" ->
