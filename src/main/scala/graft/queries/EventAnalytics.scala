@@ -223,6 +223,38 @@ object EventAnalytics {
         .orderBy(col("decile"))
     }),
 
+    // Cohort LTV curves (the growth metric q_retention's activity
+    // matrix stops short of): users cohorted by first-event epoch-week,
+    // per-(cohort, week-offset) revenue in exact decimals, CUMULATIVE
+    // along the offset axis — lifetime value per cohort member at each
+    // age. One events shuffle for the user-week revenue, one broadcast
+    // of the user→cohort frame, and the cumulative window runs over the
+    // (cohorts × offsets) frame — calendar-sized, never per-event. The
+    // cumulative sum stays decimal (exact), so ltv is one rounded
+    // division per row.
+    "q_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val week = expr("unix_micros(ts) div 604800000000")
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), week.as("wk"),
+          round(col("value"), 3).cast(DecimalType(30, 3)).as("v"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cw"))
+      val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
+      val rev = ev.join(broadcast(cohort), Seq("user_id"))
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
+        .agg(sum(col("v")).as("r"))
+      val w = Window.partitionBy(col("cw")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum", sum(col("r")).over(w))
+        .join(broadcast(sizes), Seq("cw"))
+        .select(col("cw").as("cohort_week"), col("week_offset"), col("n_users"),
+          round(col("cum").cast("double"), 3).as("cum_revenue"),
+          round(col("cum").cast("double") / col("n_users").cast("double"), 6)
+            .as("ltv_per_user"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Snapshot diff (the table-versioning / CDC-reconciliation
     // primitive: "what changed between yesterday's and today's load"):
     // v2 is a deterministic mutation of orders (≈5% deleted, ≈5%
@@ -819,6 +851,27 @@ object EventAnalytics {
         |$decile
         |ORDER BY decile""".stripMargin
     },
+
+    // same cohorting, same exact-decimal cumulative revenue
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk,
+        |    CAST(ROUND(value, 3) AS DECIMAL(30,3)) AS v
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY user_id),
+        |sz AS (SELECT cw, COUNT(*) AS n_users FROM c GROUP BY cw),
+        |rev AS (SELECT c.cw, ev.wk - c.cw AS week_offset, SUM(ev.v) AS r
+        |  FROM ev JOIN c USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT cw, week_offset,
+        |    SUM(r) OVER (PARTITION BY cw ORDER BY week_offset) AS cum
+        |  FROM rev)
+        |SELECT cum.cw AS cohort_week, week_offset,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  ROUND(CAST(cum AS DOUBLE), 3) AS cum_revenue,
+        |  ROUND(CAST(cum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+        |    AS ltv_per_user
+        |FROM cum JOIN sz USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // identical md5-coin v2 construction, one full outer join
     "q_snapshot_diff" ->
