@@ -142,6 +142,29 @@ object Analytics {
           round(col("prq").cast("double") / 1e9, 6).as("pagerank"))
     }),
 
+    // Calibration / reliability table (the ML-eval companion of q_auc):
+    // a score in [0,1] (quantity/50 — integral fiftieths, so binning is
+    // exact) bucketed into deciles, observed positive rate vs mean
+    // predicted score per bin. One conditional hash agg; the mean
+    // predicted score is an exact 2-dp decimal sum, both rates one
+    // rounded division each.
+    "q_calibration" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(
+        (col("l_quantity").cast("double") / lit(50.0)).as("p"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      li.withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("n_pos"),
+          sum(col("p").cast(DecimalType(30, 2))).as("__sp"))
+        .select(col("bin"), col("n"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+            .as("observed_rate"),
+          round(col("__sp").cast("double") / col("n").cast("double"), 6)
+            .as("mean_predicted"))
+        .orderBy(col("bin"))
+    }),
+
     // Herfindahl–Hirschman concentration index per market segment (the
     // antitrust/concentration twin of q_gini): customer revenue shares
     // within each segment, HHI = Σ share². Two hash aggs (customer
@@ -417,6 +440,22 @@ object Analytics {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    // same exact fiftieths binning, exact decimal predicted-score sums
+    "q_calibration" ->
+      """WITH li AS (SELECT CAST(l_quantity AS DOUBLE) / 50.0 AS p,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |b AS (SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+        |    COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    SUM(CAST(p AS DECIMAL(30,2))) AS sp
+        |  FROM li GROUP BY 1)
+        |SELECT bin, n,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS observed_rate,
+        |  ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS mean_predicted
+        |FROM b ORDER BY bin""".stripMargin,
 
     // same exact-decimal shares, same 1e-9-quantized share² terms
     "q_hhi" ->
