@@ -292,6 +292,28 @@ object Analytics {
           (col("tp") + col("tn") - col("cp") - col("cn")).as("n_right"))
     }),
 
+    // Seasonal-naive forecast baseline + error report (the benchmark
+    // every real forecaster must beat, and the op that turns q_acf's
+    // lag-7 signal into a number): ŷ(d) = y(d−7) over the daily series,
+    // MAE and MAPE on the evaluable days. Daily totals are exact
+    // decimals, |err| sums stay decimal (exact), and MAPE's per-day
+    // ratio terms quantize to 1e-9 longs before the order-free sum.
+    // Calendar-sized lag window; the corpus shuffles once.
+    "q_seasonal_naive" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(round(col("value"), 3).cast(DecimalType(30, 3))).as("y"))
+      val w = Window.orderBy(col("day"))
+      val f = daily.withColumn("yhat", lag(col("y"), 7).over(w))
+        .filter(col("yhat").isNotNull)
+      f.agg(count(lit(1)).as("n_days"),
+          round(sum(abs(col("y") - col("yhat"))).cast("double") /
+            count(lit(1)), 6).as("mae"),
+          round(sum(floor(abs(col("y") - col("yhat")).cast("double") /
+            col("y").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+            .cast("double") / lit(1e9) / count(lit(1)) * 100, 6).as("mape_pct"))
+    }),
+
     // Sample autocorrelation of the daily value series at lags 1/2/7 —
     // the seasonality screen run before choosing forecast features.
     // The series is calendar-sized (one row per day), so the lag window
@@ -556,6 +578,22 @@ object Analytics {
         |  CAST(cp + cn AS BIGINT) AS n_left,
         |  CAST(tp + tn - cp - cn AS BIGINT) AS n_right
         |FROM g ORDER BY gq, score LIMIT 1""".stripMargin,
+
+    // same lag-7 baseline, exact |err| decimals, quantized ratio terms
+    "q_seasonal_naive" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    SUM(CAST(ROUND(value, 3) AS DECIMAL(30,3))) AS y
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT day, y, LAG(y, 7) OVER (ORDER BY day) AS yhat
+        |  FROM daily),
+        |e AS (SELECT y, yhat FROM f WHERE yhat IS NOT NULL)
+        |SELECT COUNT(*) AS n_days,
+        |  ROUND(CAST(SUM(ABS(y - yhat)) AS DOUBLE) / COUNT(*), 6) AS mae,
+        |  ROUND(CAST(SUM(CAST(FLOOR(CAST(ABS(y - yhat) AS DOUBLE)
+        |      / CAST(y AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1e9 / COUNT(*) * 100, 6) AS mape_pct
+        |FROM e""".stripMargin,
 
     // same 1e-3-quantized deviations; exact integer lag sums
     "q_acf" ->
