@@ -355,6 +355,41 @@ object Extras {
         .limit(20)
     }),
 
+    // PMI collocations (the corpus-linguistics step after raw bigram
+    // counts — which co-occurrences are SURPRISING, not just frequent):
+    // PMI = ln(p(ab) / (p(a)·p(b))) from exact unigram/bigram counts,
+    // candidate bigrams gated at count ≥ 5. Two hash aggs over the
+    // token/shingle explodes (the q_ngram_counts machinery); the pair
+    // frame joins its two unigram counts and ranks on the ROUNDED PMI
+    // with a bigram tiebreak, so near-tie doubles cannot reorder the
+    // top-20 cut cross-engine.
+    "q_pmi_collocations" -> ((s, dir) => {
+      def docs = Parallelism.fanOut(Tables(s, dir, "documents"))
+      val uni = docs
+        .select(explode(TextOps.normWords(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        .pinned // joined twice (w1, w2) + the total
+      val nuF = uni.agg(sum(col("cu")).as("nu"))
+      val biAll = Dedup.shingleRows(docs, "doc_id", "text", w = 2)
+        .filter(size(split(col("shingle"), " ")) === 2)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("cb"))
+        .pinned // total AND the gated candidates
+      val nbF = biAll.agg(sum(col("cb")).as("nb"))
+      biAll.filter(col("cb") >= 5)
+        .withColumn("w1", split(col("shingle"), " ").getItem(0))
+        .withColumn("w2", split(col("shingle"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nbF)).crossJoin(broadcast(nuF))
+        .withColumn("pmi", round(log(
+          (col("cb").cast("double") / col("nb").cast("double")) /
+            ((col("c1").cast("double") / col("nu").cast("double")) *
+              (col("c2").cast("double") / col("nu").cast("double")))), 6))
+        .orderBy(col("pmi").desc, col("shingle"))
+        .limit(20)
+        .select(col("shingle").as("bigram"), col("cb").as("n"), col("pmi"))
+    }),
+
     // one-hot encoding (pd.get_dummies) over the closed lang vocabulary —
     // a fixed-width projection (no pivot shuffle; the vocabulary is a
     // compile-time constant exactly as get_dummies' column set is).
@@ -1238,6 +1273,37 @@ object Extras {
         |SELECT bigram, COUNT(*) AS n
         |FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    // same exact counts; ranking on the rounded PMI with bigram ties
+    "q_pmi_collocations" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+') AS ws
+        |  FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM (
+        |    SELECT unnest(ws) AS w FROM base) GROUP BY w),
+        |nu AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM uni),
+        |bgAll AS (SELECT bigram, COUNT(*) AS cb FROM (
+        |    SELECT unnest(
+        |      CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |           ELSE list_transform(generate_series(1, len(ws)-1),
+        |                  i -> array_to_string(ws[i:i+1], ' '))
+        |      END) AS bigram
+        |    FROM base) t
+        |  WHERE len(string_split(bigram, ' ')) = 2
+        |  GROUP BY bigram),
+        |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM bgAll),
+        |r AS (SELECT bigram, cb,
+        |    ROUND(ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / ((CAST(u1.cu AS DOUBLE) / CAST(nu AS DOUBLE))
+        |        * (CAST(u2.cu AS DOUBLE) / CAST(nu AS DOUBLE)))), 6) AS pmi
+        |  FROM bgAll
+        |  JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+        |  JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2],
+        |  nb, nu
+        |  WHERE cb >= 5)
+        |SELECT bigram, CAST(cb AS BIGINT) AS n, pmi
+        |FROM r ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
 
     // same bounded all-pairs cosine + QUALIFY top-3
     "q_knn_graph" ->
