@@ -355,6 +355,36 @@ object Extras {
         .limit(20)
     }),
 
+    // Per-source distinctive vocabulary (the mixture-governance report
+    // "what does each source talk about that the corpus doesn't"):
+    // term lift = (term share within source) / (corpus share), top-3
+    // per source at count ≥ 20. One (source, term) hash agg feeds the
+    // source totals, the corpus totals, and the lift pass — pinned
+    // once; ranking on the ROUNDED lift with a term tiebreak, the
+    // rank filter planning map-side WindowGroupLimit.
+    "q_source_terms" -> ((s, dir) => {
+      val st = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(col("source"), explode(TextOps.normWords(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .pinned // three consumers
+      val stot = st.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val ctot = st.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+      val all = st.agg(sum(col("c")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("lift").desc, col("w"))
+      st.filter(col("c") >= 20)
+        .join(stot, Seq("source")).join(ctot, Seq("w"))
+        .crossJoin(broadcast(all))
+        .withColumn("lift", round(
+          (col("c").cast("double") / col("ns").cast("double")) /
+            (col("cw").cast("double") / col("n").cast("double")), 6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3)
+        .select(col("source"), col("w").as("term"), col("c").as("n_in_source"),
+          col("lift"))
+        .orderBy(col("source"), col("lift").desc, col("term"))
+    }),
+
     // PMI collocations (the corpus-linguistics step after raw bigram
     // counts — which co-occurrences are SURPRISING, not just frequent):
     // PMI = ln(p(ab) / (p(a)·p(b))) from exact unigram/bigram counts,
@@ -1273,6 +1303,29 @@ object Extras {
         |SELECT bigram, COUNT(*) AS n
         |FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    // same exact count ratios; QUALIFY top-3 on the rounded lift
+    "q_source_terms" ->
+      """WITH tok AS (SELECT source, unnest(regexp_split_to_array(
+        |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
+        |    '\s+')) AS w
+        |  FROM documents),
+        |st AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+        |  FROM st GROUP BY source),
+        |ctot AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM st GROUP BY w),
+        |alln AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM st),
+        |r AS (SELECT st.source, st.w, c,
+        |    ROUND((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      / (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS lift
+        |  FROM st JOIN stot USING (source) JOIN ctot USING (w), alln
+        |  WHERE c >= 20)
+        |SELECT source, w AS term, CAST(c AS BIGINT) AS n_in_source, lift
+        |FROM r
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+        |  ORDER BY lift DESC, w) <= 3
+        |ORDER BY source, lift DESC, term""".stripMargin,
 
     // same exact counts; ranking on the rounded PMI with bigram ties
     "q_pmi_collocations" ->
