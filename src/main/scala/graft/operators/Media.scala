@@ -316,13 +316,22 @@ object Media {
   }
 
   /** Decode stage for real audio blobs: mapPartitions batch shape,
-    * rows fan out to one per chunk, blob dropped on exit. */
+    * rows fan out to one per chunk, blob dropped on exit.
+    * Mime-dispatched like [[decode]]: only `audio/wav` rows reach the
+    * PCM parser; any other mime on a mixed media table errors loudly
+    * at the ROW level (doc_id named) instead of throwing an opaque
+    * container-parse failure deep inside the codec. */
   def decodeAudio(spark: SparkSession, media: DataFrame,
                   chunkSamples: Int): Dataset[AudioFeat] = {
     import spark.implicits._
     media.select(col("doc_id"), col("bytes"), col("meta.mime").as("mime"))
       .as[MediaIn]
-      .mapPartitions(_.flatMap(decodeWavChunks(_, chunkSamples)))
+      .mapPartitions(_.flatMap { m =>
+        require(m.mime == "audio/wav",
+          s"decodeAudio: unsupported mime '${m.mime}' for doc_id=${m.doc_id}" +
+            " — route non-WAV rows to their own decode stage")
+        decodeWavChunks(m, chunkSamples)
+      })
   }
 
   /** "Audio" pipeline shape: fixed-duration chunking + a per-chunk

@@ -319,9 +319,9 @@ object Analytics {
     // The series is calendar-sized (one row per day), so the lag window
     // is a deliberate single-partition pass over ~hundreds of rows; the
     // only corpus-scale work is the daily aggregate's one shuffle.
-    // Determinism: deviations quantize to 1e-3 longs (magnitude ~1e8,
-    // so lag products stay within exact signed-64), numerator and
-    // denominator are exact integer sums, one rounded division each.
+    // Determinism: deviations quantize to 1e-3 longs; lag-product sums
+    // accumulate in DECIMAL(38,0) (HUGEINT on the oracle side) so they
+    // stay exact at any soak scale, one rounded division each.
     "q_acf" -> ((s, dir) => {
       val daily = Tables(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
@@ -340,11 +340,16 @@ object Analytics {
         .withColumn("l1", lag(col("dq"), 1).over(w))
         .withColumn("l2", lag(col("dq"), 2).over(w))
         .withColumn("l7", lag(col("dq"), 7).over(w))
+      // lag products accumulate in DECIMAL(38,0): with dq magnitude
+      // ~1e8·SF, a signed-64 sum over ~365 days has only ~2.5× headroom
+      // at sf0.1 and overflows (silently, in Spark) one soak scale up —
+      // decimal keeps the sum exact to 1e38 on both engines
+      val dqDec = col("dq").cast(DecimalType(19, 0))
       val agg = lagged.agg(
-        sum(col("dq") * col("dq")).as("den"),
-        sum(col("dq") * col("l1")).as("n1"),
-        sum(col("dq") * col("l2")).as("n2"),
-        sum(col("dq") * col("l7")).as("n7"))
+        sum(dqDec * col("dq").cast(DecimalType(19, 0))).as("den"),
+        sum(dqDec * col("l1").cast(DecimalType(19, 0))).as("n1"),
+        sum(dqDec * col("l2").cast(DecimalType(19, 0))).as("n2"),
+        sum(dqDec * col("l7").cast(DecimalType(19, 0))).as("n7"))
       agg.select(explode(array(
           struct(lit(1).as("lag"), round(col("n1").cast("double") /
             col("den").cast("double"), 6).as("acf")),
@@ -613,10 +618,10 @@ object Analytics {
         |    LAG(dq, 2) OVER (ORDER BY day) AS l2,
         |    LAG(dq, 7) OVER (ORDER BY day) AS l7
         |  FROM d),
-        |a AS (SELECT CAST(SUM(dq * dq) AS BIGINT) AS den,
-        |    CAST(SUM(dq * l1) AS BIGINT) AS n1,
-        |    CAST(SUM(dq * l2) AS BIGINT) AS n2,
-        |    CAST(SUM(dq * l7) AS BIGINT) AS n7
+        |a AS (SELECT SUM(dq::HUGEINT * dq) AS den,
+        |    SUM(dq::HUGEINT * l1) AS n1,
+        |    SUM(dq::HUGEINT * l2) AS n2,
+        |    SUM(dq::HUGEINT * l7) AS n7
         |  FROM lagged)
         |SELECT lag, acf FROM (
         |  SELECT 1 AS lag,

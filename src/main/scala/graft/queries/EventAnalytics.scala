@@ -227,8 +227,10 @@ object EventAnalytics {
     // matrix stops short of): users cohorted by first-event epoch-week,
     // per-(cohort, week-offset) revenue in exact decimals, CUMULATIVE
     // along the offset axis — lifetime value per cohort member at each
-    // age. One events shuffle for the user-week revenue, one broadcast
-    // of the user→cohort frame, and the cumulative window runs over the
+    // age. One events shuffle for the user-week revenue, a user_id
+    // equi-join against the |users|-sized cohort frame (shuffle hash
+    // join — the frame is data-sized, so it is deliberately NOT
+    // broadcast), and the cumulative window runs over the
     // (cohorts × offsets) frame — calendar-sized, never per-event. The
     // cumulative sum stays decimal (exact), so ltv is one rounded
     // division per row.
@@ -241,7 +243,7 @@ object EventAnalytics {
       val cohort = ev.groupBy(col("user_id"))
         .agg(min(col("wk")).as("cw"))
       val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
-      val rev = ev.join(broadcast(cohort), Seq("user_id"))
+      val rev = ev.join(cohort, Seq("user_id"))
         .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
         .agg(sum(col("v")).as("r"))
       val w = Window.partitionBy(col("cw")).orderBy(col("week_offset"))

@@ -12,8 +12,8 @@ import graft.operators.Pin.PinOps
   * star): dedup, similarity search, text analysis, plus the CSV source
   * path (SURVEY §2.1) and a batch-equivalent of the streaming window agg.
   *
-  * Oracle-checked where DuckDB can express the op; signature-based ops
-  * (MinHash/SimHash use Spark's xxhash64) get rows-only checks.
+  * Every query here is fully oracle-checked (rows + schema + hash) —
+  * signature-based ops use md5-derived signatures DuckDB replays exactly.
   */
 object Extras {
 

@@ -206,28 +206,37 @@ object Sources {
     val dfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     dfs.delete(dirPath, true)
     dfs.mkdirs(dirPath)
+    // tasks must resolve the SAME filesystem as the driver: ship the
+    // driver's hadoopConfiguration (spark.hadoop.* overrides, object-store
+    // credentials, HDFS nameservices) instead of a bare `new Configuration()`
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val written = df.select(col(df.columns.head).cast("long")).as[Long]
       .mapPartitions { it =>
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-        var n = 0L
-        while (it.hasNext) {
-          buf.clear(); buf.putLong(it.next())
-          bos.write(buf.array()); n += 1
-        }
-        if (n > 0) {
+        if (!it.hasNext) Iterator.single(0L)
+        else {
           val dir = new org.apache.hadoop.fs.Path(outDir)
-          val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = dir.getFileSystem(confBc.value.value)
           val tmp = new org.apache.hadoop.fs.Path(dir,
             f".part-$pid%05d.i64.attempt-${tc.taskAttemptId()}")
           val dst = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.i64")
-          val out = fs.create(tmp, true)
-          try out.write(bos.toByteArray) finally out.close()
+          // stream each record straight to the (buffered) FS stream —
+          // per-task heap stays O(1), not O(partition bytes)
+          val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+          val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          var n = 0L
+          try {
+            while (it.hasNext) {
+              buf.clear(); buf.putLong(it.next())
+              out.write(buf.array()); n += 1
+            }
+          } finally out.close()
           if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+          Iterator.single(n)
         }
-        Iterator.single(n)
       }
     // one tiny count aggregate forces the distributed write
     written.agg(sum(col("value"))).collect()
