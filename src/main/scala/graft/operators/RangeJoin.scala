@@ -47,14 +47,41 @@ object RangeJoin {
     *
     * @param maxLenSeconds caller-asserted upper bound on interval length;
     *                      must be ≤ bandSeconds for the 2-band cover.
+    * @param maxMatches    optional per-point cap on emitted matches — the
+    *                      same output-density discipline the dedup family
+    *                      applies to its buckets. Without a cap the output
+    *                      is |matches|, which grows with the SQUARE of
+    *                      event density in a band (both sides of the join
+    *                      densify together): correct, but linear-or-worse
+    *                      at soak scale when the caller only needs a
+    *                      bounded sample per point. With a cap, a
+    *                      row_number gate keeps the first `maxMatches`
+    *                      matches per point in `matchOrder`. All matches
+    *                      of one point meet in the point's single band, so
+    *                      the gate's window partitions by (band, pointKey)
+    *                      — grouping is already band-local and the window
+    *                      shuffle is over the POST-FILTER pairs only.
+    * @param pointKey      unique key of `points` (required with a cap).
+    * @param matchOrder    deterministic preference order over the interval
+    *                      side (required with a cap); must be a total
+    *                      order per point for a deterministic row choice —
+    *                      with ties, WHICH rows survive is arbitrary but
+    *                      the survivor COUNT min(n, cap) is not.
     */
   def pointInInterval(points: DataFrame, pTs: Column,
                       intervals: DataFrame, iStart: Column, iEnd: Column,
-                      bandSeconds: Long, maxLenSeconds: Long): DataFrame = {
+                      bandSeconds: Long, maxLenSeconds: Long,
+                      maxMatches: Int = Int.MaxValue,
+                      pointKey: Seq[Column] = Nil,
+                      matchOrder: Seq[Column] = Nil): DataFrame = {
     require(bandSeconds > 0, s"bandSeconds must be positive: $bandSeconds")
     require(maxLenSeconds <= bandSeconds,
       s"interval length bound $maxLenSeconds exceeds band width " +
         s"$bandSeconds — the 2-replica cover would miss matches")
+    require(maxMatches > 0, s"maxMatches must be positive: $maxMatches")
+    require(maxMatches == Int.MaxValue ||
+      (pointKey.nonEmpty && matchOrder.nonEmpty),
+      "a match cap needs pointKey and matchOrder for the row_number gate")
     val p = points.withColumn(BAND, floor(unix_timestamp(pTs) / bandSeconds))
     val b0 = floor(unix_timestamp(iStart) / bandSeconds)
     // Two replicas per interval, built relationally (union of two
@@ -63,8 +90,16 @@ object RangeJoin {
     // the plan.
     val i = intervals.withColumn(BAND, b0)
       .unionByName(intervals.withColumn(BAND, b0 + 1))
-    p.join(i, p(BAND) === i(BAND) && pTs.between(iStart, iEnd))
-      .drop(BAND)
+    val joined = p.join(i, p(BAND) === i(BAND) && pTs.between(iStart, iEnd))
+    if (maxMatches == Int.MaxValue) joined.drop(BAND)
+    else {
+      val rn = "__rj_rn"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(p(BAND) +: pointKey: _*).orderBy(matchOrder: _*)
+      joined.withColumn(rn, row_number().over(w))
+        .filter(col(rn) <= maxMatches)
+        .drop(rn, BAND)
+    }
   }
 
   /** Interval×interval overlap join (inclusive endpoints): pairs where

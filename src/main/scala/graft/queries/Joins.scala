@@ -321,17 +321,24 @@ object Joins {
     // BroadcastNestedLoopJoin (|clicks|·|views|); the banded rewrite in
     // [[RangeJoin.pointInInterval]] makes it a shuffled equi-join on the
     // time band with ≤2 replicas per interval (plan pinned — no
-    // nested-loop node).
+    // nested-loop node). The per-click match cap (64, earliest views
+    // first — ~14× the sf0.1 mean concurrency, so it never binds below
+    // soak scale) bounds output density: both join sides densify
+    // together as event rate grows, so UNCAPPED pairs grow with the
+    // square of in-band density — the sf1 soak measured exactly-linear
+    // growth from that term before the cap existed.
     "q_range_join" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("ts").as("cts"))
       val views = ev.filter(col("event_type") === "view")
-        .select(col("ts").as("vts"),
+        .select(col("event_id").as("vid"), col("ts").as("vts"),
           (col("ts") + expr("INTERVAL 10 MINUTES")).as("vend"))
       val pairs = RangeJoin.pointInInterval(
         clicks, col("cts"), views, col("vts"), col("vend"),
-        bandSeconds = 600L, maxLenSeconds = 600L)
+        bandSeconds = 600L, maxLenSeconds = 600L,
+        maxMatches = 64, pointKey = Seq(col("event_id")),
+        matchOrder = Seq(col("vts"), col("vid")))
       val counts = pairs.groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_concurrent"))
       clicks.select(col("event_id"))
@@ -579,19 +586,25 @@ object Joins {
         |ORDER BY event_id""".stripMargin,
 
     // the banding is answer-invariant: the oracle is the plain
-    // inequality join
+    // inequality join, with the per-click match cap replayed as a
+    // QUALIFY row_number gate over the same (vts, vid) order
     "q_range_join" ->
       """WITH clicks AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS cts
         |  FROM events WHERE event_type = 'click'),
         |views AS (
-        |  SELECT CAST(ts AS TIMESTAMP) AS vts,
+        |  SELECT event_id AS vid, CAST(ts AS TIMESTAMP) AS vts,
         |    CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS vend
-        |  FROM events WHERE event_type = 'view')
+        |  FROM events WHERE event_type = 'view'),
+        |capped AS (
+        |  SELECT c.event_id, v.vts
+        |  FROM clicks c JOIN views v
+        |    ON c.cts >= v.vts AND c.cts <= v.vend
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |    ORDER BY v.vts, v.vid) <= 64)
         |SELECT c.event_id,
-        |  CAST(COUNT(v.vts) AS BIGINT) AS n_concurrent
-        |FROM clicks c LEFT JOIN views v
-        |  ON c.cts >= v.vts AND c.cts <= v.vend
+        |  CAST(COUNT(p.vts) AS BIGINT) AS n_concurrent
+        |FROM clicks c LEFT JOIN capped p ON c.event_id = p.event_id
         |GROUP BY c.event_id
         |ORDER BY c.event_id""".stripMargin,
 

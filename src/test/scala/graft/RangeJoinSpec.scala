@@ -97,6 +97,36 @@ class RangeJoinSpec extends SparkSpecBase {
       "banded range join must not plan a nested loop:\n" + p.take(1200))
   }
 
+  test("match cap keeps the first maxMatches per point in matchOrder; a loose cap is a no-op") {
+    import spark.implicits._
+    // 3 points; point 1 sits inside 5 intervals, point 2 inside 2, point 3 in 0
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:30")),
+      (2L, ts("2024-01-01 00:03:10")),
+      (3L, ts("2024-01-01 00:09:00"))).toDF("pid", "pts")
+    val intervals = (0 until 5).map { i =>
+      (10L + i, ts(f"2024-01-01 00:00:0$i"), ts(f"2024-01-01 00:01:0$i"))
+    } ++ Seq(
+      (20L, ts("2024-01-01 00:03:00"), ts("2024-01-01 00:04:00")),
+      (21L, ts("2024-01-01 00:03:05"), ts("2024-01-01 00:04:05")))
+    val iv = intervals.toDF("iid", "istart", "iend")
+    def run(cap: Int) = RangeJoin.pointInInterval(points, col("pts"),
+        iv, col("istart"), col("iend"), bandSeconds = 60L, maxLenSeconds = 60L,
+        maxMatches = cap, pointKey = Seq(col("pid")),
+        matchOrder = Seq(col("istart"), col("iid")))
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // binding cap: the 3 EARLIEST intervals survive for point 1 (matchOrder
+    // is istart asc), both for point 2
+    assert(run(3) === Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L)))
+    // loose cap: identical to the uncapped join
+    val uncapped = RangeJoin.pointInInterval(points, col("pts"),
+        iv, col("istart"), col("iend"), bandSeconds = 60L, maxLenSeconds = 60L)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(100) === uncapped && uncapped.size === 7)
+  }
+
   test("interval length above the band width is rejected") {
     import spark.implicits._
     val df = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("pid", "pts")
