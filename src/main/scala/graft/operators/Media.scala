@@ -104,14 +104,21 @@ object Media {
     val tw = math.max(1, img.getWidth / factor)
     val th = math.max(1, img.getHeight / factor)
     val raster = img.getRaster
-    require(raster.getNumBands == 1,
-      s"thumbnail stage expects grayscale, doc_id=${m.doc_id}")
+    val gray = raster.getNumBands == 1
     var sum = 0L
     var y = 0
     while (y < th) {
       var x = 0
       while (x < tw) {
-        sum += raster.getSample(x * factor, y * factor, 0)
+        // grayscale: raw raster sample (exact, no color management);
+        // multi-band: the same Rec.601 integer fold decodeImage uses
+        sum +=
+          (if (gray) raster.getSample(x * factor, y * factor, 0).toLong
+           else {
+             val rgb = img.getRGB(x * factor, y * factor)
+             (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+               114L * (rgb & 0xff)) / 1000L
+           })
         x += 1
       }
       y += 1
@@ -164,6 +171,94 @@ object Media {
           val h = (8 + 2 * (id % 8)).toInt
           val g = ((id * 7) % 200).toInt
           MediaIn(id, encodeGrayPng(w, h, g, g + 40), "image/png")
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("bytes"),
+        struct(col("mime"), length(col("bytes")).cast("long").as("n_bytes"))
+          .as("meta"))
+  }
+
+  /** Encode one striped RGB PNG: even rows at `(r1,g1,b1)`, odd rows at
+    * `(r2,g2,b2)`. PNG RGB is lossless, so the factor-2 thumbnail (even
+    * rows, all pixels identical) has mean luma exactly
+    * Rec.601(r1,g1,b1) — the closed form the oracle replays. */
+  private[graft] def encodeRgbPng(width: Int, height: Int,
+                                  c1: (Int, Int, Int),
+                                  c2: (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      val (r, g, b) = if (y % 2 == 0) c1 else c2
+      val rgb = (r << 16) | (g << 8) | b
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic real COLOR corpus: one striped RGB PNG per id, every
+    * channel a closed form in doc_id (same geometry as
+    * [[syntheticImages]]; even-row channels (3·id, 5·id, 7·id) mod 256,
+    * odd rows offset +40 per channel mod 256). Encoded per-partition. */
+  def syntheticColorImages(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + 2 * (id % 8)).toInt
+          val c1 = (((id * 3) % 256).toInt, ((id * 5) % 256).toInt,
+            ((id * 7) % 256).toInt)
+          val c2 = ((c1._1 + 40) % 256, (c1._2 + 40) % 256, (c1._3 + 40) % 256)
+          MediaIn(id, encodeRgbPng(w, h, c1, c2), "image/png")
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("bytes"),
+        struct(col("mime"), length(col("bytes")).cast("long").as("n_bytes"))
+          .as("meta"))
+  }
+
+  /** Encode one UNIFORM grayscale JPEG at level `g` — a real lossy
+    * stream via the JDK JPEG writer. A uniform image is all-DC, so the
+    * decoded level lands within a couple of quantization steps of `g`;
+    * callers verify with a TOLERANCE band, never bit equality. */
+  private[graft] def encodeGrayJpeg(width: Int, height: Int,
+                                    g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, g); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic real-JPEG corpus: one uniform grayscale JPEG per id
+    * (level 8 + (11·id) % 240 — clear of the clamp edges where JPEG
+    * ringing could saturate), same geometry closed forms. The LOSSY
+    * path: queries over this corpus assert a tolerance band, which
+    * keeps a hash-checkable oracle (the boolean verdict is exact) while
+    * the decoded pixels are not. */
+  def syntheticJpegs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + 2 * (id % 8)).toInt
+          val g = (8 + (id * 11) % 240).toInt
+          MediaIn(id, encodeGrayJpeg(w, h, g), "image/jpeg")
         }
       }
       .toDF()

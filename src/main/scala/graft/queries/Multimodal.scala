@@ -61,6 +61,37 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL COLOR thumbnail round trip: striped RGB PNGs → decode →
+    // nearest-neighbor ÷2 (keeps even rows only, where every pixel is
+    // (3id, 5id, 7id) mod 256) → Rec.601 integer luma over the
+    // resampled pixels. All kept pixels are identical, so the
+    // truncating mean equals the per-pixel Rec.601 fold exactly — the
+    // closed form the oracle replays. This is the path a real RGB-JPEG
+    // web corpus takes (multi-band fold + resample), on lossless bytes.
+    "q_media_thumbnail_color" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      val media = Media.syntheticColorImages(s, ids)
+      Media.thumbnails(s, media, factor = 2).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL LOSSY path: uniform grayscale JPEGs → real JPEG decode →
+    // tolerance verdict. JPEG is not bit-exact, so the QUERY asserts
+    // the tolerance (|decoded mean − encoded level| ≤ 3) and emits the
+    // boolean — exact and hash-checkable even though pixels are not. A
+    // broken codec path (wrong level, wrong dims, luma drift past the
+    // quantization budget) flips verdicts and fails the hash.
+    "q_media_jpeg_real" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      val media = Media.syntheticJpegs(s, ids)
+      Media.decode(s, media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          (abs(col("mean_luma") - (lit(8) + pmod(col("doc_id") * 11, lit(240))))
+            <= 3).as("within_tol"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL WAV round trip: per-partition PCM encode (square wave, amp
     // and length closed forms in doc_id) → javax.sound.sampled decode →
     // per-800-sample-chunk RMS; |sample| is constant so RMS == amp.
@@ -117,6 +148,25 @@ object Multimodal {
         |  CAST((8 + doc_id % 16) // 2 AS INT) AS width,
         |  CAST((8 + 2 * (doc_id % 8)) // 2 AS INT) AS height,
         |  CAST((doc_id * 7) % 200 AS INT) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ÷2 color thumbnail: even rows survive, all pixels (3id,5id,7id)
+    // mod 256 — mean luma is exactly the per-pixel Rec.601 fold
+    "q_media_thumbnail_color" ->
+      """SELECT doc_id,
+        |  CAST((8 + doc_id % 16) // 2 AS INT) AS width,
+        |  CAST((8 + 2 * (doc_id % 8)) // 2 AS INT) AS height,
+        |  CAST((299 * ((doc_id * 3) % 256) + 587 * ((doc_id * 5) % 256)
+        |    + 114 * ((doc_id * 7) % 256)) // 1000 AS INT) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // lossy JPEG: dims are exact; the tolerance verdict must be TRUE
+    // for every row — a codec/luma failure flips it and the hash
+    "q_media_jpeg_real" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + 2 * (doc_id % 8) AS INT) AS height,
+        |  TRUE AS within_tol
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // what the real WAV decode MUST read back from the square wave

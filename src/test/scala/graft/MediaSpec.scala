@@ -86,6 +86,30 @@ class MediaSpec extends SparkSpecBase {
     assert((t3.width, t3.height, t3.mean_luma) == ((4, 3, 86)))
   }
 
+  test("thumbnail folds multi-band pixels with Rec.601 (color path)") {
+    // 12x10 RGB, even rows (200, 100, 50) / odd rows (0, 0, 0); factor 2
+    // keeps only even rows -> every pixel luma (299*200+587*100+114*50)/1000
+    // = 124 (truncating), mean exactly 124. Factor 3 samples rows 0,3,6 ->
+    // floor((124+0+124)/3) = 82.
+    val png = Media.encodeRgbPng(12, 10, (200, 100, 50), (0, 0, 0))
+    val t2 = Media.thumbnail(Media.MediaIn(1L, png, "image/png"), 2)
+    assert((t2.width, t2.height, t2.mean_luma) == ((6, 5, 124)))
+    val t3 = Media.thumbnail(Media.MediaIn(1L, png, "image/png"), 3)
+    assert((t3.width, t3.height, t3.mean_luma) == ((4, 3, 82)))
+  }
+
+  test("uniform grayscale JPEG decodes within the quantization tolerance") {
+    for (g <- Seq(8, 100, 247)) {
+      val jpg = Media.encodeGrayJpeg(16, 12, g)
+      // JFIF/EXIF JPEG magic: a genuine lossy byte stream
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+      val d = Media.decodeImage(Media.MediaIn(5L, jpg, "image/jpeg"))
+      assert((d.width, d.height) == ((16, 12)))
+      assert(math.abs(d.mean_luma - g) <= 3,
+        s"level $g decoded to ${d.mean_luma} — outside the tolerance band")
+    }
+  }
+
   test("decodeWavChunks parses a real WAV container and integrates RMS") {
     val wav = Media.encodePcmWav(nSamples = 2000, amp = 3000)
     // RIFF magic: a genuine WAV byte stream
