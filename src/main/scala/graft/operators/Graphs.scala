@@ -62,6 +62,70 @@ object Graphs {
     pr
   }
 
+  /** PageRank iterated to CONVERGENCE — the loop shape a real training
+    * job runs, vs [[pageRank]]'s fixed unroll. Same quantized-integer
+    * power iteration; after each round the gate compares the relative
+    * L1 rank movement (Σ|Δprq| / Σprq, both exact integer sums) against
+    * `epsMilli`/1000 and stops early, bounded by `maxIters`.
+    *
+    * The stopping decision is bit-deterministic: both sums are exact
+    * longs under any partitioning, and the comparison is integer
+    * cross-multiplication (BigInt here, HUGEINT in the oracle) — so an
+    * unrolled replay reaches the identical iteration count, which is
+    * what makes a convergence-gated loop oracle-checkable at all.
+    *
+    * The per-round (l1, mass) pair is the ONE driver round-trip — loop
+    * CONTROL on a 1-row aggregate, the same metadata-sized exception
+    * the IVF probe list documents; rank frames never leave executors.
+    *
+    * Executor loss mid-loop: every iterate is pinned via [[Pin]]. In
+    * the default localCheckpoint mode a lost executor loses pinned
+    * blocks and the job fails (Spark cannot recompute a truncated
+    * lineage) — rerun the query. With `spark.graft.reliableCheckpoint`
+    * =true each iterate is a reliable checkpoint: surviving executors
+    * re-read it from the checkpoint FS and the loop resumes the SAME
+    * iteration sequence, so the gate fires at the same k with the same
+    * bits — convergence state is never silently re-randomized.
+    *
+    * @return (final ranks (node, prq), iterations run) — `k` is
+    *         `maxIters` when the gate never fired.
+    */
+  def pageRankConverged(pairs: DataFrame, epsMilli: Long,
+                        maxIters: Int): (DataFrame, Int) = {
+    require(epsMilli > 0 && maxIters > 0, s"bad gate ($epsMilli, $maxIters)")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .pinned
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .pinned
+    val nodes = deg.select(col("src").as("node"))
+    var pr = nodes.select(col("node"), lit(1000000000L).as("prq")).pinned
+    var k = 0
+    var converged = false
+    while (k < maxIters && !converged) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("prq div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(150000000L) +
+          floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
+            + 0.5).cast("long")).as("prq"))
+        .pinned
+      val row = next.select(col("node"), col("prq").as("nprq"))
+        .join(pr, Seq("node"))
+        .agg(sum(abs(col("nprq") - col("prq"))).as("l1"),
+          sum(col("nprq")).as("mass"))
+        .head
+      pr = next
+      k += 1
+      converged =
+        BigInt(row.getLong(0)) * 1000 < BigInt(epsMilli) * row.getLong(1)
+    }
+    (pr, k)
+  }
+
   /** Triangle count + wedge count over undirected (a, b) pairs via
     * degree-ordered orientation (each edge oriented from its
     * (degree, id)-smaller endpoint — hubs fan out O(√E) wedges, the

@@ -142,6 +142,27 @@ object Analytics {
           round(col("prq").cast("double") / 1e9, 6).as("pagerank"))
     }),
 
+    // Convergence-GATED PageRank (the loop shape a real training job
+    // runs — iterate until movement < ε, bounded): same quantized
+    // iteration as q_pagerank, stopping when relative L1 rank movement
+    // Σ|Δprq|/Σprq drops under 2% (exact integer sums, integer
+    // cross-multiplied compare — bit-deterministic), max 10 rounds. At
+    // sf0.01 the gate FIRES (k=7); at sf0.1 the denser Zipf-ish
+    // co-purchase graph mixes slower and the bound k=10 rules — the
+    // query exercises both exits, and n_iters in the output makes the
+    // stopping decision itself hash-checked. Oracle replays the gate by
+    // unrolling all 10 rounds and selecting the first converged one.
+    "q_pagerank_converged" -> ((s, dir) => {
+      val pairs = graft.operators.Graphs.coOccurrencePairs(
+        Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      val (pr, k) = graft.operators.Graphs.pageRankConverged(
+        pairs, epsMilli = 20L, maxIters = 10)
+      pr.orderBy(col("prq").desc, col("node")).limit(20)
+        .select(col("node").as("p_partkey"),
+          round(col("prq").cast("double") / 1e9, 6).as("pagerank"),
+          lit(k).as("n_iters"))
+    }),
+
     // Calibration / reliability table (the ML-eval companion of q_auc):
     // a score in [0,1] (quantity/50 — integral fiftieths, so binning is
     // exact) bucketed into deciles, observed positive rate vs mean
@@ -719,6 +740,59 @@ object Analytics {
         |SELECT node AS p_partkey,
         |  ROUND(CAST(prq AS DOUBLE) / 1e9, 6) AS pagerank
         |FROM p3 ORDER BY prq DESC, node LIMIT 20""".stripMargin
+    },
+
+    // the convergence gate replayed relationally: all 10 rounds
+    // unrolled, per-round relative-L1 deltas in HUGEINT, first round
+    // under the 2% gate (else the bound) selected as the result.
+    // Every iterate CTE is MATERIALIZED: each p$i has 4 consumers
+    // (next round, two delta scans, allp), and inlining would
+    // re-evaluate the whole iteration PREFIX per consumer —
+    // exponential blowup over 10 rounds (the relational cousin of the
+    // pin that severs Spark's iteration lineage).
+    "q_pagerank_converged" -> {
+      val MAXI = 10
+      def round_(i: Int, prev: String) =
+        s"""i$i AS MATERIALIZED (SELECT e.dst AS node,
+          |    CAST(SUM(p.prq // d.deg) AS BIGINT) AS inflow
+          |  FROM edges e JOIN $prev p ON p.node = e.src
+          |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+          |p$i AS MATERIALIZED (SELECT n.node, CAST(150000000 +
+          |      CAST(FLOOR(0.85 * CAST(COALESCE(i.inflow, 0) AS DOUBLE)
+          |        + 0.5) AS BIGINT) AS BIGINT) AS prq
+          |  FROM (SELECT src AS node FROM deg) n
+          |  LEFT JOIN i$i i USING (node))""".stripMargin
+      val rounds = (1 to MAXI).map(i => round_(i, s"p${i - 1}")).mkString(",\n")
+      val deltas = (1 to MAXI).map { i =>
+        s"""SELECT $i AS iter,
+          |  (SELECT SUM(CAST(ABS(a.prq - b.prq) AS HUGEINT))
+          |   FROM p$i a JOIN p${i - 1} b ON a.node = b.node) AS l1,
+          |  (SELECT SUM(CAST(prq AS HUGEINT)) FROM p$i) AS mass""".stripMargin
+      }.mkString("\nUNION ALL ")
+      val allp = (1 to MAXI)
+        .map(i => s"SELECT $i AS iter, node, prq FROM p$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg
+        |  FROM edges GROUP BY src),
+        |p0 AS MATERIALIZED (SELECT src AS node,
+        |  CAST(1000000000 AS BIGINT) AS prq FROM deg),
+        |$rounds,
+        |dl AS ($deltas),
+        |kst AS (SELECT COALESCE(MIN(iter)
+        |    FILTER (WHERE l1 * 1000 < 20 * mass), $MAXI) AS k FROM dl),
+        |allp AS ($allp)
+        |SELECT node AS p_partkey,
+        |  ROUND(CAST(prq AS DOUBLE) / 1e9, 6) AS pagerank,
+        |  CAST(k AS INT) AS n_iters
+        |FROM allp, kst WHERE iter = k
+        |ORDER BY prq DESC, node LIMIT 20""".stripMargin
     },
 
     // identical op sequence: exact-decimal step-1 sums, 1e-6-quantized
