@@ -27,6 +27,13 @@ object TrainPrep {
     "src4" -> 0.25, "src5" -> 1.0, "src6" -> 2.0, "src7" -> 0.5,
     "src8" -> 1.75, "src9" -> 0.125)
 
+  /** (lang, marker) lexicon q_naive_bayes injects to make the
+    * likelihood label-correlated — one source of truth feeding both the
+    * Spark frame and the oracle's VALUES list, so they cannot drift. */
+  private val nbMarkers: Seq[(String, String)] =
+    Seq("en", "fr", "es", "de", "zh").flatMap(l =>
+      graft.operators.TextOps.langMarkers(l).map((l, _)))
+
   val queries: Map[String, Q] = Map(
 
     // Domain-mixture epoch upsampling: each source gets a target weight
@@ -336,21 +343,31 @@ object TrainPrep {
     // quantized to 1e-9 longs at the (lang, word) grid — the score sum
     // is exact integer addition, order-free, and ties break on lang asc.
     // Docs with zero vocabulary tokens have no score rows and drop from
-    // the matrix on both engines identically. (On THIS fixture the word
-    // distribution is label-independent — measured: the en marker set
-    // appears at ~3% in every language's docs, the other langs' markers
-    // never — so the correct Bayes answer is the majority-prior argmax
-    // and the matrix shows pred=en everywhere; the gate pins the full
-    // train+score+argmax machinery, not fixture accuracy.)
+    // the matrix on both engines identically. To make the LIKELIHOOD
+    // term decisive (the raw fixture's word distribution is
+    // label-independent, so priors alone would pick every argmax and a
+    // broken likelihood could hide), the token stream is augmented with
+    // each doc's own language-marker lexicon (TextOps.langMarkers, one
+    // occurrence per marker per doc — the same deterministic injection
+    // on both engines) and the lexicon is unioned into the vocabulary:
+    // now p(w|lang) separates the classes, the confusion matrix goes
+    // diagonal, and a likelihood bug (swapped counts, broken smoothing,
+    // wrong denominator) flips argmaxes and fails the hash.
     "q_naive_bayes" -> ((s, dir) => {
+      import s.implicits._
+      val mk = nbMarkers.toDF("lang", "w")
+      val docs = Tables(s, dir, "documents")
       def toks = Parallelism.fanOut(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           explode(TextOps.normWords(col("text"))).as("w"))
+        .unionByName(docs.select(col("doc_id"), col("lang"))
+          .join(broadcast(mk), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("w")))
       val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       val vocab = GlobalOrder.withRowNumberLong(
           counts, Seq(col("c").desc, col("w")), "rn")
         .filter(col("rn") <= 200).select(col("w"))
-      val docs = Tables(s, dir, "documents")
+        .union(mk.select(col("w"))).distinct()
       val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       val total = docs.agg(count(lit(1)).as("ntot"))
       // three consumers (class totals, per-class counts, scoring) —
@@ -583,19 +600,26 @@ object TrainPrep {
         |SELECT lang, doc_id FROM r, c WHERE rn <= minn
         |ORDER BY lang, doc_id""".stripMargin,
 
-    // same tok CTE; the grid's ln() terms quantize to 1e-9 longs, so
-    // score sums are exact integer addition on both engines
-    "q_naive_bayes" ->
-      """WITH tok AS (
+    // same tok CTE plus the marker injection; the grid's ln() terms
+    // quantize to 1e-9 longs, so score sums are exact integer addition
+    "q_naive_bayes" -> {
+      val mkVals = nbMarkers
+        .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+      s"""WITH mk (lang, w) AS (VALUES $mkVals),
+        |tok AS (
         |  SELECT doc_id, lang, unnest(regexp_split_to_array(
-        |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),
         |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
-        |    '\s+')) AS w
-        |  FROM documents),
+        |    '\\s+')) AS w
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, m.w FROM documents d
+        |  JOIN mk m ON m.lang = d.lang),
         |c AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
         |v AS (SELECT w FROM (
         |    SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM c)
-        |  WHERE rn <= 200),
+        |  WHERE rn <= 200
+        |  UNION SELECT DISTINCT w FROM mk),
         |vt AS (SELECT t.doc_id, t.lang, t.w FROM tok t JOIN v USING (w)),
         |nl AS (SELECT lang, COUNT(*) AS nl FROM vt GROUP BY lang),
         |cw AS (SELECT lang, w, COUNT(*) AS cw FROM vt GROUP BY lang, w),
@@ -620,7 +644,8 @@ object TrainPrep {
         |      ORDER BY s + prq DESC, cl) AS rn
         |  FROM sc JOIN pr USING (cl))
         |SELECT true_lang AS lang, cl AS pred, COUNT(*) AS n
-        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
+    },
 
     "q_oov_rate" ->
       """WITH tok AS (
