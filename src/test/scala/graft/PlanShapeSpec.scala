@@ -377,9 +377,21 @@ class PlanShapeSpec extends SparkSpecBase {
       "q_kmeans" -> 0,
       // the round-7 analytics tier (iteration pins sever their upstream
       // exchanges, so e.g. pagerank's final plan is pin-reads only)
-      "q_naive_bayes" -> 14, "q_pagerank" -> 0, "q_triangle_count" -> 7,
+      // naive_bayes grew 14 → 15 in round 8: the vocab ∪ marker-lexicon
+      // distinct is one more metadata-sized exchange (≤228 rows)
+      "q_naive_bayes" -> 15, "q_pagerank" -> 0, "q_triangle_count" -> 7,
       "q_assoc_rules" -> 6, "q_pca_power" -> 2, "q_count_min" -> 1,
-      "q_knn_graph" -> 2, "q_weighted_median" -> 7)
+      "q_knn_graph" -> 2, "q_weighted_median" -> 7,
+      // round-8 extension: every remaining bench entry ≥1 s, plus the
+      // media codec queries (mapPartitions seams — 1 exchange each for
+      // the final orderBy, none for the decode itself)
+      "q_rolling_skew_kurt" -> 2, "q_events_stream" -> 1,
+      "q_rolling_basic" -> 2, "q_oov_rate" -> 5, "q_contamination" -> 4,
+      "q_join_multi_key" -> 3, "q_agg_quantile" -> 4, "q_tpch_q1" -> 2,
+      "q_ngram_counts" -> 1, "q_tpch_q21" -> 3, "q_tfidf" -> 4,
+      "q_logreg_step" -> 2, "q_approx_quantile" -> 8, "q_ffill_bfill" -> 4,
+      "q_media_decode_real" -> 1, "q_media_thumbnail_color" -> 1,
+      "q_media_jpeg_real" -> 1)
     for ((name, budget) <- budgets) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size +
