@@ -172,7 +172,6 @@ object Dedup {
                    threshold: Double = 0.7, maxBucket: Int = 200,
                    fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // base hash must stay < 2^32 so a·h (a < 2^30) never overflows a long
     val baseHash: Column => Column =
       if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
@@ -199,25 +198,7 @@ object Dedup {
     def shingleHashes(src: DataFrame): DataFrame =
       shingleRows(src, idCol, textCol, w)
         .select(col("id"), baseHash(col("shingle")).as("__h"))
-    val fanned = Parallelism.fanOut(df)
-    val coeffs = minhashCoeffs(k)
-    // Signature frame: |docs| rows × (id + k longs); single consumer
-    // (banding), so it stays an unpersisted pipeline stage.
-    val sig = shingleHashes(fanned).groupBy(col("id")).agg(
-      min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2), lit(MinhashP))).as("mh0"),
-      (1 until k).map { s =>
-        val (a, b) = coeffs(s)
-        min(pmod(lit(a) * col("__h") + lit(b), lit(MinhashP))).as(s"mh$s")
-      }: _*)
-
-    // Stage 2: one row per (id, band, bandHash); ids only from here on.
-    val bandHashes = array((0 until bands).map { b =>
-      val joined = concat_ws("|",
-        (b * r until (b + 1) * r).map(s => col(s"mh$s").cast("string")): _*)
-      if (fastHash) xxhash64(joined).cast("string") else md5(joined)
-    }: _*)
-    val banded = sig.select(col("id"), posexplode(bandHashes))
-      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val banded = bandedIds(df, idCol, textCol, k, bands, w, fastHash)
 
     // Stage 3+4: cap degenerate buckets, then self-join ids within buckets.
     // Bucket-size gate as an unordered window count over the banding
@@ -284,6 +265,58 @@ object Dedup {
     candSh.unpersist(false)
     result
   }
+
+  /** Stages 1–2 of [[minhashPairs]] as a reusable frame: one row per
+    * (id, band, bandHash). Extracted so bucket observability reads the
+    * EXACT pipeline the dedup runs, not a re-derivation that could
+    * drift. */
+  private[graft] def bandedIds(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, bands: Int, w: Int,
+                               fastHash: Boolean): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val baseHash: Column => Column =
+      if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
+      else shingleBaseHash
+    val fanned = Parallelism.fanOut(df)
+    val coeffs = minhashCoeffs(k)
+    // Signature frame: |docs| rows × (id + k longs); single consumer
+    // (banding), so it stays an unpersisted pipeline stage.
+    val sig = shingleRows(fanned, idCol, textCol, w)
+      .select(col("id"), baseHash(col("shingle")).as("__h"))
+      .groupBy(col("id")).agg(
+        min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2), lit(MinhashP))).as("mh0"),
+        (1 until k).map { s =>
+          val (a, b) = coeffs(s)
+          min(pmod(lit(a) * col("__h") + lit(b), lit(MinhashP))).as(s"mh$s")
+        }: _*)
+    val bandHashes = array((0 until bands).map { b =>
+      val joined = concat_ws("|",
+        (b * r until (b + 1) * r).map(s => col(s"mh$s").cast("string")): _*)
+      if (fastHash) xxhash64(joined).cast("string") else md5(joined)
+    }: _*)
+    sig.select(col("id"), posexplode(bandHashes))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+  }
+
+  /** LSH bucket-size observability — the introspection read before
+    * tuning `maxBucket` (the pair-graph counterpart is
+    * q_degree_histogram): the distribution of (band, bandHash) bucket
+    * sizes with each size classed against the cap. The drop RATE the
+    * cap imposes is read directly off the output:
+    * Σ(bucket_size · n_buckets) where capped, over the same sum overall
+    * — the fraction of banding slots tombstoned as boilerplate. Runs
+    * stages 1–2 only (signatures + banding + one hash agg); nothing
+    * quadratic, no pair generation. */
+  def minhashBucketStats(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 16, bands: Int = 4, w: Int = 3,
+                         maxBucket: Int = 200,
+                         fastHash: Boolean = false): DataFrame =
+    bandedIds(df, idCol, textCol, k, bands, w, fastHash)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__n").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("capped", col("bucket_size") > maxBucket)
 
   /** Token hash for SimHash: the first 16 hex chars of md5(token) as two
     * unsigned 32-bit halves (single 64-bit parse would overflow a signed

@@ -490,6 +490,17 @@ object Extras {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // LSH bucket-size observability (the cap-tuning readout VERDICT r7
+    // asked organic-skew evidence for): distribution of (band, bh)
+    // bucket sizes with the >maxBucket class flagged — the drop rate
+    // the cap imposes is Σ(size·n) over capped rows / Σ(size·n). The
+    // same method runs against the organic sf1 corpus in the soak to
+    // report real tombstoning; here it is oracle-gated end-to-end.
+    "q_minhash_bucket_stats" -> ((s, dir) => {
+      Dedup.minhashBucketStats(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("bucket_size"))
+    }),
+
     // minhash pairs → connected components → one cluster id (the
     // component's min doc_id) per document; is_rep marks the keeper.
     // The CC loop runs only over ids that appear in some pair; the
@@ -598,10 +609,12 @@ object Extras {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only — recall-dependent).
-    // buildIndex materializes the signature column the way a 100 TB
-    // deployment would persist it (bucketed by __sig); queryIndex then
-    // only Hamming-filters + exact-scores survivors.
+    // LSH-bucketed ANN (scale path; hash-verified — the md5-derived
+    // hyperplane signatures replay exactly in DuckDB, so recall is
+    // deterministic, not probabilistic-per-run). buildIndex
+    // materializes the signature column the way a 100 TB deployment
+    // would persist it (bucketed by __sig); queryIndex then only
+    // Hamming-filters + exact-scores survivors.
     "q_ann_lsh" -> ((s, dir) => {
       val index = Similarity.buildIndex(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, planes = 12)
@@ -653,10 +666,11 @@ object Extras {
         .orderBy(col("k"))
     }),
 
-    // embedding-cosine near-dup pairs in LSH buckets (rows-only —
-    // bucket recall is probabilistic by design; the synthetic embeddings
-    // are near-orthogonal, so the threshold is low to keep the candidate
-    // set non-empty)
+    // embedding-cosine near-dup pairs in LSH buckets (hash-verified:
+    // the md5-derived signatures make bucket membership — and thus the
+    // emitted pair set — bit-deterministic and replayable in DuckDB;
+    // the synthetic embeddings are near-orthogonal, so the threshold is
+    // low to keep the candidate set non-empty)
     "q_emb_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"),
           "vec_id", "embedding", dim = 64, planes = 6, threshold = 0.30)
@@ -1596,6 +1610,15 @@ object Extras {
       s"""WITH $minhashPairsCte
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // same banding CTEs, aggregated to the bucket-size distribution
+    "q_minhash_bucket_stats" ->
+      s"""WITH $minhashPairsCte
+        |SELECT bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  bucket_size > 200 AS capped
+        |FROM (SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS bucket_size
+        |      FROM banded GROUP BY band, bh)
+        |GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
 
     // minhash pairs → connected components (min-label transitive
     // closure) → every doc labeled with its cluster's minimum doc_id;
