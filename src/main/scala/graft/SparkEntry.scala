@@ -75,5 +75,9 @@ object SparkEntry {
     "q_media_decode", "q_media_decode_real", "q_emb_neardup",
     "q_emb_quantize", "q_logreg_step", "q_naive_bayes", "q_pagerank",
     "q_triangle_count", "q_assoc_rules", "q_pca_power", "q_count_min",
-    "q_events_stream", "q_sessionize")
+    "q_events_stream", "q_sessionize",
+    // round 8: convergence-gated iteration, the color/JPEG codec paths,
+    // and the LSH bucket observability readout
+    "q_pagerank_converged", "q_media_thumbnail_color", "q_media_jpeg_real",
+    "q_minhash_bucket_stats")
 }
