@@ -4,6 +4,15 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.Sources
 
+/** Test-only filesystem: local disk behind a foreign `graftprobe://`
+  * scheme, resolvable ONLY through a conf that carries
+  * `fs.graftprobe.impl` — the witness that sink tasks use the driver's
+  * hadoopConfiguration rather than a bare `new Configuration()`. */
+class GraftProbeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftprobe:///")
+  override def checkPath(path: org.apache.hadoop.fs.Path): Unit = ()
+}
+
 /** Source paths: CSV option matrix, constructor, binary decode. */
 class SourcesSpec extends SparkSpecBase {
   import spark.implicits._
@@ -67,5 +76,26 @@ class SourcesSpec extends SparkSpecBase {
       .select(col("n_nationkey").cast("long"))
       .orderBy("n_nationkey").as[Long].collect().toSeq
     assert(got == want && got.nonEmpty)
+  }
+
+  test("binary sink tasks resolve the filesystem through the DRIVER's hadoop conf") {
+    // The write tasks must see spark.hadoop.* overrides (object-store
+    // credentials, nameservices), not a bare `new Configuration()`. A
+    // custom scheme registered ONLY in the driver's hadoopConfiguration
+    // is the witness: the write succeeds through it iff the broadcast
+    // conf reaches the executors' getFileSystem call.
+    val key = "fs.graftprobe.impl"
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set(key, classOf[GraftProbeFileSystem].getName)
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft_cfg").toString
+      val df = Tables(spark, sf, "nation").select(col("n_nationkey"))
+      Sources.writeBinaryI64(df, "graftprobe://" + out)
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".i64"))
+      assert(parts.nonEmpty, "no parts written through the probe scheme")
+      val n = parts.map(_.length()).sum / 8
+      assert(n == 25, s"expected 25 int64 records, got $n")
+    } finally conf.unset(key)
   }
 }
