@@ -1,3 +1,7 @@
+// [SUPERSEDED in round 8 by gen_sf1_real.scala — replication preserves
+// replica-flat distributions and cannot produce organic key skew, value
+// tails, or text diversity; the real generator synthesizes them. Kept
+// for provenance of the round-7 BENCH_sf1.json artifact.]
 // sf1 generator: 10x key-shifted replication of sf0.1 (distributions,
 // skew, and per-key cardinalities preserved; keys disjoint per copy).
 import org.apache.spark.sql.functions._
