@@ -138,6 +138,13 @@ package object api {
     def pageRank(iters: Int = 3): DataFrame =
       graft.operators.Graphs.pageRank(df, iters)
 
+    /** PageRank iterated to CONVERGENCE: stop when relative L1 rank
+      * movement < epsMilli/1000 (bit-deterministic integer gate),
+      * bounded by maxIters → (final ranks, iterations run). */
+    def pageRankConverged(epsMilli: Long = 20L,
+                          maxIters: Int = 10): (DataFrame, Int) =
+      graft.operators.Graphs.pageRankConverged(df, epsMilli, maxIters)
+
     /** Triangle/wedge stats over (a, b) pair rows (degree-ordered
       * orientation — hub-safe). */
     def triangleStats(): DataFrame =
@@ -186,6 +193,15 @@ package object api {
     def simhashNearDups(idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame =
       Dedup.simhashPairs(df, idCol, textCol, maxHamming = maxHamming)
+
+    /** LSH bucket-size distribution with the >maxBucket class flagged —
+      * the cap-tuning readout to run BEFORE a corpus-scale
+      * [[nearDupPairs]]: how much boilerplate the cap will tombstone. */
+    def minhashBucketStats(idCol: String, textCol: String,
+                           maxBucket: Int = 200,
+                           fastHash: Boolean = false): DataFrame =
+      Dedup.minhashBucketStats(df, idCol, textCol, maxBucket = maxBucket,
+        fastHash = fastHash)
 
     /** Blocked n-gram Jaccard near-dup pairs (no LSH): all-pairs within
       * (lang, length-bucket) blocks, `maxBlock`-capped — right for
@@ -259,12 +275,18 @@ package object api {
 
     // ——— range/interval joins (banded rewrites — no nested loops) ———
 
-    /** Point-in-interval containment join against `intervals`. */
+    /** Point-in-interval containment join against `intervals`. Pass
+      * `maxMatches` (+ `pointKey`/`matchOrder`) to bound output density
+      * per point — uncapped pairs grow with the square of in-band
+      * density. */
     def rangeJoinPoints(pTs: Column, intervals: DataFrame,
                         iStart: Column, iEnd: Column,
-                        bandSeconds: Long, maxLenSeconds: Long): DataFrame =
+                        bandSeconds: Long, maxLenSeconds: Long,
+                        maxMatches: Int = Int.MaxValue,
+                        pointKey: Seq[Column] = Nil,
+                        matchOrder: Seq[Column] = Nil): DataFrame =
       RangeJoin.pointInInterval(df, pTs, intervals, iStart, iEnd,
-        bandSeconds, maxLenSeconds)
+        bandSeconds, maxLenSeconds, maxMatches, pointKey, matchOrder)
 
     /** Interval-overlap join (each overlapping pair exactly once). */
     def overlapJoin(lStart: String, lEnd: String, right: DataFrame,
