@@ -35,13 +35,31 @@ object Streams {
   private val streamDirs = new ConcurrentHashMap[String, String]()
   private val sinkSeq = new AtomicInteger(0)
 
+  /** Stage `sfDir/table.parquet` into `into/table.parquet`. Handles
+    * both fixture layouts: a single file (driver testdata) and a
+    * Spark-written DIRECTORY of part files (tools/gen_sf1_real.scala) —
+    * `Files.copy` on a directory copies only the empty dir entry, which
+    * would make the file streaming source silently read ZERO rows. */
+  private def stageParquet(sfDir: String, table: String,
+                           into: java.nio.file.Path): Unit = {
+    val src = Paths.get(s"$sfDir/$table.parquet")
+    val dst = into.resolve(s"$table.parquet")
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      val s = Files.list(src)
+      try s.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => Files.copy(p, dst.resolve(p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
+      finally s.close()
+    } else Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def eventsDir(sfDir: String): String =
     streamDirs.computeIfAbsent(sfDir, { _ =>
       val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_$tag")
       Files.createDirectories(dir)
-      Files.copy(Paths.get(s"$sfDir/events.parquet"),
-        dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      stageParquet(sfDir, "events", dir)
       dir.toString
     })
 
@@ -263,8 +281,7 @@ object Streams {
       val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_docstream_$tag")
       Files.createDirectories(dir)
-      Files.copy(Paths.get(s"$sfDir/documents.parquet"),
-        dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      stageParquet(sfDir, "documents", dir)
       dir.toString
     })
 

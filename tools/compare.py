@@ -15,9 +15,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata is one file per table; Spark-written scale
+        # fixtures (tools/gen_sf1_real.scala) are part-file directories
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
