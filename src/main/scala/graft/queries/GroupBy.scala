@@ -101,13 +101,18 @@ object GroupBy {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
+          // product sums carry scale 4/6; rescale to 2 dp IN DECIMAL
+          // (exact HALF_UP on both engines) before the double cast —
+          // at sf1 magnitudes (~2.4e12) the scale-6 scaled integer
+          // exceeds 2^53 and the raw decimal→double conversion differs
+          // by an ulp between engines
           sum(col("l_extendedprice").cast(dec2) *
               (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)))
-            .cast("double").as("sum_disc_price"),
+            .cast(dec2).cast("double").as("sum_disc_price"),
           sum(col("l_extendedprice").cast(dec2) *
               (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2)) *
               (lit(BigDecimal(1)).cast(dec2) + col("l_tax").cast(dec2)))
-            .cast("double").as("sum_charge"),
+            .cast(dec2).cast("double").as("sum_charge"),
           (dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
           (dsum(col("l_extendedprice")) / count(col("l_extendedprice")))
             .as("avg_price"),
@@ -931,13 +936,13 @@ object GroupBy {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
-      |      (CAST(1 AS DECIMAL(30,2)) - CAST(l_discount AS DECIMAL(30,2)))) AS DOUBLE)
-      |    AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) *
-      |      (CAST(1 AS DECIMAL(30,2)) - CAST(l_discount AS DECIMAL(30,2))) *
-      |      (CAST(1 AS DECIMAL(30,2)) + CAST(l_tax AS DECIMAL(30,2)))) AS DOUBLE)
-      |    AS sum_charge,
+      |  CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+      |      (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))))
+      |    * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS sum_disc_price,
+      |  CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+      |      (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) *
+      |      (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2))))
+      |    * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
       |    / COUNT(l_quantity) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)

@@ -35,23 +35,26 @@ object Streams {
   private val streamDirs = new ConcurrentHashMap[String, String]()
   private val sinkSeq = new AtomicInteger(0)
 
-  /** Stage `sfDir/table.parquet` into `into/table.parquet`. Handles
-    * both fixture layouts: a single file (driver testdata) and a
-    * Spark-written DIRECTORY of part files (tools/gen_sf1_real.scala) —
-    * `Files.copy` on a directory copies only the empty dir entry, which
-    * would make the file streaming source silently read ZERO rows. */
+  /** Stage `sfDir/table.parquet` as parquet FILES directly under
+    * `into` (the dir the file stream source watches). Handles both
+    * fixture layouts: a single file (driver testdata) and a
+    * Spark-written DIRECTORY of part files (tools/gen_sf1_real.scala).
+    * Directory parts are staged FLAT — the streaming file source does
+    * not recurse into a nested non-partition subdirectory, and
+    * `Files.copy` on a directory would copy only the empty dir entry;
+    * either way the source would silently read ZERO rows. */
   private def stageParquet(sfDir: String, table: String,
                            into: java.nio.file.Path): Unit = {
     val src = Paths.get(s"$sfDir/$table.parquet")
-    val dst = into.resolve(s"$table.parquet")
     if (Files.isDirectory(src)) {
-      Files.createDirectories(dst)
       val s = Files.list(src)
       try s.filter(_.getFileName.toString.endsWith(".parquet"))
-        .forEach(p => Files.copy(p, dst.resolve(p.getFileName.toString),
+        .forEach(p => Files.copy(p,
+          into.resolve(s"${table}_${p.getFileName.toString}"),
           StandardCopyOption.REPLACE_EXISTING))
       finally s.close()
-    } else Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    } else Files.copy(src, into.resolve(s"$table.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def eventsDir(sfDir: String): String =
