@@ -79,5 +79,7 @@ object SparkEntry {
     // round 8: convergence-gated iteration, the color/JPEG codec paths,
     // and the LSH bucket observability readout
     "q_pagerank_converged", "q_media_thumbnail_color", "q_media_jpeg_real",
-    "q_minhash_bucket_stats")
+    "q_minhash_bucket_stats",
+    // round-8 continuation: the kmeans convergence gate
+    "q_kmeans_converged")
 }

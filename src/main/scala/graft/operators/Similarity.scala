@@ -369,50 +369,126 @@ object Similarity {
   def kmeans(df: DataFrame, idCol: String, embCol: String,
              dim: Int = 64, k: Int = 4, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val pts = lloydPoints(df, idCol, embCol, dim)
+    var cents = lloydSeeds(pts, k)
+    var a: DataFrame = null
+    for (_ <- 0 until iters) {
+      a = lloydAssign(pts, cents).pinned
+      cents = lloydUpdate(a).pinned
+    }
+    val res = lloydResult(a, cents, dim)
+    pts.unpersist(false)
+    res
+  }
+
+  /** Convergence-GATED Lloyd's k-means — the loop shape a real
+    * clustering job runs: iterate until centroid movement < ε, bounded
+    * at `maxIters`. Same quantized-integer arithmetic as [[kmeans]];
+    * the gate compares relative L1 centroid movement
+    * Σ|Δc| / Σ|c| < epsMilli/1000 where each |Δc| and |c| term is
+    * quantized to a long (floor(|x|·1e3 + 0.5)) BEFORE the order-free
+    * sums, and the comparison itself is integer cross-multiplication —
+    * the stopping decision is bit-deterministic under any partitioning,
+    * spill, or retry, and a DuckDB oracle can replay it exactly by
+    * unrolling rounds. (Each per-dim delta is one IEEE subtract of two
+    * exact-rational doubles — both engines round it identically.)
+    *
+    * An empty cluster drops out of the update (standard Lloyd); its
+    * vanished centroid contributes nothing to either gate sum — the
+    * movement join is on surviving centroid ids.
+    *
+    * Executor-loss behavior matches [[Graphs.pageRankConverged]]: every
+    * iterate is pinned, so in default mode a lost executor recomputes
+    * only the last iterate from its pin, and with
+    * `spark.graft.reliableCheckpoint=true` each iterate is durably
+    * materialized — either way the gate replays over identical bits,
+    * never a silently re-randomized trajectory.
+    *
+    * @return (result frame as [[kmeans]] — (cent, n, c_sum), iterations
+    *         actually run; `maxIters` when the gate never fired). */
+  def kmeansConverged(df: DataFrame, idCol: String, embCol: String,
+                      dim: Int = 64, k: Int = 4, epsMilli: Long,
+                      maxIters: Int): (DataFrame, Int) = {
+    require(epsMilli > 0 && maxIters >= 1, s"bad gate ($epsMilli, $maxIters)")
+    val pts = lloydPoints(df, idCol, embCol, dim)
+    var cents = lloydSeeds(pts, k)
+    var a: DataFrame = null
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      a = lloydAssign(pts, cents).pinned
+      val next = lloydUpdate(a).pinned
+      val nw = next.select(col("cent"), posexplode(col("ce")))
+        .select(col("cent"), col("pos"), col("col").as("cn"))
+      val od = cents.select(col("cent"), posexplode(col("ce")))
+        .select(col("cent"), col("pos"), col("col").as("co"))
+      val row = nw.join(od, Seq("cent", "pos"))
+        .agg(
+          sum(floor(abs(col("cn") - col("co")) * lit(1e3) + lit(0.5))
+            .cast("long")).as("l1"),
+          sum(floor(abs(col("cn")) * lit(1e3) + lit(0.5))
+            .cast("long")).as("mass"))
+        .head
+      cents = next
+      it += 1
+      converged =
+        BigInt(row.getLong(0)) * 1000 < BigInt(epsMilli) * BigInt(row.getLong(1))
+    }
+    val res = lloydResult(a, cents, dim)
+    pts.unpersist(false)
+    (res, it)
+  }
+
+  /** Quantized point frame (id, e, xx=‖e‖²), fanned out and cached for
+    * the iteration's repeated scans. */
+  private def lloydPoints(df: DataFrame, idCol: String, embCol: String,
+                          dim: Int): DataFrame = {
     val eq = array((0 until dim).map { d =>
       floor(element_at(col(embCol), d + 1).cast("double") * lit(1e6) + lit(0.5))
         .cast("double")
     }: _*)
-    val pts = Parallelism.fanOut(df)
+    Parallelism.fanOut(df)
       .select(col(idCol).cast("long").as("id"), eq.as("e"))
       .withColumn("xx", dotp(col("e"), col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the k smallest ids, whatever the id space — TakeOrderedAndProject
-    // over (id), not a filter(id < k) that assumes ids start at 0
-    var cents: DataFrame = pts.orderBy(col("id")).limit(k)
+  }
+
+  /** Seeds = the k smallest ids, whatever the id space —
+    * TakeOrderedAndProject over (id), not a filter(id < k) that assumes
+    * ids start at 0. Deterministic, replayable by SQL. */
+  private def lloydSeeds(pts: DataFrame, k: Int): DataFrame =
+    pts.orderBy(col("id")).limit(k)
       .select(col("id").cast("int").as("cent"), col("e").as("ce"))
-    def assign(c: DataFrame): DataFrame = {
-      val scored = pts.crossJoin(
-          broadcast(c.withColumn("cc", dotp(col("ce"), col("ce")))))
-        .withColumn("dist",
-          col("xx") - lit(2.0) * dotp(col("e"), col("ce")) + col("cc"))
-      scored.groupBy(col("id"))
-        .agg(min_by(struct(col("cent"), col("e")),
-          struct(col("dist"), col("cent"))).as("b"))
-        .select(col("id"), col("b.cent").as("cent"), col("b.e").as("e"))
-    }
-    def update(a: DataFrame): DataFrame =
-      a.select(col("cent"), posexplode(col("e")))
-        .groupBy(col("cent"), col("pos"))
-        .agg(count(lit(1)).as("n"), sum(col("col")).as("s"))
-        .withColumn("c", col("s") / col("n"))
-        .groupBy(col("cent"))
-        // k rows — the sort_array/getField rebuild is driver-scale work
-        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cent"), col("pc").getField("c").as("ce"))
-    var a: DataFrame = null
-    for (_ <- 0 until iters) {
-      a = assign(cents).pinned
-      cents = update(a).pinned
-    }
+
+  private def lloydAssign(pts: DataFrame, c: DataFrame): DataFrame = {
+    val scored = pts.crossJoin(
+        broadcast(c.withColumn("cc", dotp(col("ce"), col("ce")))))
+      .withColumn("dist",
+        col("xx") - lit(2.0) * dotp(col("e"), col("ce")) + col("cc"))
+    scored.groupBy(col("id"))
+      .agg(min_by(struct(col("cent"), col("e")),
+        struct(col("dist"), col("cent"))).as("b"))
+      .select(col("id"), col("b.cent").as("cent"), col("b.e").as("e"))
+  }
+
+  private def lloydUpdate(a: DataFrame): DataFrame =
+    a.select(col("cent"), posexplode(col("e")))
+      .groupBy(col("cent"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col")).as("s"))
+      .withColumn("c", col("s") / col("n"))
+      .groupBy(col("cent"))
+      // k rows — the sort_array/getField rebuild is driver-scale work
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cent"), col("pc").getField("c").as("ce"))
+
+  private def lloydResult(a: DataFrame, cents: DataFrame,
+                          dim: Int): DataFrame = {
     val cSum = (0 until dim).map(d => element_at(col("ce"), d + 1))
       .reduce(_ + _)
-    val res = a.groupBy(col("cent")).agg(count(lit(1)).as("n"))
+    a.groupBy(col("cent")).agg(count(lit(1)).as("n"))
       .join(cents.select(col("cent"),
         round(cSum / lit(1e6), 6).as("c_sum")), Seq("cent"))
       .orderBy(col("cent"))
       .pinned
-    pts.unpersist(false)
-    res
   }
 }

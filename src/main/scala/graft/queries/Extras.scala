@@ -907,6 +907,23 @@ object Extras {
         dim = 64, k = 4, iters = 2)
     }),
 
+    // Convergence-GATED Lloyd's (the stop-when-stable loop a real
+    // clustering job runs, companion to q_pagerank_converged): iterate
+    // until relative L1 centroid movement Σ|Δc|/Σ|c| < 6%, bounded at
+    // 8 rounds. Gate sums quantize every |Δc|/|c| term to a long
+    // (floor(|x|·1e3 + 0.5)) before the order-free adds and the compare
+    // is integer cross-multiplication — bit-deterministic, so n_iters
+    // itself is part of the hash-checked output. At sf0.01 the gate
+    // FIRES (k=7, 56‰ < 60‰); at sf0.1 movement plateaus at ~64‰ and
+    // the bound k=8 rules — both exits exercised. Oracle unrolls all 8
+    // rounds as MATERIALIZED CTEs and selects the first converged one.
+    "q_kmeans_converged" -> ((s, dir) => {
+      val (res, k) = Similarity.kmeansConverged(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 4, epsMilli = 60L, maxIters = 8)
+      res.withColumn("n_iters", lit(k))
+    }),
+
     // Kernel density estimation over events.value at a fixed grid —
     // the reference's KDE kernel (`sdc/tests/test_ml.py:110`) with an
     // Epanechnikov kernel instead of its Gaussian: K(u) = 0.75·(1 − u²)
@@ -1517,6 +1534,73 @@ object Extras {
         |FROM (SELECT cent, CAST(COUNT(*) AS BIGINT) AS n
         |      FROM a2 GROUP BY cent) t
         |JOIN c2 USING (cent) ORDER BY cent""".stripMargin
+    },
+
+    // the kmeans convergence gate replayed relationally: all 8 rounds
+    // unrolled, per-round quantized movement sums, first round under
+    // the 6% gate (else the bound) selected. Every iterate CTE is
+    // MATERIALIZED — a$i/c$i each have multiple consumers (next round,
+    // the delta scans, the all-rounds union), and inlining would
+    // re-evaluate the iteration PREFIX per consumer (the exponential
+    // blowup q_pagerank_converged's oracle documents).
+    "q_kmeans_converged" -> {
+      val MAXI = 8
+      def assign(prev: String, out: String) =
+        s"""$out AS MATERIALIZED (SELECT id, cent, e FROM (
+           |  SELECT p.id, c.cent, p.e,
+           |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+           |      p.xx - 2.0*${foldDot("p.e", "c.ce")}
+           |        + ${foldDot("c.ce", "c.ce")}, c.cent) AS rn
+           |  FROM ptx p CROSS JOIN $prev c) t WHERE rn = 1)""".stripMargin
+      def upd(a: String, outd: String, out: String) =
+        s"""$outd AS MATERIALIZED (SELECT cent, i AS pos,
+           |    SUM(e[i]) / COUNT(*) AS c
+           |  FROM $a, (SELECT unnest(generate_series(1, 64)) AS i) s
+           |  GROUP BY cent, i),
+           |$out AS MATERIALIZED (SELECT cent, list(c ORDER BY pos) AS ce
+           |  FROM $outd GROUP BY cent)""".stripMargin
+      val rounds = (1 to MAXI).map(i =>
+        assign(s"c${i - 1}", s"a$i") + ",\n" +
+          upd(s"a$i", s"c${i}d", s"c$i")).mkString(",\n")
+      val deltas = (1 to MAXI).map { i =>
+        s"""SELECT $i AS iter,
+          |  CAST(SUM(CAST(FLOOR(ABS(a.c - b.c) * 1e3 + 0.5) AS BIGINT))
+          |    AS BIGINT) AS l1,
+          |  CAST(SUM(CAST(FLOOR(ABS(a.c) * 1e3 + 0.5) AS BIGINT))
+          |    AS BIGINT) AS mass
+          |FROM c${i}d a JOIN c${i - 1}d b
+          |  ON a.cent = b.cent AND a.pos = b.pos""".stripMargin
+      }.mkString("\nUNION ALL ")
+      val alla = (1 to MAXI)
+        .map(i => s"SELECT $i AS iter, cent FROM a$i").mkString("\nUNION ALL ")
+      val allc = (1 to MAXI)
+        .map(i => s"SELECT $i AS iter, cent, ce FROM c$i")
+        .mkString("\nUNION ALL ")
+      val cSum = "list_reduce(list_transform(generate_series(1, 64), " +
+        "i -> CAST(ce[i] AS DOUBLE)), (x,y) -> x+y)"
+      s"""WITH pts AS (SELECT CAST(vec_id AS BIGINT) AS id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)) AS e
+        |  FROM embeddings),
+        |ptx AS MATERIALIZED (SELECT id, e, ${foldDot("e", "e")} AS xx
+        |  FROM pts),
+        |c0 AS MATERIALIZED (SELECT CAST(id AS INT) AS cent, e AS ce
+        |  FROM pts ORDER BY id LIMIT 4),
+        |c0d AS MATERIALIZED (SELECT cent, i AS pos, CAST(ce[i] AS DOUBLE) AS c
+        |  FROM c0, (SELECT unnest(generate_series(1, 64)) AS i) s),
+        |$rounds,
+        |dl AS ($deltas),
+        |kst AS MATERIALIZED (SELECT COALESCE(MIN(iter)
+        |    FILTER (WHERE l1 * 1000 < 60 * mass), $MAXI) AS k FROM dl),
+        |alla AS ($alla),
+        |allc AS ($allc)
+        |SELECT t.cent, t.n, ROUND($cSum / 1e6, 6) AS c_sum,
+        |  CAST(kst.k AS INT) AS n_iters
+        |FROM (SELECT cent, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM alla, kst WHERE iter = k GROUP BY cent) t
+        |JOIN (SELECT cent, ce FROM allc, kst WHERE iter = k) c USING (cent),
+        |  kst
+        |ORDER BY t.cent""".stripMargin
     },
 
     "q_get_dummies" -> {

@@ -30,6 +30,45 @@ class KmeansSpec extends SparkSpecBase {
     assert(got == Map(0 -> blob0.toLong, 1 -> (30 - blob0).toLong), got.toString)
   }
 
+  test("converged: bound-riding run equals the fixed-iteration path, " +
+    "loose gate exits early, and n_iters is partition-invariant") {
+    val dim = 8
+    def v(center: Double, j: Int): Seq[Float] =
+      (0 until dim).map(d => (center + 0.01 * ((j + d) % 5)).toFloat)
+    val rows = (0 until 36).map(j =>
+      Row(j.toLong, v(if (j % 3 == 0) 0.0 else 4.0, j)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    def df(parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts), schema)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // separable blobs converge EXACTLY (assignments stabilize, movement
+    // hits 0) so even a 1‰ gate fires — at round 2 here — and the
+    // result must be bit-identical to the fixed-iteration path run for
+    // the same count
+    val (tight, kTight) = Similarity.kmeansConverged(df(3), "vec_id",
+      "embedding", dim = dim, k = 2, epsMilli = 1L, maxIters = 5)
+    assert(kTight == 2, s"exact convergence expected at round 2, got $kTight")
+    assert(key(tight) == key(Similarity.kmeans(df(3), "vec_id", "embedding",
+      dim = dim, k = 2, iters = kTight)))
+
+    // a trivial gate (100% movement allowed) exits after round 1
+    val (_, kLoose) = Similarity.kmeansConverged(df(3), "vec_id",
+      "embedding", dim = dim, k = 2, epsMilli = 1000L, maxIters = 3)
+    assert(kLoose == 1)
+
+    // the stopping decision itself is partition-invariant
+    val (rA, kA) = Similarity.kmeansConverged(df(1), "vec_id", "embedding",
+      dim = dim, k = 2, epsMilli = 120L, maxIters = 5)
+    val (rB, kB) = Similarity.kmeansConverged(df(7), "vec_id", "embedding",
+      dim = dim, k = 2, epsMilli = 120L, maxIters = 5)
+    assert(kA == kB, s"n_iters drifted across partitioning: $kA vs $kB")
+    assert(key(rA) == key(rB))
+  }
+
   test("result is invariant to input partitioning") {
     val dim = 4
     val rows = (0 until 40).map(j =>
