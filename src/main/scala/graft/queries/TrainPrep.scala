@@ -177,6 +177,23 @@ object TrainPrep {
         .orderBy(col("rank"))
     }),
 
+    // BPE merge TRAINING, 6 rounds — the iterative top-pair merge loop
+    // (Sennrich et al.) run the distributed way: tokenize + count the
+    // corpus ONCE into (word, freq), then every merge round runs at
+    // vocabulary scale (pair explode + hash agg + TakeOrdered(1) +
+    // broadcast rule). Deterministic end to end: exact long pair
+    // counts, (count DESC, pair ASC) winner order, and a wrapped-token
+    // string spelling whose single replace pass IS the greedy merge on
+    // both engines. Output = the learned merge table plus the corpus
+    // token count after each rule. Full recipe on TextOps.bpeTrain.
+    "q_bpe_merges" -> ((s, dir) => {
+      val words = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(explode(TextOps.normWords(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      TextOps.bpeTrain(words, rounds = 6)
+    }),
+
     // Heavy hitters: token types above 0.5% of all occurrences — the
     // exact two-aggregate path (type counts, then a broadcast 1-row
     // total). Map-side partial aggregation absorbs the heavy keys by
@@ -520,6 +537,52 @@ object TrainPrep {
         |  ROUND(CAST(COALESCE(SUM(c) FILTER (WHERE rn <= 1000), 0) AS DOUBLE)
         |    / CAST(SUM(c) AS DOUBLE), 6) AS cov1000
         |FROM r""".stripMargin,
+
+    // the 6 merge rounds unrolled as MATERIALIZED CTEs (each spelled
+    // frame feeds the next round, a pair scan, and a token recount —
+    // inlining would re-run the iteration prefix per consumer); the
+    // same wrapped-token replace spelling as the Spark side, so the
+    // greedy merge is byte-identical
+    "q_bpe_merges" -> {
+      val MAXI = 6
+      def round_(i: Int) = {
+        val prev = s"s${i - 1}"
+        s"""x$i AS MATERIALIZED (SELECT freq,
+           |    regexp_split_to_array(TRIM(s), ' +') AS a FROM $prev),
+           |p$i AS MATERIALIZED (SELECT pa, pb,
+           |    CAST(SUM(freq) AS BIGINT) AS pair_count
+           |  FROM (SELECT freq, a[i] AS pa, a[i+1] AS pb
+           |        FROM (SELECT freq, a,
+           |                unnest(generate_series(1, len(a) - 1)) AS i
+           |              FROM x$i) t) u
+           |  GROUP BY pa, pb ORDER BY pair_count DESC, pa, pb LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT w.word, w.freq,
+           |    replace(w.s, ' ' || p.pa || '  ' || p.pb || ' ',
+           |      ' ' || p.pa || p.pb || ' ') AS s
+           |  FROM $prev w, p$i p),
+           |k$i AS (SELECT CAST($i AS INT) AS merge_rank, pa AS sym_a,
+           |    pb AS sym_b, pair_count,
+           |    (SELECT CAST(SUM(freq *
+           |        len(regexp_split_to_array(TRIM(s), ' +'))) AS BIGINT)
+           |     FROM s$i) AS tokens_after
+           |  FROM p$i)""".stripMargin
+      }
+      val rounds = (1 to MAXI).map(round_).mkString(",\n")
+      val unioned = (1 to MAXI).map(i => s"SELECT * FROM k$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(
+        |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),
+        |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
+        |    '\\s+')) AS w
+        |  FROM documents),
+        |wf AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM tok WHERE w <> '' GROUP BY w),
+        |s0 AS MATERIALIZED (SELECT word, freq,
+        |    regexp_replace(word, '(.)', ' \\1 ', 'g') AS s FROM wf),
+        |$rounds
+        |SELECT * FROM ($unioned) ORDER BY merge_rank""".stripMargin
+    },
 
     "q_tokenizer_fertility" ->
       """WITH t AS (SELECT lang,
