@@ -92,14 +92,28 @@ object Bench {
         name -> med
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // A failed query must poison the headline number, not subtract its
-    // -1.0 sentinel from it (which would make a BROKEN round bench
-    // faster than a working one).
-    val total =
-      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 3-decimal rendering keeps the WHOLE line under ~1.8 KB at 70+
+    // queries: the driver records only the last 2000 chars of output, and
+    // full-precision doubles pushed rounds 7-8 past that, truncating the
+    // line's head ("metric"/"value") so the driver's JSON parse failed.
+    // Millisecond resolution is far below this box's ±2x run noise.
+    def render(decimals: Int): String = {
+      def fmt(v: Double): String =
+        s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      // A failed query must poison the headline number, not subtract its
+      // -1.0 sentinel from it (which would make a BROKEN round bench
+      // faster than a working one).
+      val total =
+        if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // If the headline set ever grows enough that 3dp overflows the 1.9 KB
+    // budget, degrade precision rather than the parse.
+    val line = (3 to 1 by -1).iterator.map(render)
+      .find(_.length <= 1900).getOrElse(render(1))
+    println(line)
     spark.stop()
   }
 }

@@ -278,7 +278,9 @@ package object api {
     /** Point-in-interval containment join against `intervals`. Pass
       * `maxMatches` (+ `pointKey`/`matchOrder`) to bound output density
       * per point — uncapped pairs grow with the square of in-band
-      * density. */
+      * density. `matchOrder` must totally order each point's candidate
+      * intervals (append a unique interval id as its last column), or
+      * the surviving set is run-dependent. */
     def rangeJoinPoints(pTs: Column, intervals: DataFrame,
                         iStart: Column, iEnd: Column,
                         bandSeconds: Long, maxLenSeconds: Long,

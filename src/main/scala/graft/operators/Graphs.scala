@@ -34,31 +34,45 @@ object Graphs {
       .select(col("a"), col("b"))
   }
 
-  /** PageRank over undirected (a, b) pairs: `iters` join-based power
-    * iterations at damping 0.85 on 1e-9-quantized integer rank mass
-    * (contribution = rank div degree — exact; inflow sums exact; the
-    * one damping multiply is a single double op). Returns
-    * (node, prq) — prq/1e9 is the rank. */
-  def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+  /** Shared PageRank machinery: (pinned undirected edge frame, pinned
+    * degree frame, node frame) — both loop variants iterate over the
+    * same frames, so a fix to the setup cannot desync them. */
+  private def prSetup(pairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .pinned // consumed by deg + every iteration join
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .pinned
-    val nodes = deg.select(col("src").as("node"))
+    (edges, deg, deg.select(col("src").as("node")))
+  }
+
+  /** One power-iteration step at damping 0.85 on 1e-9-quantized integer
+    * rank mass (contribution = rank div degree — exact; inflow sums
+    * exact; the one damping multiply is a single double op). Returns
+    * the next (node, prq) frame, pinned to sever the iteration chain
+    * (q_kmeans precedent). Shared by [[pageRank]] and
+    * [[pageRankConverged]]. */
+  private def prStep(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
+                     pr: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+      .join(deg, Seq("src"))
+      .select(col("dst").as("node"), expr("prq div deg").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"), (lit(150000000L) +
+        floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
+          + 0.5).cast("long")).as("prq"))
+      .pinned
+  }
+
+  /** PageRank over undirected (a, b) pairs: `iters` fixed join-based
+    * power iterations (see [[prStep]] for the quantized arithmetic).
+    * Returns (node, prq) — prq/1e9 is the rank. */
+  def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val (edges, deg, nodes) = prSetup(pairs)
     var pr = nodes.select(col("node"), lit(1000000000L).as("prq"))
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"), expr("prq div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (lit(150000000L) +
-          floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
-            + 0.5).cast("long")).as("prq"))
-        .pinned // severs the iteration chain (q_kmeans precedent)
-    }
+    for (_ <- 1 to iters) pr = prStep(edges, deg, nodes, pr)
     pr
   }
 
@@ -93,31 +107,21 @@ object Graphs {
   def pageRankConverged(pairs: DataFrame, epsMilli: Long,
                         maxIters: Int): (DataFrame, Int) = {
     require(epsMilli > 0 && maxIters > 0, s"bad gate ($epsMilli, $maxIters)")
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .pinned
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .pinned
-    val nodes = deg.select(col("src").as("node"))
+    val (edges, deg, nodes) = prSetup(pairs)
     var pr = nodes.select(col("node"), lit(1000000000L).as("prq")).pinned
     var k = 0
     var converged = false
     while (k < maxIters && !converged) {
-      val contrib = edges
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"), expr("prq div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (lit(150000000L) +
-          floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
-            + 0.5).cast("long")).as("prq"))
-        .pinned
+      val next = prStep(edges, deg, nodes, pr)
       val row = next.select(col("node"), col("prq").as("nprq"))
         .join(pr, Seq("node"))
         .agg(sum(abs(col("nprq") - col("prq"))).as("l1"),
           sum(col("nprq")).as("mass"))
         .head
+      // Empty graph → the gate sums aggregate zero rows to NULL; fail
+      // with the actual cause, not an opaque NPE from getLong.
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "pageRankConverged: empty edge set — pairs has no rows")
       pr = next
       k += 1
       converged =

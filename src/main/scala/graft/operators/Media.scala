@@ -153,7 +153,11 @@ object Media {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // ImageIO.write returns false (leaving bos EMPTY) when no writer is
+    // registered for the format — fail here, not later as a confusing
+    // "undecodable blob" at decode time.
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no ImageIO writer registered for png")
     bos.toByteArray
   }
 
@@ -197,7 +201,8 @@ object Media {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no ImageIO writer registered for png")
     bos.toByteArray
   }
 
@@ -240,7 +245,8 @@ object Media {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
+    require(javax.imageio.ImageIO.write(img, "jpg", bos),
+      "no ImageIO writer registered for jpg")
     bos.toByteArray
   }
 

@@ -81,7 +81,11 @@ object RangeJoin {
     require(maxMatches > 0, s"maxMatches must be positive: $maxMatches")
     require(maxMatches == Int.MaxValue ||
       (pointKey.nonEmpty && matchOrder.nonEmpty),
-      "a match cap needs pointKey and matchOrder for the row_number gate")
+      "a match cap needs pointKey and matchOrder for the row_number gate; " +
+        "matchOrder must be a TOTAL order per point (append a unique " +
+        "interval id as its last column, as q_range_join does with vid) — " +
+        "under a partial order the surviving SET is run-dependent and " +
+        "breaks hash determinism downstream")
     val p = points.withColumn(BAND, floor(unix_timestamp(pTs) / bandSeconds))
     val b0 = floor(unix_timestamp(iStart) / bandSeconds)
     // Two replicas per interval, built relationally (union of two

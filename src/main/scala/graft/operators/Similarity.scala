@@ -429,6 +429,10 @@ object Similarity {
           sum(floor(abs(col("cn")) * lit(1e3) + lit(0.5))
             .cast("long")).as("mass"))
         .head
+      // An empty points frame leaves the gate join with zero rows, so
+      // the sums aggregate to NULL — name the cause instead of NPE-ing.
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "kmeansConverged: empty points frame — df has no rows")
       cents = next
       it += 1
       converged =

@@ -69,6 +69,19 @@ class KmeansSpec extends SparkSpecBase {
     assert(key(rA) == key(rB))
   }
 
+  test("converged: empty input fails with a named cause, not an NPE") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansConverged(empty, "vec_id", "embedding",
+        dim = 4, k = 2, epsMilli = 10L, maxIters = 3)
+    }
+    assert(e.getMessage.contains("empty points frame"), e.getMessage)
+  }
+
   test("result is invariant to input partitioning") {
     val dim = 4
     val rows = (0 until 40).map(j =>

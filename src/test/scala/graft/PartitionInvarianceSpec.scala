@@ -43,6 +43,15 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     }
   }
 
+  test("pageRankConverged on an empty edge set names the cause") {
+    val empty = spark.range(0).selectExpr("id as a", "id as b")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Graphs.pageRankConverged(empty,
+        epsMilli = 20L, maxIters = 3)
+    }
+    assert(e.getMessage.contains("empty edge set"), e.getMessage)
+  }
+
   test("reservoir top-k sample is partition-invariant") {
     invariant("reservoir") { d =>
       d.select(col("doc_id"),
