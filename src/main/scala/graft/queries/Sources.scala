@@ -102,6 +102,33 @@ object Sources {
       tmp
     })
 
+  /** Customer as XML (Spark 4's built-in XML source — one <customer>
+    * element per row under rowTag). XML is the interchange format
+    * enterprise feeds still arrive in; the source is splittable on
+    * rowTag boundaries, so a 100 TB feed scans in parallel like any
+    * other text source. Doubles round-trip exactly (shortest-
+    * round-trip rendering, same as the CSV sink). */
+  private def customerXml(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"xml:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_xml_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .coalesce(1) // single-file fixture, like every other fixture here
+        .write.mode("overwrite").format("xml")
+        .option("rowTag", "customer").save(tmp)
+      tmp
+    })
+
+  /** The XML fixture's explicit schema (shared write/read contract). */
+  private val customerXmlSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
   /** Customer written as a MULTI-PART CSV dataset — the reference's
     * parallelized `df.to_csv` (`sdc/distributed_analysis.py:604-605`
     * "to_csv() can be parallelized"): every partition writes its own
@@ -410,6 +437,45 @@ object Sources {
         .orderBy(col("s_suppkey"))
     }),
 
+    // XML source (parity-plus; built into Spark 4 — no external
+    // package): schema-declared read over rowTag elements, filter +
+    // projection exactly as with any other source. The oracle reads the
+    // table the fixture was staged from — values must round-trip
+    // bit-exactly through the XML text for the hash to match.
+    "q_read_xml" -> ((s, dir) => {
+      s.read.format("xml").option("rowTag", "customer")
+        .schema(customerXmlSchema).load(customerXml(s, dir))
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Spark 4 VARIANT for semi-structured payloads (parity-plus): the
+    // shape a metadata-bearing pipeline runs — JSON blobs parsed ONCE
+    // into the binary VARIANT encoding, then typed `variant_get` path
+    // extraction feeding a relational aggregate. Against 100 TB the
+    // point of VARIANT over get_json_object is that parse cost is paid
+    // once per row (not once per extracted path) and extraction is a
+    // binary-offset lookup, not a re-tokenize. The JSON text here is
+    // built from orders columns, so the oracle can aggregate the same
+    // columns directly: round-trip exactness (shortest-round-trip
+    // doubles through to_json) is precisely what's under test. Sum is
+    // exact decimal (dsum) — order-free.
+    "q_variant_extract" -> ((s, dir) => {
+      val v = Tables(s, dir, "orders")
+        .select(parse_json(to_json(struct(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))).as("v"))
+      v.select(
+          expr("variant_get(v, '$.o_orderstatus', 'string')").as("status"),
+          expr("variant_get(v, '$.o_orderkey', 'bigint')").as("okey"),
+          expr("variant_get(v, '$.o_totalprice', 'double')").as("price"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), max(col("okey")).as("max_key"),
+          dsum(col("price")).as("sum_price"))
+        .orderBy(col("status"))
+    }),
+
     // The reference's census-benchmark ETL shape end to end
     // (`benchmarks/census_benchmark.py:45-80`): usecols+dtype CSV read →
     // filter → z-score normalization. Moments come from ONE exact-decimal
@@ -587,6 +653,17 @@ object Sources {
     "q_read_orc" ->
       """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
         |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
+
+    "q_read_xml" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+
+    "q_variant_extract" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  MAX(o_orderkey) AS max_key,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
     "q_census_etl" ->
       """WITH src AS (

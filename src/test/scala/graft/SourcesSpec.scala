@@ -98,4 +98,43 @@ class SourcesSpec extends SparkSpecBase {
       assert(n == 25, s"expected 25 int64 records, got $n")
     } finally conf.unset(key)
   }
+
+  test("xml source round-trips markup-hostile strings and null fields") {
+    // The q_read_xml fixture is clean TPC-H text; the escaping contract
+    // (&, <, >, quotes) and missing-element→null mapping need hostile
+    // rows to be load-bearing.
+    val rows = Seq(
+      (1L, "a & b <tag> \"q\" 'x'", Some(3.5)),
+      (2L, "plain", None),
+      (3L, "ends with &amp; literally", Some(-0.0)))
+    val df = rows.toDF("id", "s", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml_t").toString
+    df.coalesce(1).write.mode("overwrite").format("xml")
+      .option("rowTag", "row").save(tmp)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val back = spark.read.format("xml").option("rowTag", "row")
+      .schema(sch).load(tmp)
+      .collect().map(r => (r.getLong(0),
+        r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1).toSeq
+    assert(back == rows.sortBy(_._1), back.toString)
+  }
+
+  test("variant_get: absent path is null, typed mismatch is null via try") {
+    val one = spark.sql(
+      """SELECT parse_json('{"a": 1, "s": "x"}') AS v""")
+    val got = one.select(
+      expr("variant_get(v, '$.a', 'bigint')").as("a"),
+      expr("variant_get(v, '$.missing', 'bigint')").as("m"),
+      expr("try_variant_get(v, '$.s', 'bigint')").as("bad")).head
+    assert(got.getLong(0) == 1L)
+    assert(got.isNullAt(1), "absent path must extract as null")
+    assert(got.isNullAt(2), "uncastable value must be null under try_")
+  }
 }
