@@ -555,6 +555,35 @@ object Extras {
         .orderBy(col("lang"))
     }),
 
+    // Dedup RESOLUTION policy twin of q_dedup_apply: real pipelines
+    // rarely keep a near-dup cluster's min-id member — they keep its
+    // BEST member (here: longest text, doc_id as the total-order
+    // tiebreak). One max-of-struct aggregate per cluster (codegen'd,
+    // map-side partial); output is the ≥2-member clusters with their
+    // kept member, which is decisive — a policy regression to min-id
+    // flips kept_doc_id wherever the longest member isn't the smallest
+    // id. cc labels stay bounded by the near-dup doc count, so the
+    // label join broadcasts under AQE, exactly as in q_dedup_apply.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs)
+      d.join(cc, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("n_chars"),
+            (-col("doc_id")).as("negid"),
+            col("doc_id").as("doc_id"))).as("b"))
+        .filter(col("n_members") >= 2)
+        .select(col("cluster"), col("n_members"),
+          col("b.doc_id").as("kept_doc_id"),
+          col("b.n_chars").as("kept_chars"))
+        .orderBy(col("cluster"))
+    }),
+
     // SEMANTIC dedup end-to-end (the embedding-space twin of
     // q_dedup_apply): hyperplane-LSH cosine pairs → connected
     // components → keep the min-id representative per cluster →
@@ -1733,6 +1762,21 @@ object Extras {
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
         |  CAST(LEAST(50, n - i*40) AS BIGINT) AS n_tok, chunk_md5
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $ccCtes,
+        |lab AS (SELECT d.doc_id, d.n_chars,
+        |    COALESCE(cc.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        |best AS (SELECT cluster, doc_id, n_chars,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM lab)
+        |SELECT cluster, n_members, doc_id AS kept_doc_id,
+        |  n_chars AS kept_chars
+        |FROM best WHERE rn = 1 AND n_members >= 2
+        |ORDER BY cluster""".stripMargin,
 
     "q_dedup_apply" ->
       s"""WITH RECURSIVE $ccCtes,
