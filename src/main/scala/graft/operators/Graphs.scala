@@ -49,20 +49,27 @@ object Graphs {
   /** One power-iteration step at damping 0.85 on 1e-9-quantized integer
     * rank mass (contribution = rank div degree — exact; inflow sums
     * exact; the one damping multiply is a single double op). Returns
-    * the next (node, prq) frame, pinned to sever the iteration chain
-    * (q_kmeans precedent). Shared by [[pageRank]] and
-    * [[pageRankConverged]]. */
-  private def prStep(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
+    * the next (node, prq, __delta) frame — __delta = |Δprq| per node —
+    * pinned to sever the iteration chain (q_kmeans precedent). Shared
+    * by [[pageRank]] and [[pageRankConverged]]; the delta rides the
+    * step's own left join against the previous ranks (pr covers the
+    * node set, so joining pr instead of a bare node list is
+    * row-equivalent) — the convergence gate then needs ONE tiny
+    * aggregate over the pinned frame, not its own join. */
+  private def prStep(edges: DataFrame, deg: DataFrame,
                      pr: DataFrame): DataFrame = {
     val contrib = edges
-      .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+      .join(pr.select(col("node").as("src"), col("prq")), Seq("src"))
       .join(deg, Seq("src"))
       .select(col("dst").as("node"), expr("prq div deg").as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-    nodes.join(contrib, Seq("node"), "left")
+    pr.select(col("node"), col("prq").as("__prev"))
+      .join(contrib, Seq("node"), "left")
       .select(col("node"), (lit(150000000L) +
         floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
-          + 0.5).cast("long")).as("prq"))
+          + 0.5).cast("long")).as("prq"), col("__prev"))
+      .select(col("node"), col("prq"),
+        abs(col("prq") - col("__prev")).as("__delta"))
       .pinned
   }
 
@@ -72,8 +79,8 @@ object Graphs {
   def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
     val (edges, deg, nodes) = prSetup(pairs)
     var pr = nodes.select(col("node"), lit(1000000000L).as("prq"))
-    for (_ <- 1 to iters) pr = prStep(edges, deg, nodes, pr)
-    pr
+    for (_ <- 1 to iters) pr = prStep(edges, deg, pr)
+    pr.select(col("node"), col("prq"))
   }
 
   /** PageRank iterated to CONVERGENCE — the loop shape a real training
@@ -112,11 +119,11 @@ object Graphs {
     var k = 0
     var converged = false
     while (k < maxIters && !converged) {
-      val next = prStep(edges, deg, nodes, pr)
-      val row = next.select(col("node"), col("prq").as("nprq"))
-        .join(pr, Seq("node"))
-        .agg(sum(abs(col("nprq") - col("prq"))).as("l1"),
-          sum(col("nprq")).as("mass"))
+      val next = prStep(edges, deg, pr)
+      // The step already carries |Δprq| per node, so the gate is one
+      // aggregate over the pinned iterate — no extra join or shuffle.
+      val row = next
+        .agg(sum(col("__delta")).as("l1"), sum(col("prq")).as("mass"))
         .head
       // Empty graph → the gate sums aggregate zero rows to NULL; fail
       // with the actual cause, not an opaque NPE from getLong.
@@ -127,7 +134,7 @@ object Graphs {
       converged =
         BigInt(row.getLong(0)) * 1000 < BigInt(epsMilli) * row.getLong(1)
     }
-    (pr, k)
+    (pr.select(col("node"), col("prq")), k)
   }
 
   /** Triangle count + wedge count over undirected (a, b) pairs via
