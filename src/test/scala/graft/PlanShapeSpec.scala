@@ -391,7 +391,14 @@ class PlanShapeSpec extends SparkSpecBase {
       "q_ngram_counts" -> 1, "q_tpch_q21" -> 3, "q_tfidf" -> 4,
       "q_logreg_step" -> 2, "q_approx_quantile" -> 8, "q_ffill_bfill" -> 4,
       "q_media_decode_real" -> 1, "q_media_thumbnail_color" -> 1,
-      "q_media_jpeg_real" -> 1)
+      "q_media_jpeg_real" -> 1,
+      // round-9 extension: the convergence-gated loops (pin-reads only,
+      // like their fixed-iteration twins), the bucket-stats audit, and
+      // tpch_q9 (5-table join tree)
+      // bucket_stats' 4 are each load-bearing: signature distinct,
+      // (band,bh) count, size histogram, final total order
+      "q_pagerank_converged" -> 0, "q_kmeans_converged" -> 2,
+      "q_minhash_bucket_stats" -> 4, "q_tpch_q9" -> 6)
     for ((name, budget) <- budgets) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size +
