@@ -373,7 +373,13 @@ object Similarity {
     var cents = lloydSeeds(pts, k)
     var a: DataFrame = null
     for (_ <- 0 until iters) {
-      a = lloydAssign(pts, cents).pinned
+      // a is NOT pinned: each round's assignment has one consumer
+      // (update), and the pinned centroids already sever the lineage
+      // chain — materializing the |pts|-row frame every round bought
+      // nothing but the pin job. lloydResult recomputes the final
+      // assignment once from the persisted pts (bit-identical: min_by
+      // over the (dist, cent) total order).
+      a = lloydAssign(pts, cents)
       cents = lloydUpdate(a).pinned
     }
     val res = lloydResult(a, cents, dim)
@@ -416,7 +422,8 @@ object Similarity {
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      a = lloydAssign(pts, cents).pinned
+      // unpinned for the same reason as in [[kmeans]]'s loop
+      a = lloydAssign(pts, cents)
       val next = lloydUpdate(a).pinned
       val nw = next.select(col("cent"), posexplode(col("ce")))
         .select(col("cent"), col("pos"), col("col").as("cn"))
