@@ -191,6 +191,24 @@ object Sources {
       tmp
     })
 
+  /** A 5-row priority-dimension table staged as PARQUET — not a local
+    * relation, deliberately: Catalyst constant-folds a Filter over a
+    * LocalRelation away, and dynamic partition pruning only triggers
+    * off a surviving selective Filter node on the dim side. A real
+    * warehouse's dims are tables; this mirrors that. */
+  private def priorityDim(s: SparkSession, dir: String): String =
+    fixtures.computeIfAbsent(s"priodim:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_priodim_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      import s.implicits._
+      Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "cold"),
+        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+        .toDF("prio", "tier")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** n_nationkey values as a little-endian int64 binary file — the
     * `np.fromfile` shape. One small file here; the scale path is the
     * same chunked byte-range split the reference's parallel reader does
@@ -437,6 +455,25 @@ object Sources {
         .orderBy(col("s_suppkey"))
     }),
 
+    // DYNAMIC partition pruning end to end (q_sink_partitioned covers
+    // the STATIC case — a literal predicate on the partition column;
+    // here the pruning values are only known at runtime, from a filter
+    // on the dim side of a join). Spark broadcasts the filtered dim,
+    // reuses the broadcast as a pruning subquery, and the fact scan
+    // reads ONLY the two matching partition directories — at 100 TB
+    // this is the difference between scanning 2/5 of the fact table
+    // and all of it, with zero user-side hints. Plan pinned in
+    // PlanShapeSpec (dynamicpruningexpression on the fact scan).
+    "q_dpp_join" -> ((s, dir) => {
+      val fact = s.read.parquet(ordersPartitioned(s, dir))
+      val dim = s.read.parquet(priorityDim(s, dir))
+      fact.join(dim, fact("o_orderpriority") === dim("prio"))
+        .filter(col("tier") === "hot")
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("prio"))
+    }),
+
     // XML source (parity-plus; built into Spark 4 — no external
     // package): schema-declared read over rowTag elements, filter +
     // projection exactly as with any other source. The oracle reads the
@@ -653,6 +690,13 @@ object Sources {
     "q_read_orc" ->
       """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
         |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
+
+    "q_dpp_join" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
 
     "q_read_xml" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -42,6 +42,14 @@ class PlanShapeSpec extends SparkSpecBase {
       "partition filter did not reach the scan:\n" + p.take(800))
   }
 
+  test("dpp join injects a runtime pruning subquery into the fact scan") {
+    val df = Sources.queries("q_dpp_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      "no dynamicpruningexpression on the fact scan — DPP did not " +
+        "activate:\n" + p.take(1200))
+  }
+
   test("salted aggregation plans two hash-agg phases and no extra exchange count") {
     val p = plan(GroupBy.queries("q_salted_agg")(spark, sf))
     val hashAggs = "HashAggregate".r.findAllIn(p).size
