@@ -81,5 +81,8 @@ object SparkEntry {
     "q_pagerank_converged", "q_media_thumbnail_color", "q_media_jpeg_real",
     "q_minhash_bucket_stats",
     // round-8 continuation: the kmeans convergence gate
-    "q_kmeans_converged")
+    "q_kmeans_converged",
+    // round 9: runtime partition pruning, VARIANT extraction, and the
+    // keep-best dedup resolution policy
+    "q_dpp_join", "q_variant_extract", "q_dedup_keep_best")
 }

@@ -286,4 +286,55 @@ class StreamsIncrementalSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
+
+  test("RocksDB state store: dedup stream is bit-identical to the " +
+    "default provider and RocksDB demonstrably holds the state") {
+    // At 100 TB streaming state outgrows executor heaps; the RocksDB
+    // provider spills state to local disk with changelog checkpoints.
+    // This witnesses (a) provider swap is config-only for our streaming
+    // operators and (b) results are unchanged — the same guarantee the
+    // Pin reliable-checkpoint spec gives batch iteration.
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_dedup_rocks").toString
+    events.select(col("event_type"), col("user_id"), col("event_id"))
+      .withColumn("__b", pmod(col("event_id"), lit(3)))
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir).schema
+      val keys = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .select(col("event_type"), col("user_id"))
+        .dropDuplicates("event_type", "user_id")
+      val q = keys.writeStream.format("memory").queryName("rocks_sink")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(q.recentProgress.length >= 3,
+        s"expected >=3 micro-batches, got ${q.recentProgress.length}")
+      // the provider's own metrics are the witness that RocksDB (not
+      // the HDFS-backed default) held the dedup state
+      val metrics = q.recentProgress.flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metrics.exists(_.startsWith("rocksdb")),
+        s"no rocksdb state metrics reported: ${metrics.distinct.mkString(",")}")
+
+      val streamed = spark.table("rocks_sink")
+      val direct = events.select(col("event_type"), col("user_id")).distinct()
+      assert(streamed.count() == direct.count())
+      assert(streamed.exceptAll(direct).isEmpty &&
+        direct.exceptAll(streamed).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
