@@ -61,4 +61,43 @@ class AqeSkewSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("AQE converts a statically-planned sort-merge join to broadcast " +
+    "once runtime sizes are known") {
+    // The complement of explicit broadcast() hints: at 100 TB the
+    // engine cannot know ahead of time that a filtered/aggregated side
+    // collapses to sketch size — AQE measures the finished shuffle and
+    // re-plans the join as broadcast. Static threshold -1 forbids the
+    // planner from EVER choosing broadcast statically, so any
+    // BroadcastHashJoin in the final plan is a runtime decision.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1048576")
+    val saved = confs.map { case (k, _) =>
+      // flatMap(Option(_)): this conf's unset default is a NULL string,
+      // which conf.set rejects on restore — treat it as absent
+      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_))
+    }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val big = spark.range(200000).select(
+        pmod(col("id"), lit(1000)).as("k"), col("id").as("v"))
+      // the dim side SHRINKS at runtime: 200k rows aggregate to 1000
+      val dim = spark.range(200000)
+        .select(pmod(col("id"), lit(1000)).as("k"))
+        .groupBy("k").agg(max(lit(1)).as("flag"))
+      val joined = big.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(joined.collect()(0).getLong(0) === 200000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "AQE did not convert the join to broadcast at runtime:\n" +
+          plan.take(3000))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
