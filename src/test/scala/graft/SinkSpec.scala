@@ -43,4 +43,46 @@ class SinkSpec extends SparkSpecBase {
       .filter(year(col("o_orderdate")) === 1995).count()
     assert(pruned.count() == want && want > 0)
   }
+
+  test("small-file compaction: many-part dataset rewrites to the " +
+    "target file count with content and file-size bounds intact") {
+    // The maintenance job every long-lived 100 TB table needs: streams
+    // and per-batch writers leave thousands of small files; a compact
+    // pass rewrites them into range-clustered files whose count the
+    // writer controls (repartitionByRange) and whose row count per
+    // file is bounded (maxRecordsPerFile) — both tested here, because
+    // both knobs must hold for the NEXT reader's scan parallelism.
+    val src = tmp("smallfiles")
+    val out = tmp("compacted")
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    li.repartition(64).write.mode("overwrite").parquet(src)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts(src).length == 64, "fixture should start fragmented")
+
+    val rows = spark.read.parquet(src)
+    val n = rows.count()
+    // no per-file cap here: range boundaries are sampled, so partition
+    // sizes are only approximately equal and a tight cap would re-split
+    rows.repartitionByRange(4, col("l_orderkey"))
+      .write.mode("overwrite")
+      .parquet(out)
+    val compacted = parts(out)
+    assert(compacted.length == 4,
+      s"expected 4 compacted files, got ${compacted.length}")
+    val back = spark.read.parquet(out)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+
+    // the maxRecordsPerFile bound splits an oversized partition: force
+    // everything into one range and cap it
+    val capped = tmp("capped")
+    rows.repartitionByRange(1, col("l_orderkey"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", (n / 3 + 1).toString)
+      .parquet(capped)
+    assert(parts(capped).length == 3,
+      s"maxRecordsPerFile should split 1 partition into 3 files, got " +
+        parts(capped).length)
+  }
 }
