@@ -74,6 +74,43 @@ object Apply {
         .orderBy(col("o_orderkey"))
     }),
 
+    // df.groupby(key).apply(func) — the GROUPED arbitrary-function seam
+    // (pandas' most general escape hatch): groupByKey + flatMapGroups
+    // runs opaque sequential JVM logic once per group. The logic here —
+    // longest strictly-increasing o_totalprice streak in (date, key)
+    // order — is genuinely stateful-sequential, the kind of fold users
+    // reach for apply() to write. Scale shape: one hash shuffle on the
+    // group key; per-task state is ONE group's rows (per-customer
+    // orders — basket-bounded, like rolling.apply's window buffer),
+    // never the partition. The in-memory sort inside each group is
+    // bounded by the same basket size. Oracle: gaps-and-islands
+    // windows replay the identical fold declaratively.
+    "q_groupby_apply" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          unix_timestamp(col("o_orderdate")).as("ots"))
+        .as[(Long, Long, Double, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (cust: Long, it: Iterator[(Long, Long, Double, Long)]) =>
+          val rows = it.toIndexedSeq.sortBy(r => (r._4, r._2))
+          var best = 0
+          var cur = 0
+          var prev = Double.NegativeInfinity
+          var first = true
+          rows.foreach { r =>
+            cur = if (first || r._3 > prev) cur + 1 else 1
+            first = false
+            prev = r._3
+            if (cur > best) best = cur
+          }
+          Iterator.single((cust, rows.length.toLong, best.toLong))
+        }
+        .toDF("o_custkey", "n_orders", "max_streak")
+        .orderBy(col("o_custkey"))
+    }),
+
     // S.map(dict): broadcast the dict as a 4-row frame; left join keeps
     // unmapped keys as null like pandas map
     "q_map_dict" -> ((s, dir) => {
@@ -100,6 +137,28 @@ object Apply {
   val oracle: Map[String, String] = Map(
     "q_apply_lambda" -> lambdaSql,
     "q_apply_typed_map" -> lambdaSql,
+
+    // gaps-and-islands replay of the grouped fold: a streak break is
+    // price <= lag(price) (lag NULL on the first row also breaks —
+    // CASE's NULL falls to ELSE 1); islands are running sums of breaks;
+    // the streak is the island length
+    "q_groupby_apply" ->
+      """WITH s AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_totalprice > lag(o_totalprice) OVER w
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |g AS (SELECT o_custkey,
+        |    SUM(brk) OVER (PARTITION BY o_custkey
+        |                   ORDER BY o_orderdate, o_orderkey
+        |                   ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM s),
+        |isl AS (SELECT o_custkey, grp, COUNT(*) AS len
+        |  FROM g GROUP BY o_custkey, grp)
+        |SELECT o_custkey, CAST(SUM(len) AS BIGINT) AS n_orders,
+        |  MAX(len) AS max_streak
+        |FROM isl GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_map_dict" ->
       """SELECT o_orderkey, o_orderpriority,

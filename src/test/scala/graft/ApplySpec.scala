@@ -21,6 +21,27 @@ class ApplySpec extends SparkSpecBase {
     assert(viaExpr.exceptAll(viaMap).isEmpty && viaMap.exceptAll(viaExpr).isEmpty)
   }
 
+  test("grouped apply (flatMapGroups) matches a declarative window replay") {
+    val got = Apply.queries("q_groupby_apply")(spark, sf)
+    // declarative twin: gaps-and-islands in Spark SQL windows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val s = Tables(spark, sf, "orders")
+      .withColumn("brk",
+        when(col("o_totalprice") > lag(col("o_totalprice"), 1).over(w), 0)
+          .otherwise(1))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val want = s.groupBy(col("o_custkey"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("len")).as("n_orders"), max(col("len")).as("max_streak"))
+      .orderBy(col("o_custkey"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("map(dict) leaves unmapped keys null like pandas") {
     val got = Apply.queries("q_map_dict")(spark, sf)
     val unmapped = got.filter(col("sla_days").isNull)
