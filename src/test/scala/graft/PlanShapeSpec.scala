@@ -406,7 +406,10 @@ class PlanShapeSpec extends SparkSpecBase {
       // bucket_stats' 4 are each load-bearing: signature distinct,
       // (band,bh) count, size histogram, final total order
       "q_pagerank_converged" -> 0, "q_kmeans_converged" -> 2,
-      "q_minhash_bucket_stats" -> 4, "q_tpch_q9" -> 6)
+      "q_minhash_bucket_stats" -> 4, "q_tpch_q9" -> 6,
+      // keep_best: label join + cluster agg + member filter + order on
+      // top of the pinned CC labels; variant: agg + total order
+      "q_dedup_keep_best" -> 4, "q_variant_extract" -> 2)
     for ((name, budget) <- budgets) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size +
