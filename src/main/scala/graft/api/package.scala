@@ -220,6 +220,13 @@ package object api {
     /** [[nearDupClusters]] by large-star/small-star contraction. */
     def nearDupClustersStar(): DataFrame = Dedup.connectedComponentsStar(df)
 
+    /** Resolve this document frame's near-dup clusters (from `pairs`)
+      * to their `qualityCol`-best member each, `idCol` tiebreak →
+      * (cluster, n_members, kept_id, kept_quality). */
+    def keepBestPerCluster(idCol: String, qualityCol: String,
+                           pairs: DataFrame): DataFrame =
+      Dedup.keepBestClusters(df, idCol, qualityCol, pairs)
+
     /** Classify this frame's rows against an already-ingested base
       * corpus: (idCol, status) with dup_base / dup_batch / keep. */
     def incrementalDedupAgainst(base: DataFrame, idCol: String,

@@ -741,4 +741,32 @@ object Dedup {
     base.unpersist(false)
     result
   }
+
+  /** Resolve near-dup clusters to ONE survivor each by quality: every
+    * row of `df` is labeled with its component from `pairs` (absent →
+    * its own singleton), then each cluster keeps its `qualityCol`-max
+    * member with `idCol` as the total-order tiebreak — the policy real
+    * pipelines run instead of min-id (keep the longest / highest-score
+    * document). One max-of-struct hash aggregate (codegen, map-side
+    * partial); the component labels stay bounded by the near-dup doc
+    * count, so AQE broadcasts the label join exactly as in the min-id
+    * resolution path.
+    *
+    * @return (cluster, n_members, kept_id, kept_quality) per cluster —
+    *         including singletons; filter n_members >= 2 for the
+    *         near-dup report. */
+  def keepBestClusters(df: DataFrame, idCol: String, qualityCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    df.join(cc, col(idCol) === col("id"), "left")
+      .select(col(idCol), col(qualityCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(qualityCol).as("q"),
+          (-col(idCol)).as("negid"),
+          col(idCol).as("kid"))).as("b"))
+      .select(col("cluster"), col("n_members"),
+        col("b.kid").as("kept_id"), col("b.q").as("kept_quality"))
+  }
 }

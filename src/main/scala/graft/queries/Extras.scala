@@ -568,19 +568,11 @@ object Extras {
       val d = Tables(s, dir, "documents")
       val pairs = Dedup.minhashPairs(d, "doc_id", "text",
         k = 16, bands = 4, threshold = 0.5)
-      val cc = Dedup.connectedComponents(pairs)
-      d.join(cc, col("doc_id") === col("id"), "left")
-        .select(col("doc_id"), col("n_chars"),
-          coalesce(col("cluster"), col("doc_id")).as("cluster"))
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_members"),
-          max(struct(col("n_chars").as("n_chars"),
-            (-col("doc_id")).as("negid"),
-            col("doc_id").as("doc_id"))).as("b"))
+      Dedup.keepBestClusters(d, "doc_id", "n_chars", pairs)
         .filter(col("n_members") >= 2)
         .select(col("cluster"), col("n_members"),
-          col("b.doc_id").as("kept_doc_id"),
-          col("b.n_chars").as("kept_chars"))
+          col("kept_id").as("kept_doc_id"),
+          col("kept_quality").as("kept_chars"))
         .orderBy(col("cluster"))
     }),
 
