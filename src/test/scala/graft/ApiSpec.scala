@@ -56,6 +56,19 @@ class ApiSpec extends SparkSpecBase {
     assert(got == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("keepBestPerCluster keeps the quality-max member, id tiebreak, " +
+    "singletons included") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = docs.keepBestPerCluster("doc_id", "n_chars", pairs)
+      .orderBy("cluster")
+      .select("cluster", "n_members", "kept_id", "kept_quality")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster {1,2,3}: quality max 9 ties between 2 and 3 → smaller id
+    assert(got == Seq((1L, 3L, 2L, 9L), (4L, 1L, 4L, 2L)))
+  }
+
   test("describeNum returns one exact summary row") {
     val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x").describeNum("x")
     val r = d.collect().head
