@@ -42,6 +42,59 @@ class ApplySpec extends SparkSpecBase {
     assert(got.count() > 0)
   }
 
+  test("grouped fold runs with O(1) task memory via secondary sort — " +
+    "the huge-group alternative to flatMapGroups' buffered group") {
+    // q_groupby_apply buffers one group per task to sort it — fine
+    // while groups are basket-bounded, but a pipeline whose groups can
+    // be millions of rows wants the secondary-sort shape instead:
+    // repartition ON the key, sortWithinPartitions BY (key, order),
+    // then one streaming mapPartitions fold that detects group
+    // boundaries — per-task state is three scalars, independent of
+    // group size. Same answer, bit for bit.
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).as("ots"))
+    val streamed = base
+      .repartition(7, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"), col("ots"), col("o_orderkey"))
+      .as[(Long, Long, Double, Long)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long)] {
+          private var cust = 0L
+          private var n = 0L
+          private var cur = 0
+          private var best = 0
+          private var prev = 0.0
+          private var open = false
+          private def close(): (Long, Long, Long) = { open = false; (cust, n, best.toLong) }
+          def hasNext: Boolean = it.hasNext || open
+          def next(): (Long, Long, Long) = {
+            while (it.hasNext) {
+              val r = it.next()
+              if (!open) { cust = r._1; n = 0; cur = 0; best = 0; open = true }
+              else if (r._1 != cust) {
+                val done = close()
+                cust = r._1; n = 0; cur = 0; best = 0; open = true
+                n = 1; cur = 1; best = 1; prev = r._3
+                return done
+              }
+              cur = if (n == 0L || r._3 > prev) cur + 1 else 1
+              n += 1
+              prev = r._3
+              if (cur > best) best = cur
+            }
+            close()
+          }
+        }
+      }
+      .toDF("o_custkey", "n_orders", "max_streak")
+      .orderBy(col("o_custkey"))
+    val want = Apply.queries("q_groupby_apply")(spark, sf)
+    assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty)
+  }
+
   test("map(dict) leaves unmapped keys null like pandas") {
     val got = Apply.queries("q_map_dict")(spark, sf)
     val unmapped = got.filter(col("sla_days").isNull)
