@@ -752,6 +752,10 @@ object Dedup {
     * count, so AQE broadcasts the label join exactly as in the min-id
     * resolution path.
     *
+    * The min-id tiebreak rides the max-of-struct as a negated id, so
+    * `idCol` must not contain Long.MinValue (negation overflows); every
+    * id space in this engine is non-negative.
+    *
     * @return (cluster, n_members, kept_id, kept_quality) per cluster —
     *         including singletons; filter n_members >= 2 for the
     *         near-dup report. */

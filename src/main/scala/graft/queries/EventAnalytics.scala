@@ -187,6 +187,63 @@ object EventAnalytics {
         rate(7).as("d7"), rate(30).as("d30"))
     }),
 
+    // Kaplan–Meier survival over user lifetimes (parity-plus: the
+    // product-analytics companion of q_retention_curve/q_churn — the
+    // estimator handles CENSORING, which plain retention rates cannot:
+    // users still active at the corpus horizon aren't churn events,
+    // they just leave the risk set). Lifetime = last−first active day;
+    // churn = no activity in the final
+    // corpus day (the inactivity window is a parameter; 1 day here
+    // because the 30-day fixture's users idle at most 2 days — this
+    // cutoff makes BOTH estimator paths load-bearing: 17/156 churn
+    // events at sf0.01/sf0.1 drive the likelihood term, the active
+    // majority exercises censoring). Scale shape: one
+    // user-keyed agg, then everything runs on the per-duration frame
+    // (calendar-sized); prefix sums via GlobalOrder's two-pass recipe —
+    // no global single-partition window. Determinism: the survival
+    // product runs in log space — each factor ln((n−d)/n) is a libm
+    // call on a bit-identical double quantized to a 1e-9 long BEFORE
+    // the order-free integer prefix sum, one exp at output, 1e-6
+    // floor-quantized (the q_logreg_step recipe). A duration whose
+    // events empty the risk set sends survival to exactly 0 from that
+    // point on (cum_z gate) — ln(0) never evaluates.
+    "q_survival_km" -> ((s, dir) => {
+      val day = expr("unix_micros(ts) div 86400000000")
+      val spans = Tables(s, dir, "events")
+        .select(col("user_id"), day.as("__d"))
+        .groupBy(col("user_id"))
+        .agg(min(col("__d")).as("fd"), max(col("__d")).as("ld"))
+      val stats = spans.agg(count(lit(1)).as("n_users"),
+        max(col("ld")).as("horizon"))
+      val perDur = spans.crossJoin(broadcast(stats))
+        .select((col("ld") - col("fd")).as("dur_days"),
+          when(col("ld") < col("horizon"), 1L).otherwise(0L).as("ch"),
+          col("n_users"))
+        .groupBy(col("dur_days"))
+        .agg(count(lit(1)).as("n_d"), sum(col("ch")).as("n_events"),
+          max(col("n_users")).as("n_users"))
+      val withN = GlobalOrder.withRunningSum(perDur,
+        Seq(col("dur_days")), col("n_d"), "cum_n", scale = 0)
+      val risk = withN.select(col("dur_days"), col("n_events"),
+        (col("n_users") - col("cum_n") + col("n_d")).cast("long")
+          .as("n_risk"))
+      val terms = risk.select(col("dur_days"), col("n_risk"), col("n_events"),
+        when(col("n_events") < col("n_risk"),
+          floor(log((col("n_risk") - col("n_events")).cast("double") /
+            col("n_risk").cast("double")) * 1e9 + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("lnq"),
+        when(col("n_events") === col("n_risk"), 1L).otherwise(0L).as("z"))
+      val cum = GlobalOrder.withRunningSum(
+        GlobalOrder.withRunningSum(terms,
+          Seq(col("dur_days")), col("lnq"), "cum_ln", scale = 0),
+        Seq(col("dur_days")), col("z"), "cum_z", scale = 0)
+      cum.select(col("dur_days"), col("n_risk"), col("n_events"),
+          when(col("cum_z") > 0, lit(0.0)).otherwise(
+            floor(exp(col("cum_ln") / 1e9) * 1e6 + 0.5) / 1e6)
+            .as("survival"))
+        .orderBy(col("dur_days"))
+    }),
+
     // Lorenz curve (the curve the Gini coefficient summarizes):
     // cumulative share of spend held by the bottom-x% of users, at
     // deciles. Same exact milli-long user totals and two-pass ranking
@@ -815,6 +872,38 @@ object EventAnalytics {
         |SELECT (SELECT COUNT(*) FROM v) AS n_view,
         |  (SELECT COUNT(*) FROM c) AS n_click_30m,
         |  (SELECT COUNT(*) FROM p) AS n_purchase_60m""".stripMargin,
+
+    "q_survival_km" ->
+      """WITH sp AS (SELECT user_id,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS fd,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS ld
+        |  FROM events GROUP BY user_id),
+        |st AS (SELECT COUNT(*) AS n_users, MAX(ld) AS horizon FROM sp),
+        |f AS (SELECT ld - fd AS dur_days,
+        |    CASE WHEN ld < horizon THEN 1 ELSE 0 END AS ch
+        |  FROM sp, st),
+        |pd AS (SELECT dur_days, COUNT(*) AS n_d, SUM(ch) AS n_events
+        |  FROM f GROUP BY dur_days),
+        |r AS (SELECT dur_days, n_events,
+        |    (SELECT n_users FROM st) - SUM(n_d) OVER w + n_d AS n_risk
+        |  FROM pd
+        |  WINDOW w AS (ORDER BY dur_days ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |    CAST(n_events AS BIGINT) AS n_events,
+        |    CASE WHEN n_events < n_risk THEN
+        |      CAST(FLOOR(ln(CAST(n_risk - n_events AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS lnq,
+        |    CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS z
+        |  FROM r),
+        |c AS (SELECT dur_days, n_risk, n_events,
+        |    SUM(lnq) OVER w AS cum_ln, SUM(z) OVER w AS cum_z
+        |  FROM t WINDOW w AS (ORDER BY dur_days ROWS UNBOUNDED PRECEDING))
+        |SELECT dur_days, n_risk, n_events,
+        |  CASE WHEN cum_z > 0 THEN 0.0
+        |       ELSE FLOOR(exp(CAST(cum_ln AS DOUBLE) / 1e9) * 1e6 + 0.5)
+        |         / 1e6 END AS survival
+        |FROM c ORDER BY dur_days""".stripMargin,
 
     "q_retention_curve" ->
       """WITH s AS (SELECT user_id,
