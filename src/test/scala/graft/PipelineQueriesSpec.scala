@@ -20,6 +20,36 @@ class PipelineQueriesSpec extends SparkSpecBase {
     assert(gotSum == expected)
   }
 
+  test("Kaplan-Meier survival matches the hand-computed curve on a " +
+    "5-user fixture with censoring") {
+    // users (first_day, last_day): u1 (0,1) churn, u2 (0,2) churn,
+    // u3 (0,3) censored at horizon, u4 (1,3) censored, u5 (3,3)
+    // censored. durations: 0 (1 censored), 1 (1 event), 2 (1 event +
+    // 1 censored), 3 (1 censored). KM: S(0)=1, S(1)=3/4,
+    // S(2)=3/4 * 2/3 = 1/2, S(3)=1/2.
+    val rows = Seq(
+      (1L, 0, 101L), (2L, 1, 101L),
+      (3L, 0, 102L), (4L, 2, 102L),
+      (5L, 0, 103L), (6L, 3, 103L),
+      (7L, 1, 104L), (8L, 3, 104L),
+      (9L, 3, 105L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
+    rows.toDF("event_id", "d", "user_id")
+      .select(col("event_id"),
+        expr("timestamp_micros(d * 86400000000)").as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_survival_km")(spark, dir)
+      .select("dur_days", "n_risk", "n_events", "survival")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (0L, 5L, 0L, 1.0),
+      (1L, 4L, 1L, 0.75),
+      (2L, 3L, 1L, 0.5),
+      (3L, 1L, 0L, 0.5)), got.toString)
+  }
+
   test("stratified sample is deterministic and actually downsamples 'en'") {
     val a = SparkEntry.queries("q_stratified_sample")(spark, sf)
       .as[(Long, String)].collect().toSeq
