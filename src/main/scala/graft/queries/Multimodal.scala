@@ -19,7 +19,55 @@ import graft.operators.Media
   */
 object Multimodal {
 
+  private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** 200 striped-PNG FILES on disk (img_<id>.png, the same closed-form
+    * geometry as [[Media.syntheticImages]]) — the ingest fixture for the
+    * binaryFile source. Driver-side loop: 200-file fixture prep, same
+    * class as the CSV fixtures; a production corpus would already BE on
+    * shared storage. */
+  private def imageFiles(s: org.apache.spark.sql.SparkSession,
+                         dir: String): String =
+    fixtures.computeIfAbsent(s"imgfiles:$dir", { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_imgfiles_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      new java.io.File(tmp).mkdirs()
+      for (id <- 0L until 200L) {
+        val w = (8 + id % 16).toInt
+        val h = (8 + 2 * (id % 8)).toInt
+        val g = ((id * 7) % 200).toInt
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, s"img_$id.png"),
+          Media.encodeGrayPng(w, h, g, g + 40))
+      }
+      tmp
+    })
+
   val queries: Map[String, Q] = Map(
+    // The multimodal INGEST entry point the other media queries skip:
+    // image files on shared storage read through Spark's binaryFile
+    // source (one row per file: path + content + size — listed and
+    // split distributively, no driver byte funnel), ids parsed from
+    // the path, bytes decoded by the real javax.imageio codec on
+    // executors. At 100 TB this is the first stage of every image
+    // pipeline; binaryFile also feeds readStream for incremental
+    // arrival. Oracle: the same closed forms as q_media_decode_real,
+    // restricted to the staged id range.
+    "q_media_ingest_files" -> ((s, dir) => {
+      val files = s.read.format("binaryFile")
+        .load(imageFiles(s, dir) + "/*.png")
+      val media = files.select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("bytes"),
+        struct(lit("image/png").as("mime"),
+          length(col("content")).cast("long").as("n_bytes")).as("meta"))
+      Media.decode(s, media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
     // decode: binary blob + metadata → per-image features via
     // mapPartitions batch decode, then resize to a 256 bounding box
     "q_media_decode" -> ((s, dir) => {
@@ -132,6 +180,13 @@ object Multimodal {
         |  CAST(8 + 2 * (doc_id % 8) AS INT) AS height,
         |  CAST((doc_id * 7) % 200 + 20 AS INT) AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_ingest_files" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + 2 * (doc_id % 8) AS INT) AS height,
+        |  CAST((doc_id * 7) % 200 + 20 AS INT) AS mean_luma
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q_media_frames" ->
       """WITH b AS (SELECT doc_id,
