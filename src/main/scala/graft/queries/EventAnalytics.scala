@@ -244,6 +244,69 @@ object EventAnalytics {
         .orderBy(col("dur_days"))
     }),
 
+    // Logrank test — the significance companion of q_survival_km (and
+    // the survival-analysis twin of q_ab_test's proportion z): do two
+    // user cohorts (deterministic md5 split) draw from the same
+    // survival curve? At each event time the observed cohort-A events
+    // are compared with the hypergeometric expectation d·n_A/n and
+    // variance d·(n_A/n)(1−n_A/n)(n−d)/(n−1); z = (O−E)/√V. Every
+    // per-time term is a fixed-order IEEE expression over exact-int
+    // doubles quantized to a 1e-9 long BEFORE the order-free sums
+    // (the q_psi recipe); the oracle replays the identical op
+    // sequence. Same calendar-sized per-duration frame and two-pass
+    // prefix sums as q_survival_km.
+    "q_logrank" -> ((s, dir) => {
+      val day = expr("unix_micros(ts) div 86400000000")
+      val spans = Tables(s, dir, "events")
+        .select(col("user_id"), day.as("__d"))
+        .groupBy(col("user_id"))
+        .agg(min(col("__d")).as("fd"), max(col("__d")).as("ld"))
+      val stats = spans.agg(max(col("ld")).as("horizon"))
+      val users = spans.crossJoin(broadcast(stats))
+        .select((col("ld") - col("fd")).as("dur"),
+          when(col("ld") < col("horizon"), 1L).otherwise(0L).as("ch"),
+          when(md5Bucket(col("user_id"), 2L, salt = "lr:") === 0, 1L)
+            .otherwise(0L).as("ga"))
+      val totals = users.agg(count(lit(1)).as("n_tot"),
+        sum(col("ga")).as("n_tot_a"))
+      val perDur = users.groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_d"), sum(col("ga")).as("n_d_a"),
+          sum(col("ch")).as("ev"), sum(col("ch") * col("ga")).as("ev_a"))
+      val cum = GlobalOrder.withRunningSum(
+        GlobalOrder.withRunningSum(perDur,
+          Seq(col("dur")), col("n_d"), "cum_n", scale = 0),
+        Seq(col("dur")), col("n_d_a"), "cum_a", scale = 0)
+      val risk = cum.crossJoin(broadcast(totals)).select(
+        col("ev"), col("ev_a"),
+        (col("n_tot") - col("cum_n") + col("n_d")).cast("long").as("nr"),
+        (col("n_tot_a") - col("cum_a") + col("n_d_a")).cast("long")
+          .as("nra"))
+      val fa = col("nra").cast("double") / col("nr").cast("double")
+      val terms = risk.filter(col("ev") > 0).select(
+        col("ev_a"),
+        floor(col("ev").cast("double") * col("nra").cast("double")
+          / col("nr").cast("double") * 1e9 + 0.5).cast("long").as("eq"),
+        when(col("nr") > 1,
+          floor(col("ev").cast("double") * fa * (lit(1.0) - fa) *
+            ((col("nr") - col("ev")).cast("double") /
+              (col("nr") - 1).cast("double")) * 1e9 + 0.5).cast("long"))
+          .otherwise(0L).as("vq"))
+      terms.agg(sum(col("ev_a")).as("o_a"), sum(col("eq")).as("eqs"),
+          sum(col("vq")).as("vqs"))
+        .crossJoin(broadcast(totals))
+        .select(col("n_tot").as("n_users"), col("n_tot_a").as("n_a"),
+          col("o_a"),
+          (floor(col("eqs").cast("double") / 1e9 * 1e6 + 0.5) / 1e6)
+            .as("e_a"),
+          (floor(col("vqs").cast("double") / 1e9 * 1e6 + 0.5) / 1e6)
+            .as("var_lr"),
+          when(col("vqs") > 0,
+            floor((col("o_a").cast("double") -
+                col("eqs").cast("double") / 1e9) /
+              sqrt(col("vqs").cast("double") / 1e9) * 1e6 + 0.5) / 1e6)
+            .otherwise(lit(0.0)).as("z_lr"))
+    }),
+
     // Lorenz curve (the curve the Gini coefficient summarizes):
     // cumulative share of spend held by the bottom-x% of users, at
     // deciles. Same exact milli-long user totals and two-pass ranking
@@ -872,6 +935,47 @@ object EventAnalytics {
         |SELECT (SELECT COUNT(*) FROM v) AS n_view,
         |  (SELECT COUNT(*) FROM c) AS n_click_30m,
         |  (SELECT COUNT(*) FROM p) AS n_purchase_60m""".stripMargin,
+
+    "q_logrank" ->
+      s"""WITH sp AS (SELECT user_id,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS fd,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS ld
+        |  FROM events GROUP BY user_id),
+        |st AS (SELECT MAX(ld) AS horizon FROM sp),
+        |u AS (SELECT ld - fd AS dur,
+        |    CASE WHEN ld < horizon THEN 1 ELSE 0 END AS ch,
+        |    CASE WHEN ${Extras.hex8("'lr:' || user_id::VARCHAR")} % 2 = 0
+        |      THEN 1 ELSE 0 END AS ga
+        |  FROM sp, st),
+        |tot AS (SELECT COUNT(*) AS n_tot, SUM(ga) AS n_tot_a FROM u),
+        |pd AS (SELECT dur, COUNT(*) AS n_d, SUM(ga) AS n_d_a,
+        |    SUM(ch) AS ev, SUM(ch * ga) AS ev_a
+        |  FROM u GROUP BY dur),
+        |r AS (SELECT ev, ev_a,
+        |    (SELECT n_tot FROM tot) - SUM(n_d) OVER w + n_d AS nr,
+        |    (SELECT n_tot_a FROM tot) - SUM(n_d_a) OVER w + n_d_a AS nra
+        |  FROM pd WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT ev_a,
+        |    CAST(FLOOR(CAST(ev AS DOUBLE) * CAST(nra AS DOUBLE)
+        |      / CAST(nr AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS eq,
+        |    CASE WHEN nr > 1 THEN CAST(FLOOR(CAST(ev AS DOUBLE)
+        |      * (CAST(nra AS DOUBLE) / CAST(nr AS DOUBLE))
+        |      * (1.0 - CAST(nra AS DOUBLE) / CAST(nr AS DOUBLE))
+        |      * (CAST(nr - ev AS DOUBLE) / CAST(nr - 1 AS DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT) ELSE 0 END AS vq
+        |  FROM r WHERE ev > 0),
+        |ag AS (SELECT CAST(SUM(ev_a) AS BIGINT) AS o_a,
+        |    CAST(SUM(eq) AS BIGINT) AS eqs,
+        |    CAST(SUM(vq) AS BIGINT) AS vqs FROM t)
+        |SELECT (SELECT n_tot FROM tot) AS n_users,
+        |  CAST((SELECT n_tot_a FROM tot) AS BIGINT) AS n_a, o_a,
+        |  FLOOR(CAST(eqs AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS e_a,
+        |  FLOOR(CAST(vqs AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS var_lr,
+        |  CASE WHEN vqs > 0 THEN
+        |    FLOOR((CAST(o_a AS DOUBLE) - CAST(eqs AS DOUBLE) / 1e9)
+        |      / sqrt(CAST(vqs AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6
+        |  ELSE 0.0 END AS z_lr
+        |FROM ag""".stripMargin,
 
     "q_survival_km" ->
       """WITH sp AS (SELECT user_id,
