@@ -50,6 +50,63 @@ class PipelineQueriesSpec extends SparkSpecBase {
       (3L, 1L, 0L, 0.5)), got.toString)
   }
 
+  test("logrank statistic equals a sequential Scala replay on the fixture") {
+    // Determinism witness independent of BOTH engines (the Logreg/Pca
+    // sequential-replay pattern): fold the per-user spans in plain
+    // Scala with the same quantization recipe and require the exact
+    // query output.
+    val got = SparkEntry.queries("q_logrank")(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+
+    val spans = Tables(spark, sf, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("user_id")
+      .agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+      .as[(Long, Long, Long)].collect()
+    val horizon = spans.map(_._3).max
+    def bucketA(uid: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lr:$uid".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val users = spans.map { case (uid, fd, ld) =>
+      (ld - fd, if (ld < horizon) 1L else 0L, if (bucketA(uid)) 1L else 0L)
+    }
+    val nTot = users.length.toLong
+    val nTotA = users.map(_._3).sum
+    val perDur = users.groupBy(_._1).toSeq.sortBy(_._1)
+    var cumN = 0L; var cumA = 0L
+    var oA = 0L; var eqs = 0L; var vqs = 0L
+    perDur.foreach { case (_, rows) =>
+      val nD = rows.length.toLong
+      val nDA = rows.map(_._3).sum
+      val ev = rows.map(_._2).sum
+      val evA = rows.filter(_._3 == 1L).map(_._2).sum
+      cumN += nD; cumA += nDA
+      val nr = nTot - cumN + nD
+      val nra = nTotA - cumA + nDA
+      if (ev > 0) {
+        oA += evA
+        eqs += math.floor(ev.toDouble * nra.toDouble / nr.toDouble * 1e9
+          + 0.5).toLong
+        if (nr > 1) {
+          val fa = nra.toDouble / nr.toDouble
+          vqs += math.floor(ev.toDouble * fa * (1.0 - fa) *
+            ((nr - ev).toDouble / (nr - 1).toDouble) * 1e9 + 0.5).toLong
+        }
+      }
+    }
+    val eA = math.floor(eqs.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+    val vLr = math.floor(vqs.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+    val zLr = if (vqs > 0)
+      math.floor((oA.toDouble - eqs.toDouble / 1e9) /
+        math.sqrt(vqs.toDouble / 1e9) * 1e6 + 0.5) / 1e6
+    else 0.0
+    assert(got == ((nTot, nTotA, oA, eA, vLr, zLr)), got.toString)
+  }
+
   test("stratified sample is deterministic and actually downsamples 'en'") {
     val a = SparkEntry.queries("q_stratified_sample")(spark, sf)
       .as[(Long, String)].collect().toSeq
