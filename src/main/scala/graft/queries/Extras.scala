@@ -29,6 +29,38 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // Flesch-style readability per doc — the classic filter knob next
+    // to q_text_quality's length/punct/stopword gates. Sentences =
+    // [.!?]+ runs; syllables = [aeiouy]+ vowel groups per word, min 1
+    // (the standard heuristic; exact integer counts on both engines).
+    // The per-WORD syllable count runs on the exploded word frame —
+    // never a per-row array HOF (CodegenFallback, the ngram lesson) —
+    // then one hash agg back to docs. The score is a fixed-order IEEE
+    // expression over exact-int doubles, 1e-6 floor-quantized.
+    "q_readability" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sent = d.select(col("doc_id"),
+        greatest(lit(1),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")))
+          .cast("long").as("n_sent"))
+      val syl = d.select(col("doc_id"),
+          explode(TextOps.normWords(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), greatest(lit(1),
+          size(expr("regexp_extract_all(w, '[aeiouy]+', 0)")))
+          .cast("long").as("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("s")).as("n_syl"))
+      val wpd = col("n_words").cast("double")
+      sent.join(syl, Seq("doc_id"))
+        .select(col("doc_id"), col("n_sent"), col("n_words"), col("n_syl"),
+          (floor((lit(206.835)
+            - lit(1.015) * (wpd / col("n_sent").cast("double"))
+            - lit(84.6) * (col("n_syl").cast("double") / wpd))
+            * 1e6 + 0.5) / 1e6).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms per doc (feature extraction): explode → TF agg →
     // DF agg → join on word → per-doc top-k on the ROUNDED score
     "q_tfidf" -> ((s, dir) => {
@@ -1162,6 +1194,27 @@ object Extras {
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_readability" ->
+      """WITH sc AS (SELECT doc_id,
+        |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')) AS w
+        |  FROM documents),
+        |sy AS (SELECT doc_id, COUNT(*) AS n_words,
+        |    SUM(GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))
+        |      AS n_syl
+        |  FROM w WHERE LENGTH(w) > 0 GROUP BY doc_id)
+        |SELECT sc.doc_id, CAST(n_sent AS BIGINT) AS n_sent,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_syl AS BIGINT) AS n_syl,
+        |  FLOOR((206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |    - 84.6 * (CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS flesch
+        |FROM sc JOIN sy ON sc.doc_id = sy.doc_id
+        |ORDER BY sc.doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
