@@ -205,7 +205,16 @@ object TextOps {
     *         overlapping occurrences merge fewer times than they
     *         count, e.g. `aaa` has pair-count 2 but one merge). */
   def bpeTrain(words: org.apache.spark.sql.DataFrame,
-               rounds: Int): org.apache.spark.sql.DataFrame = {
+               rounds: Int): org.apache.spark.sql.DataFrame =
+    bpeTrainWithSpellings(words, rounds)._1
+
+  /** [[bpeTrain]] that ALSO returns the final per-word spelling —
+    * (rules, spelled(word, freq, s)) — so the ENCODE path (apply the
+    * learned merges to a corpus) can join token counts per word
+    * without re-deriving the merge sequence. */
+  def bpeTrainWithSpellings(words: org.apache.spark.sql.DataFrame,
+                            rounds: Int):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val nSyms = size(split(wsTrim(col("s")), " +"))
     var spelled = words.select(col("word"), col("freq"),
@@ -235,6 +244,6 @@ object TextOps {
           col("pb").as("sym_b"), col("pair_count"))
         .crossJoin(broadcast(tokensAfter))
     }
-    rules.reduce(_.union(_)).orderBy(col("merge_rank"))
+    (rules.reduce(_.union(_)).orderBy(col("merge_rank")), spelled)
   }
 }

@@ -194,6 +194,31 @@ object TrainPrep {
       TextOps.bpeTrain(words, rounds = 6)
     }),
 
+    // BPE ENCODE — the apply half of q_bpe_merges' learn half: the
+    // same 6 trained merges, then every doc's whitespace tokens join
+    // the vocab-sized final-spelling table (AQE broadcasts it) and the
+    // per-doc BPE token count is one hash agg. This is the shape a
+    // tokenizer-sizing pass runs corpus-wide: train once at vocabulary
+    // scale, encode by join — the corpus text never re-enters the
+    // merge loop.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val words = Parallelism.fanOut(docs)
+        .select(explode(TextOps.normWords(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val (_, spelled) = TextOps.bpeTrainWithSpellings(words, rounds = 6)
+      val enc = spelled.select(col("word"),
+        size(split(TextOps.wsTrim(col("s")), " +")).cast("long").as("nsym"))
+      docs.select(col("doc_id"),
+          explode(TextOps.normWords(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(enc, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ws"), sum(col("nsym")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Heavy hitters: token types above 0.5% of all occurrences — the
     // exact two-aggregate path (type counts, then a broadcast 1-row
     // total). Map-side partial aggregation absorbs the heavy keys by
@@ -463,6 +488,51 @@ object TrainPrep {
       |  FROM documents),
       |c AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)""".stripMargin
 
+  /** Shared DuckDB replica of the 6-round BPE training loop: CTEs
+    * tok/wf/s0 then per round x$i (split), p$i (winning pair), s$i
+    * (re-spelled words, MATERIALIZED — inlining would re-run the
+    * whole prefix per consumer), k$i (the rule row). Ends with
+    * s$bpeMaxi = final spellings; consumers pick what they need —
+    * unreferenced CTEs are not evaluated. */
+  private val bpeMaxi = 6
+
+  private def bpeOracleCtes: String = {
+    def round_(i: Int) = {
+      val prev = s"s${i - 1}"
+      s"""x$i AS MATERIALIZED (SELECT freq,
+         |    regexp_split_to_array(TRIM(s), ' +') AS a FROM $prev),
+         |p$i AS MATERIALIZED (SELECT pa, pb,
+         |    CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq, a[i] AS pa, a[i+1] AS pb
+         |        FROM (SELECT freq, a,
+         |                unnest(generate_series(1, len(a) - 1)) AS i
+         |              FROM x$i) t) u
+         |  GROUP BY pa, pb ORDER BY pair_count DESC, pa, pb LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT w.word, w.freq,
+         |    replace(w.s, ' ' || p.pa || '  ' || p.pb || ' ',
+         |      ' ' || p.pa || p.pb || ' ') AS s
+         |  FROM $prev w, p$i p),
+         |k$i AS (SELECT CAST($i AS INT) AS merge_rank, pa AS sym_a,
+         |    pb AS sym_b, pair_count,
+         |    (SELECT CAST(SUM(freq *
+         |        len(regexp_split_to_array(TRIM(s), ' +'))) AS BIGINT)
+         |     FROM s$i) AS tokens_after
+         |  FROM p$i)""".stripMargin
+    }
+    val rounds = (1 to bpeMaxi).map(round_).mkString(",\n")
+    s"""tok AS (
+      |  SELECT unnest(regexp_split_to_array(
+      |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),
+      |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
+      |    '\\s+')) AS w
+      |  FROM documents),
+      |wf AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM tok WHERE w <> '' GROUP BY w),
+      |s0 AS MATERIALIZED (SELECT word, freq,
+      |    regexp_replace(word, '(.)', ' \\1 ', 'g') AS s FROM wf),
+      |$rounds""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     // weight dim as unnested parallel lists cast to DOUBLE (a bare
@@ -544,45 +614,31 @@ object TrainPrep {
     // same wrapped-token replace spelling as the Spark side, so the
     // greedy merge is byte-identical
     "q_bpe_merges" -> {
-      val MAXI = 6
-      def round_(i: Int) = {
-        val prev = s"s${i - 1}"
-        s"""x$i AS MATERIALIZED (SELECT freq,
-           |    regexp_split_to_array(TRIM(s), ' +') AS a FROM $prev),
-           |p$i AS MATERIALIZED (SELECT pa, pb,
-           |    CAST(SUM(freq) AS BIGINT) AS pair_count
-           |  FROM (SELECT freq, a[i] AS pa, a[i+1] AS pb
-           |        FROM (SELECT freq, a,
-           |                unnest(generate_series(1, len(a) - 1)) AS i
-           |              FROM x$i) t) u
-           |  GROUP BY pa, pb ORDER BY pair_count DESC, pa, pb LIMIT 1),
-           |s$i AS MATERIALIZED (SELECT w.word, w.freq,
-           |    replace(w.s, ' ' || p.pa || '  ' || p.pb || ' ',
-           |      ' ' || p.pa || p.pb || ' ') AS s
-           |  FROM $prev w, p$i p),
-           |k$i AS (SELECT CAST($i AS INT) AS merge_rank, pa AS sym_a,
-           |    pb AS sym_b, pair_count,
-           |    (SELECT CAST(SUM(freq *
-           |        len(regexp_split_to_array(TRIM(s), ' +'))) AS BIGINT)
-           |     FROM s$i) AS tokens_after
-           |  FROM p$i)""".stripMargin
-      }
-      val rounds = (1 to MAXI).map(round_).mkString(",\n")
-      val unioned = (1 to MAXI).map(i => s"SELECT * FROM k$i")
+      val unioned = (1 to bpeMaxi).map(i => s"SELECT * FROM k$i")
         .mkString("\nUNION ALL ")
-      s"""WITH tok AS (
-        |  SELECT unnest(regexp_split_to_array(
+      s"""WITH $bpeOracleCtes
+        |SELECT * FROM ($unioned) ORDER BY merge_rank""".stripMargin
+    },
+
+    // encode replica: the same trained CTE chain, then per-doc words
+    // join the final spelling s6 for symbol counts (unreferenced k
+    // CTEs are never evaluated)
+    "q_bpe_encode" ->
+      s"""WITH $bpeOracleCtes,
+        |enc AS (SELECT word,
+        |    CAST(len(regexp_split_to_array(TRIM(s), ' +')) AS BIGINT)
+        |      AS nsym
+        |  FROM s$bpeMaxi),
+        |dw AS (SELECT doc_id, unnest(regexp_split_to_array(
         |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),
         |         ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)),
         |    '\\s+')) AS w
-        |  FROM documents),
-        |wf AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
-        |  FROM tok WHERE w <> '' GROUP BY w),
-        |s0 AS MATERIALIZED (SELECT word, freq,
-        |    regexp_replace(word, '(.)', ' \\1 ', 'g') AS s FROM wf),
-        |$rounds
-        |SELECT * FROM ($unioned) ORDER BY merge_rank""".stripMargin
-    },
+        |  FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+        |  CAST(SUM(nsym) AS BIGINT) AS n_bpe
+        |FROM (SELECT doc_id, w FROM dw WHERE w <> '') d
+        |JOIN enc ON d.w = enc.word
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_tokenizer_fertility" ->
       """WITH t AS (SELECT lang,
