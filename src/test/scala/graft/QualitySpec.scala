@@ -133,4 +133,26 @@ class QualitySpec extends SparkSpecBase {
         .as("dom")).collect()(0)
     assert(bad.getAs[Long]("key_nulls") > 0 && bad.getAs[Long]("dom") > 0)
   }
+
+  test("observe() rides quality counters on the main job — no second scan") {
+    // At 100 TB a separate constraint-scan doubles the read; Spark's
+    // Observation attaches accumulator-backed metrics to the SAME
+    // action. The counters must equal the dedicated quality scan's.
+    import org.apache.spark.sql.Observation
+    val obs = Observation("quality")
+    val orders = Tables(spark, sf, "orders")
+    val observed = orders.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_keys"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+      max(col("o_orderdate")).as("max_date"))
+    // ONE action drives both the business result and the counters
+    val nUrgent = observed.filter(col("o_orderpriority") === "1-URGENT")
+      .count()
+    val m = obs.get
+    assert(m("n_rows") == orders.count())
+    assert(m("null_keys") == 0L && m("bad_price") == 0L)
+    assert(nUrgent > 0 && nUrgent < m("n_rows").asInstanceOf[Long])
+    assert(m("max_date") != null)
+  }
 }
