@@ -761,16 +761,26 @@ object Dedup {
     *         near-dup report. */
   def keepBestClusters(df: DataFrame, idCol: String, qualityCol: String,
                        pairs: DataFrame): DataFrame = {
+    // the tiebreak negates the id, so it must be a numeric column —
+    // a string id would cast to null and silently invert the policy
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"keepBestClusters: idCol '$idCol' must be an integral column " +
+        s"for the min-id tiebreak, got ${idType.typeName}")
+    // label columns renamed before the join so caller frames that
+    // already carry an `id` or `cluster` column stay unambiguous
     val cc = connectedComponents(pairs)
-    df.join(cc, col(idCol) === col("id"), "left")
+      .select(col("id").as("__kb_id"), col("cluster").as("__kb_cluster"))
+    df.join(cc, col(idCol) === col("__kb_id"), "left")
       .select(col(idCol), col(qualityCol),
-        coalesce(col("cluster"), col(idCol)).as("cluster"))
-      .groupBy(col("cluster"))
+        coalesce(col("__kb_cluster"), col(idCol)).as("__kb_c"))
+      .groupBy(col("__kb_c"))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col(qualityCol).as("q"),
           (-col(idCol)).as("negid"),
           col(idCol).as("kid"))).as("b"))
-      .select(col("cluster"), col("n_members"),
+      .select(col("__kb_c").as("cluster"), col("n_members"),
         col("b.kid").as("kept_id"), col("b.q").as("kept_quality"))
   }
 }

@@ -56,21 +56,25 @@ object Graphs {
     * node set, so joining pr instead of a bare node list is
     * row-equivalent) — the convergence gate then needs ONE tiny
     * aggregate over the pinned frame, not its own join. */
-  private def prStep(edges: DataFrame, deg: DataFrame,
-                     pr: DataFrame): DataFrame = {
+  private def prStep(edges: DataFrame, deg: DataFrame, pr: DataFrame,
+                     trackDelta: Boolean): DataFrame = {
     val contrib = edges
       .join(pr.select(col("node").as("src"), col("prq")), Seq("src"))
       .join(deg, Seq("src"))
       .select(col("dst").as("node"), expr("prq div deg").as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-    pr.select(col("node"), col("prq").as("__prev"))
+    val next = pr.select(col("node"), col("prq").as("__prev"))
       .join(contrib, Seq("node"), "left")
       .select(col("node"), (lit(150000000L) +
         floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
           + 0.5).cast("long")).as("prq"), col("__prev"))
-      .select(col("node"), col("prq"),
+    // the fixed-iteration path has no gate, so it doesn't pay for
+    // materializing a per-node delta it never reads
+    val out =
+      if (trackDelta) next.select(col("node"), col("prq"),
         abs(col("prq") - col("__prev")).as("__delta"))
-      .pinned
+      else next.select(col("node"), col("prq"))
+    out.pinned
   }
 
   /** PageRank over undirected (a, b) pairs: `iters` fixed join-based
@@ -79,8 +83,8 @@ object Graphs {
   def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
     val (edges, deg, nodes) = prSetup(pairs)
     var pr = nodes.select(col("node"), lit(1000000000L).as("prq"))
-    for (_ <- 1 to iters) pr = prStep(edges, deg, pr)
-    pr.select(col("node"), col("prq"))
+    for (_ <- 1 to iters) pr = prStep(edges, deg, pr, trackDelta = false)
+    pr
   }
 
   /** PageRank iterated to CONVERGENCE — the loop shape a real training
@@ -119,7 +123,7 @@ object Graphs {
     var k = 0
     var converged = false
     while (k < maxIters && !converged) {
-      val next = prStep(edges, deg, pr)
+      val next = prStep(edges, deg, pr, trackDelta = true)
       // The step already carries |Δprq| per node, so the gate is one
       // aggregate over the pinned iterate — no extra join or shuffle.
       val row = next

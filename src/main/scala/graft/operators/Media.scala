@@ -166,14 +166,19 @@ object Media {
     * height 8+2·(id%8), stripes at g and g+40 → mean luma g+20 where
     * g = 7·id % 200). Encoding runs per-partition — each executor
     * produces its own rows' blobs; no bytes originate at the driver. */
+  /** The striped-PNG closed forms (width, height, base luma) for one
+    * id — the ONE definition the in-memory generator, the on-disk
+    * file fixture, and (by transcription) the DuckDB oracles share.
+    * Change it here and in the oracle strings together. */
+  private[graft] def stripeParams(id: Long): (Int, Int, Int) =
+    ((8 + id % 16).toInt, (8 + 2 * (id % 8)).toInt, ((id * 7) % 200).toInt)
+
   def syntheticImages(spark: SparkSession, ids: DataFrame): DataFrame = {
     import spark.implicits._
     ids.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val w = (8 + id % 16).toInt
-          val h = (8 + 2 * (id % 8)).toInt
-          val g = ((id * 7) % 200).toInt
+          val (w, h, g) = stripeParams(id)
           MediaIn(id, encodeGrayPng(w, h, g, g + 40), "image/png")
         }
       }
@@ -215,8 +220,7 @@ object Media {
     ids.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val w = (8 + id % 16).toInt
-          val h = (8 + 2 * (id % 8)).toInt
+          val (w, h, _) = stripeParams(id)
           val c1 = (((id * 3) % 256).toInt, ((id * 5) % 256).toInt,
             ((id * 7) % 256).toInt)
           val c2 = ((c1._1 + 40) % 256, (c1._2 + 40) % 256, (c1._3 + 40) % 256)
@@ -261,8 +265,7 @@ object Media {
     ids.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val w = (8 + id % 16).toInt
-          val h = (8 + 2 * (id % 8)).toInt
+          val (w, h, _) = stripeParams(id)
           val g = (8 + (id * 11) % 240).toInt
           MediaIn(id, encodeGrayJpeg(w, h, g), "image/jpeg")
         }

@@ -20,6 +20,29 @@ import graft.operators.Pin.PinOps
   */
 object EventAnalytics {
 
+  /** Per-user lifetime rows shared by the survival tier (q_survival_km,
+    * q_logrank): (user_id, dur, ch) — lifetime in days and the churn
+    * flag. Churn policy lives HERE, once: no activity in the final
+    * corpus day (1-day inactivity window; the 30-day fixture's users
+    * idle at most 2 days, so this cutoff keeps both the event and the
+    * censoring path load-bearing — change it in the oracles too). The
+    * user agg is pinned: both queries consume it at least twice
+    * (totals + the per-duration agg), and the pin keeps the events
+    * scan single-pass. */
+  private def userLifetimes(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val spans = Tables(s, dir, "events")
+      .select(col("user_id"), day.as("__d"))
+      .groupBy(col("user_id"))
+      .agg(min(col("__d")).as("fd"), max(col("__d")).as("ld"))
+      .pinned
+    val stats = spans.agg(max(col("ld")).as("horizon"))
+    spans.crossJoin(broadcast(stats))
+      .select(col("user_id"), (col("ld") - col("fd")).as("dur"),
+        when(col("ld") < col("horizon"), 1L).otherwise(0L).as("ch"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // RFM user scoring (the classic CRM segmentation): recency = days
@@ -208,20 +231,12 @@ object EventAnalytics {
     // events empty the risk set sends survival to exactly 0 from that
     // point on (cum_z gate) — ln(0) never evaluates.
     "q_survival_km" -> ((s, dir) => {
-      val day = expr("unix_micros(ts) div 86400000000")
-      val spans = Tables(s, dir, "events")
-        .select(col("user_id"), day.as("__d"))
-        .groupBy(col("user_id"))
-        .agg(min(col("__d")).as("fd"), max(col("__d")).as("ld"))
-      val stats = spans.agg(count(lit(1)).as("n_users"),
-        max(col("ld")).as("horizon"))
-      val perDur = spans.crossJoin(broadcast(stats))
-        .select((col("ld") - col("fd")).as("dur_days"),
-          when(col("ld") < col("horizon"), 1L).otherwise(0L).as("ch"),
-          col("n_users"))
-        .groupBy(col("dur_days"))
-        .agg(count(lit(1)).as("n_d"), sum(col("ch")).as("n_events"),
-          max(col("n_users")).as("n_users"))
+      val lf = userLifetimes(s, dir)
+      val totals = lf.agg(count(lit(1)).as("n_users"))
+      val perDur = lf
+        .groupBy(col("dur").as("dur_days"))
+        .agg(count(lit(1)).as("n_d"), sum(col("ch")).as("n_events"))
+        .crossJoin(broadcast(totals))
       val withN = GlobalOrder.withRunningSum(perDur,
         Seq(col("dur_days")), col("n_d"), "cum_n", scale = 0)
       val risk = withN.select(col("dur_days"), col("n_events"),
@@ -256,15 +271,8 @@ object EventAnalytics {
     // sequence. Same calendar-sized per-duration frame and two-pass
     // prefix sums as q_survival_km.
     "q_logrank" -> ((s, dir) => {
-      val day = expr("unix_micros(ts) div 86400000000")
-      val spans = Tables(s, dir, "events")
-        .select(col("user_id"), day.as("__d"))
-        .groupBy(col("user_id"))
-        .agg(min(col("__d")).as("fd"), max(col("__d")).as("ld"))
-      val stats = spans.agg(max(col("ld")).as("horizon"))
-      val users = spans.crossJoin(broadcast(stats))
-        .select((col("ld") - col("fd")).as("dur"),
-          when(col("ld") < col("horizon"), 1L).otherwise(0L).as("ch"),
+      val users = userLifetimes(s, dir)
+        .select(col("dur"), col("ch"),
           when(md5Bucket(col("user_id"), 2L, salt = "lr:") === 0, 1L)
             .otherwise(0L).as("ga"))
       val totals = users.agg(count(lit(1)).as("n_tot"),

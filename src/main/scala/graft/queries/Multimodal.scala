@@ -34,9 +34,7 @@ object Multimodal {
         dir.replaceAll("[^A-Za-z0-9]", "_")
       new java.io.File(tmp).mkdirs()
       for (id <- 0L until 200L) {
-        val w = (8 + id % 16).toInt
-        val h = (8 + 2 * (id % 8)).toInt
-        val g = ((id * 7) % 200).toInt
+        val (w, h, g) = Media.stripeParams(id)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, s"img_$id.png"),
           Media.encodeGrayPng(w, h, g, g + 40))
