@@ -29,6 +29,38 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // Jensen–Shannon divergence between src0's unigram distribution
+    // and the rest of the corpus — the symmetric, [0, ln 2]-bounded
+    // drift metric next to q_psi's binned PSI (JS works directly on
+    // the open vocabulary; PSI needs closed bins). One explode + one
+    // vocab-sized hash agg; totals broadcast as a 1-row frame. Each
+    // word's 0.5·(p·ln(p/m) + q·ln(q/m)) term is a fixed-order IEEE
+    // expression over exact-count ratios quantized to a 1e-9 long
+    // BEFORE the order-free sum (the q_psi recipe); zero-count sides
+    // contribute their exact limit 0 via the CASE, and m = (p+q)/2 is
+    // never 0 on the union vocabulary.
+    "q_js_divergence" -> ((s, dir) => {
+      val words = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .select(col("source"), explode(TextOps.normWords(col("text")))
+          .as("w"))
+        .filter(length(col("w")) > 0)
+        .select((col("source") === "src0").cast("long").as("a"), col("w"))
+      val counts = words.groupBy(col("w"))
+        .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+      val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      val p = col("ca").cast("double") / col("ta").cast("double")
+      val q = col("cb").cast("double") / col("tb").cast("double")
+      val m = (p + q) / 2.0
+      val term = (when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))) * 0.5
+      counts.crossJoin(broadcast(tot))
+        .select(floor(term * 1e9 + 0.5).cast("long").as("tq"))
+        .agg(count(lit(1)).as("n_words"), sum(col("tq")).as("s"))
+        .select(col("n_words"),
+          (floor(col("s").cast("double") / 1e9 * 1e6 + 0.5) / 1e6)
+            .as("jsd"))
+    }),
+
     // Flesch-style readability per doc — the classic filter knob next
     // to q_text_quality's length/punct/stopword gates. Sentences =
     // [.!?]+ runs; syllables = [aeiouy]+ vowel groups per word, min 1
@@ -1194,6 +1226,35 @@ object Extras {
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_js_divergence" ->
+      """WITH w AS (SELECT source,
+        |    unnest(regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM w WHERE w <> '' GROUP BY w),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+        |    CAST(SUM(cb) AS BIGINT) AS tb FROM c),
+        |t AS (SELECT
+        |    CAST(FLOOR((
+        |      CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+        |        * ln((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+        |          / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |            + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0))
+        |      ELSE 0.0 END
+        |      + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |        * ln((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |          / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |            + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0))
+        |      ELSE 0.0 END) * 0.5 * 1e9 + 0.5) AS BIGINT) AS tq
+        |  FROM c, tot)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  FLOOR(CAST(SUM(tq) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS jsd
+        |FROM t""".stripMargin,
 
     "q_readability" ->
       """WITH sc AS (SELECT doc_id,
