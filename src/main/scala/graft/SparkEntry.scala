@@ -82,7 +82,9 @@ object SparkEntry {
     "q_minhash_bucket_stats",
     // round-8 continuation: the kmeans convergence gate
     "q_kmeans_converged",
-    // round 9: runtime partition pruning, VARIANT extraction, and the
-    // keep-best dedup resolution policy
-    "q_dpp_join", "q_variant_extract", "q_dedup_keep_best")
+    // round 9: runtime partition pruning, VARIANT extraction, the
+    // keep-best dedup resolution policy, the survival/drift tier, and
+    // the grouped-apply seam
+    "q_dpp_join", "q_variant_extract", "q_dedup_keep_best",
+    "q_survival_km", "q_groupby_apply", "q_js_divergence")
 }

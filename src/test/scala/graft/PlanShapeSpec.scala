@@ -409,7 +409,10 @@ class PlanShapeSpec extends SparkSpecBase {
       "q_minhash_bucket_stats" -> 4, "q_tpch_q9" -> 6,
       // keep_best: label join + cluster agg + member filter + order on
       // top of the pinned CC labels; variant: agg + total order
-      "q_dedup_keep_best" -> 4, "q_variant_extract" -> 2)
+      "q_dedup_keep_best" -> 4, "q_variant_extract" -> 2,
+      // survival: duration agg + the GlobalOrder two-pass prefix sums
+      // over the calendar-sized frame + final order
+      "q_survival_km" -> 4)
     for ((name, budget) <- budgets) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size +
