@@ -53,6 +53,29 @@ object Tables {
     case other => sys.error(s"unexpected events.ts type: $other")
   }
 
-  /** Small dimension tables that should always be broadcast in joins. */
-  val broadcastable: Set[String] = Set("region", "nation", "supplier", "part", "customer")
+  /** Dimensions whose cardinality is FIXED at every scale factor
+    * (region = 5 rows, nation = 25 rows, at sf0.001 or at 100 TB).
+    * Only these carry a forced `broadcast()` hint — a hint overrides
+    * Spark's size checks, so it is safe exactly when the table cannot
+    * outgrow an executor.
+    *
+    * customer / part / supplier are deliberately NOT here: they scale
+    * linearly with SF (customer is ~15 B rows at the 100 TB point), so a
+    * forced hint would OOM executors at scale. Joins against them go
+    * unhinted through [[dimHint]]: at small SF Catalyst's size estimate
+    * still plans a static broadcast (the parquet footprint sits far under
+    * `spark.sql.autoBroadcastJoinThreshold`), and at large SF the plan
+    * degrades gracefully to a shuffle join — with AQE converting back to
+    * broadcast at runtime whenever the *measured* post-filter shuffle
+    * size turns out small (witnessed in AqeSkewSpec). Either way the
+    * decision is made from sizes, never forced.
+    */
+  val fixedDims: Set[String] = Set("region", "nation")
+
+  /** Broadcast hint gated on fixed cardinality: `name` is the dimension
+    * the frame derives from (the frame itself may be filtered/projected —
+    * a filtered slice of an SF-scaling dim still scales with SF, so it is
+    * judged by its source table, not its current size). */
+  def dimHint(name: String, df: DataFrame): DataFrame =
+    if (fixedDims(name)) org.apache.spark.sql.functions.broadcast(df) else df
 }

@@ -684,7 +684,7 @@ object EventAnalytics {
     // compares identical doubles on both engines.
     "q_pareto_abc" -> ((s, dir) => {
       val rev = Tables(s, dir, "lineitem")
-        .join(broadcast(Tables(s, dir, "part")
+        .join(Tables.dimHint("part", Tables(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))

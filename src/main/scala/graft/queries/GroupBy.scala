@@ -123,8 +123,10 @@ object GroupBy {
 
     // TPC-H Q3 (shipping-priority variant on the fixture's columns):
     // the canonical 3-table join + agg + top-k. Plan shape at scale:
-    // the BUILDING customers (1/5 of a small dim) broadcast into
-    // orders, the orders×lineitem equi-join shuffles on orderkey (the
+    // the BUILDING customers broadcast into orders while they fit
+    // (size-gated via Tables.dimHint — customer scales with SF, so the
+    // hint is never forced; AQE converts from measured sizes at scale),
+    // the orders×lineitem equi-join shuffles on orderkey (the
     // fact-fact join — no way around it), revenue is an exact decimal
     // sum, and the top-10 is TakeOrderedAndProject, never a global
     // sort. Fixture dates run 1995..2001, so the classic 1995-03-15
@@ -142,7 +144,8 @@ object GroupBy {
         .filter(col("l_shipdate") > cut)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(Tables.dimHint("customer", cust),
+          col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(discountedRevenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
@@ -167,8 +170,12 @@ object GroupBy {
     }),
 
     // TPC-H Q5 (local supplier volume): the 6-table join. Scale shape:
-    // region→nation→supplier and customer are all dims — they broadcast;
-    // the one real shuffle is orders×lineitem on orderkey. The
+    // region/nation (fixed 5/25 rows) carry forced broadcast hints;
+    // supplier and customer are size-gated (they scale with SF — at
+    // small SF Catalyst's estimate still broadcasts them, at 100 TB
+    // the plan degrades to shuffle joins with AQE converting back when
+    // the measured size allows). The one unavoidable shuffle is
+    // orders×lineitem on orderkey. The
     // c_nationkey = s_nationkey "local" constraint is a post-join filter
     // between two broadcast-sourced columns, so it costs nothing extra.
     "q_tpch_q5" -> ((s, dir) => {
@@ -187,10 +194,11 @@ object GroupBy {
         .select(col("l_orderkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, dir, "customer")
+        .join(Tables.dimHint("customer", Tables(s, dir, "customer")
             .select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        .join(Tables.dimHint("supplier", supp),
+          col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(discountedRevenue(col("l_extendedprice"), col("l_discount")))
@@ -211,7 +219,7 @@ object GroupBy {
         .filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, dir, "customer")),
+        .join(Tables.dimHint("customer", Tables(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -233,7 +241,7 @@ object GroupBy {
         .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
         .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(Tables(s, dir, "part")
+        .join(Tables.dimHint("part", Tables(s, dir, "part")
             .select(col("p_partkey"), col("p_type"))),
           col("l_partkey") === col("p_partkey"))
         .agg(
@@ -260,7 +268,7 @@ object GroupBy {
         .filter(col("sum_qty") > 300)
       Tables(s, dir, "orders")
         .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables(s, dir, "customer")
+        .join(Tables.dimHint("customer", Tables(s, dir, "customer")
             .select(col("c_custkey"), col("c_name"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
@@ -342,9 +350,11 @@ object GroupBy {
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
           col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.dimHint("supplier", supp),
+          col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(Tables.dimHint("customer", cust),
+          col("o_custkey") === col("c_custkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
@@ -388,7 +398,7 @@ object GroupBy {
         .pinned
       val top = rev.agg(max(col("total_rev")).as("max_rev"))
       rev.join(broadcast(top), col("total_rev") === col("max_rev"))
-        .join(broadcast(Tables(s, dir, "supplier")
+        .join(Tables.dimHint("supplier", Tables(s, dir, "supplier")
             .select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
@@ -413,9 +423,10 @@ object GroupBy {
         .select(col("p_partkey"), col("p_brand"), col("p_type"),
           col("p_size"))
       Tables(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(excl),
+        .join(Tables.dimHint("supplier", excl),
           col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(Tables.dimHint("part", pt),
+          col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -435,7 +446,7 @@ object GroupBy {
         .filter(col("p_brand") === "Brand#5").select(col("p_partkey"))
       val li = Tables(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        .join(broadcast(pt),
+        .join(Tables.dimHint("part", pt),
           col("l_partkey") === col("p_partkey"), "left_semi")
         .pinned
       val avgq = li.groupBy(col("l_partkey"))
@@ -460,7 +471,8 @@ object GroupBy {
         .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
         .select(col("l_partkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey") && (
+        .join(Tables.dimHint("part", pt),
+          col("l_partkey") === col("p_partkey") && (
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
             col("l_quantity") <= 11) ||
           (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
@@ -500,7 +512,8 @@ object GroupBy {
         .select(col("l_orderkey").as("o2_okey"), col("l_suppkey").as("o2_skey"))
       val lateOthers = late
         .select(col("l_orderkey").as("o3_okey"), col("l_suppkey").as("o3_skey"))
-      late.join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      late.join(Tables.dimHint("supplier", suppN),
+          col("l_suppkey") === col("s_suppkey"))
         .join(others, col("l_orderkey") === col("o2_okey") &&
           col("l_suppkey") =!= col("o2_skey"), "left_semi")
         .join(lateOthers, col("l_orderkey") === col("o3_okey") &&
@@ -562,14 +575,16 @@ object GroupBy {
           col("n_name"))
       val cand = Tables(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.dimHint("part", pt),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.dimHint("supplier", supp),
+          col("l_suppkey") === col("s_suppkey"))
         .select(col("p_partkey"), col("s_name"), col("s_acctbal"),
           col("n_name"))
         .pinned
       val mins = cand.groupBy(col("p_partkey").as("mp_partkey"))
         .agg(min(col("s_acctbal")).as("min_bal"))
-      cand.join(broadcast(mins),
+      cand.join(Tables.dimHint("part", mins),
           col("p_partkey") === col("mp_partkey") &&
             col("s_acctbal") === col("min_bal"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -608,13 +623,16 @@ object GroupBy {
         .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
           col("o_orderdate") <= lit("1996-12-31").cast("timestamp"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(Tables.dimHint("customer", cust),
+          col("o_custkey") === col("c_custkey"), "left_semi")
       val vol = discountedRevenue(col("l_extendedprice"), col("l_discount"))
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey"), "left_semi")
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.dimHint("part", pt),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(Tables.dimHint("supplier", supp),
+          col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg((sum(when(col("supp_nation") === "NATION_4", vol)
@@ -647,8 +665,10 @@ object GroupBy {
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.dimHint("part", pt),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.dimHint("supplier", supp),
+          col("l_suppkey") === col("s_suppkey"))
         .join(Tables(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
@@ -673,7 +693,8 @@ object GroupBy {
         .select(col("s_suppkey"))
       val value = Tables(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(Tables.dimHint("supplier", suppN),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice").cast(DecimalType(30, 2))).as("value"))
         .pinned
@@ -700,7 +721,8 @@ object GroupBy {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-        .join(broadcast(pt), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(Tables.dimHint("part", pt),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(dsum(col("l_quantity")).as("qty"))
         .filter(col("qty") > 40)
@@ -709,7 +731,8 @@ object GroupBy {
         .join(broadcast(Tables(s, dir, "nation")
             .filter(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(Tables.dimHint("supplier", excess),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"))
         .orderBy(col("s_name"))
     }),

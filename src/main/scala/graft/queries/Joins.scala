@@ -77,11 +77,14 @@ object Joins {
         .orderBy(col("r_regionkey"), col("n_nationkey"))
     }),
 
-    // inner join fact→dim with broadcast; aggregated revenue per segment
+    // inner join fact→dim; the dim is size-gated (customer scales with
+    // SF, so the broadcast decision belongs to Catalyst's estimate at
+    // small SF and to AQE's measured conversion at scale — never forced)
     "q_join_inner" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
       val c = Tables(s, dir, "customer")
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "inner")
+      o.join(Tables.dimHint("customer", c),
+          col("o_custkey") === col("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("revenue"))

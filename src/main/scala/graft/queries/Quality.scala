@@ -220,7 +220,7 @@ object Quality {
       val o = Tables(s, dir, "orders")
       val custKeys = Tables(s, dir, "customer")
         .select(col("c_custkey")).distinct()
-      val joined = o.join(broadcast(custKeys),
+      val joined = o.join(Tables.dimHint("customer", custKeys),
         col("o_custkey") === col("c_custkey"), "left")
       joined.agg(
         count(lit(1)).as("n_rows"),
