@@ -5,8 +5,50 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). One warm-up pass amortizes
   * scan/codegen setup (the reference's perf harness likewise measures
-  * warm medians — `sdc/tests/tests_perf/test_perf_base.py:42-62`). */
+  * warm medians — `sdc/tests/tests_perf/test_perf_base.py:42-62`).
+  *
+  * Besides wall-clock (noisy ±2× on a shared box), a SparkListener
+  * records per-query RESOURCE metrics — shuffle read/write bytes,
+  * memory/disk spill bytes, task count — during each query's final
+  * timed rep, and writes them to a sibling artifact
+  * (SPARK_GRAFT_METRICS_OUT, default BENCH_METRICS.json for full runs).
+  * Bytes and task counts are exactly reproducible for a fixed plan and
+  * fixture, so two rounds' artifacts diff as PLAN changes, immune to
+  * the wall-clock noise that made rounds 7–9 incomparable. */
 object Bench {
+
+  /** Accumulates task-level resource metrics attributed to the query
+    * named in `current` (null = ignore, e.g. warm-up runs). */
+  private class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var current: String = null
+    @volatile var lastEventNs: Long = System.nanoTime()
+    val acc = scala.collection.concurrent.TrieMap[String, Array[Long]]()
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      lastEventNs = System.nanoTime()
+      val q = current
+      if (q != null && te.taskMetrics != null) {
+        val a = acc.getOrElseUpdate(q, Array.fill(5)(0L))
+        a.synchronized {
+          a(0) += te.taskMetrics.shuffleReadMetrics.totalBytesRead
+          a(1) += te.taskMetrics.shuffleWriteMetrics.bytesWritten
+          a(2) += te.taskMetrics.memoryBytesSpilled
+          a(3) += te.taskMetrics.diskBytesSpilled
+          a(4) += 1
+        }
+      }
+    }
+    /** The listener bus delivers task events asynchronously; the action
+      * returning only guarantees the JOB finished. Wait until the bus
+      * has been quiet for 150 ms (cap 3 s) before detaching a query so
+      * its trailing task-end events land in the right bucket. */
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 3000000000L
+      while (System.nanoTime() - lastEventNs < 150000000L &&
+          System.nanoTime() < deadline) Thread.sleep(10)
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,15 +114,23 @@ object Bench {
     // query immediately before its own timing — rather than one global
     // warm-up pass over every query — keeps cross-query residue out of
     // the measurement window.
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     val results = names.map { name =>
       scrub()
       if (!run(name)) name -> -1.0
       else {
         val times = (1 to reps).map { i =>
           if (i > 1) System.gc()
+          // resource metrics are identical across reps (fixed plan,
+          // fixed data) — attribute only the final rep, so the
+          // recorded bytes are ONE execution's, not reps×
+          if (i == reps) { listener.quiesce(); listener.current = name }
           val t0 = System.nanoTime()
           val ok = run(name)
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (i == reps) { listener.quiesce(); listener.current = null }
+          if (ok) dt else -1.0
         }
         val med =
           if (times.contains(-1.0)) -1.0
@@ -92,27 +142,53 @@ object Bench {
         name -> med
       }
     }
+    // Sibling resource artifact: per-query shuffle/spill bytes + task
+    // counts (+ the measured seconds for cross-reference). Full runs
+    // overwrite the repo-root artifact the driver archives; targeted
+    // local iterations go to /tmp so they can't clobber it.
+    val metricsOut = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT",
+      if (args.isEmpty) "BENCH_METRICS.json" else "/tmp/bench_metrics.json")
+    val metricsJson = {
+      val qs = results.map { case (name, sec) =>
+        val a = listener.acc.getOrElse(name, Array.fill(5)(0L))
+        s""" "$name": {"shuffle_read_b": ${a(0)}, "shuffle_write_b": ${a(1)},""" +
+          s""" "mem_spill_b": ${a(2)}, "disk_spill_b": ${a(3)},""" +
+          s""" "tasks": ${a(4)}, "sec": ${"%.3f".formatLocal(java.util.Locale.ROOT, sec)}}"""
+      }.mkString(",\n")
+      s"""{\n"sf": "$sfDir",\n"queries": {\n$qs\n}\n}\n"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(metricsOut),
+      metricsJson.getBytes("UTF-8"))
     // 3-decimal rendering keeps the WHOLE line under ~1.8 KB at 70+
     // queries: the driver records only the last 2000 chars of output, and
     // full-precision doubles pushed rounds 7-8 past that, truncating the
     // line's head ("metric"/"value") so the driver's JSON parse failed.
     // Millisecond resolution is far below this box's ±2x run noise.
-    def render(decimals: Int): String = {
+    // `value` is computed from the ROUNDED per-query entries, so the
+    // printed queries always sum exactly to the printed total — the
+    // artifact is self-consistent at any precision (full-precision
+    // seconds live in the metrics sibling's "sec" fields).
+    def render(decimals: Int, withQueries: Boolean): String = {
       def fmt(v: Double): String =
         s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+      def rnd(v: Double): Double = fmt(v).toDouble
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // A failed query must poison the headline number, not subtract its
       // -1.0 sentinel from it (which would make a BROKEN round bench
       // faster than a working one).
       val total =
-        if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+        if (results.exists(_._2 < 0)) -1.0
+        else results.map(r => rnd(r._2)).sum
+      val q = if (withQueries) s""","queries":$qs""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$q,"sf":"$sfDir"}"""
     }
     // If the headline set ever grows enough that 3dp overflows the 1.9 KB
-    // budget, degrade precision rather than the parse.
-    val line = (3 to 1 by -1).iterator.map(render)
-      .find(_.length <= 1900).getOrElse(render(1))
+    // budget, degrade precision rather than the parse; if even 1dp
+    // overflows, drop the queries map entirely (total + metrics sibling
+    // still carry everything) rather than print an unparsable line.
+    val line = (3 to 1 by -1).iterator.map(render(_, withQueries = true))
+      .find(_.length <= 1900).getOrElse(render(3, withQueries = false))
     println(line)
     spark.stop()
   }

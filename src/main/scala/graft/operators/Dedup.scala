@@ -752,9 +752,17 @@ object Dedup {
     * count, so AQE broadcasts the label join exactly as in the min-id
     * resolution path.
     *
-    * The min-id tiebreak rides the max-of-struct as a negated id, so
-    * `idCol` must not contain Long.MinValue (negation overflows); every
-    * id space in this engine is non-negative.
+    * The min-id tiebreak rides the max-of-struct as the id negated IN
+    * DECIMAL(20,0) — wide enough that even Long.MinValue negates
+    * exactly (a bare long negation would wrap silently there and
+    * invert the tiebreak), so the full id range is safe.
+    *
+    * NULL quality loses: struct-field comparison orders NULL below
+    * every non-null value, so a null-quality member survives only in
+    * an all-null cluster — which then deterministically degrades to
+    * the min-id policy with `kept_quality` NULL. Callers wanting a
+    * hard guarantee should filter or coalesce the quality column
+    * first.
     *
     * @return (cluster, n_members, kept_id, kept_quality) per cluster —
     *         including singletons; filter n_members >= 2 for the
@@ -778,7 +786,8 @@ object Dedup {
       .groupBy(col("__kb_c"))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col(qualityCol).as("q"),
-          (-col(idCol)).as("negid"),
+          (-col(idCol).cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+            .as("negid"),
           col(idCol).as("kid"))).as("b"))
       .select(col("__kb_c").as("cluster"), col("n_members"),
         col("b.kid").as("kept_id"), col("b.q").as("kept_quality"))

@@ -161,11 +161,6 @@ object Media {
     bos.toByteArray
   }
 
-  /** Deterministic real-PNG corpus: one striped grayscale PNG per id,
-    * every parameter a closed form in doc_id (width 8+id%16, even
-    * height 8+2·(id%8), stripes at g and g+40 → mean luma g+20 where
-    * g = 7·id % 200). Encoding runs per-partition — each executor
-    * produces its own rows' blobs; no bytes originate at the driver. */
   /** The striped-PNG closed forms (width, height, base luma) for one
     * id — the ONE definition the in-memory generator, the on-disk
     * file fixture, and (by transcription) the DuckDB oracles share.
@@ -173,6 +168,12 @@ object Media {
   private[graft] def stripeParams(id: Long): (Int, Int, Int) =
     ((8 + id % 16).toInt, (8 + 2 * (id % 8)).toInt, ((id * 7) % 200).toInt)
 
+  /** Deterministic real-PNG corpus: one striped grayscale PNG per id,
+    * every parameter the [[stripeParams]] closed form in doc_id (width
+    * 8+id%16, even height 8+2·(id%8), stripes at g and g+40 → mean luma
+    * g+20 where g = 7·id % 200). Encoding runs per-partition — each
+    * executor produces its own rows' blobs; no bytes originate at the
+    * driver. */
   def syntheticImages(spark: SparkSession, ids: DataFrame): DataFrame = {
     import spark.implicits._
     ids.select(col("doc_id").cast("long")).as[Long]

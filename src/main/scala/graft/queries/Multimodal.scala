@@ -22,18 +22,27 @@ object Multimodal {
   private val fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** 200 striped-PNG FILES on disk (img_<id>.png, the same closed-form
+  /** Striped-PNG FILES on disk (img_<id>.png, the same closed-form
     * geometry as [[Media.syntheticImages]]) — the ingest fixture for the
-    * binaryFile source. Driver-side loop: 200-file fixture prep, same
-    * class as the CSV fixtures; a production corpus would already BE on
-    * shared storage. */
+    * binaryFile source, one file per staged doc_id. Driver-side loop:
+    * bounded-file fixture prep, same class as the CSV fixtures; a
+    * production corpus would already BE on shared storage.
+    *
+    * The staged ids are the first min(200, count) doc_ids ACTUALLY in
+    * the documents table (not an assumed 0..199 range), so the query and
+    * its oracle agree on any fixture keying. The directory is a fresh
+    * `createTempDirectory` per JVM — a fixed path shared across JVMs
+    * could leak stale files from an older id range or a concurrent
+    * writer into the glob read. */
   private def imageFiles(s: org.apache.spark.sql.SparkSession,
                          dir: String): String =
     fixtures.computeIfAbsent(s"imgfiles:$dir", { _ =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_imgfiles_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
-      new java.io.File(tmp).mkdirs()
-      for (id <- 0L until 200L) {
+      val ids = Tables(s, dir, "documents")
+        .select(col("doc_id")).orderBy(col("doc_id")).limit(200)
+        .collect().map(_.getLong(0))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_imgfiles_").toString
+      for (id <- ids) {
         val (w, h, g) = Media.stripeParams(id)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, s"img_$id.png"),
@@ -179,12 +188,15 @@ object Multimodal {
         |  CAST((doc_id * 7) % 200 + 20 AS INT) AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the staged set mirrors imageFiles: the first min(200, count)
+    // doc_ids actually present, not an assumed contiguous range
     "q_media_ingest_files" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 16 AS INT) AS width,
         |  CAST(8 + 2 * (doc_id % 8) AS INT) AS height,
         |  CAST((doc_id * 7) % 200 + 20 AS INT) AS mean_luma
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) d
+        |ORDER BY doc_id""".stripMargin,
 
     "q_media_frames" ->
       """WITH b AS (SELECT doc_id,

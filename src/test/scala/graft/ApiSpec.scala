@@ -69,6 +69,24 @@ class ApiSpec extends SparkSpecBase {
     assert(got == Seq((1L, 3L, 2L, 9L), (4L, 1L, 4L, 2L)))
   }
 
+  test("keepBestPerCluster: Long.MinValue id survives the decimal-negated " +
+    "tiebreak; NULL quality loses to any non-null") {
+    // quality ties at 9 across {MinValue, 0}: the tiebreak negates ids in
+    // DECIMAL(20,0), so MinValue orders as the LARGEST negid → it wins
+    // the min-id policy instead of wrapping to itself-as-minimum noise
+    val docs = Seq((Long.MinValue, Some(9L)), (0L, Some(9L)),
+        (7L, None), (8L, Some(1L)))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((Long.MinValue, 0L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = docs.keepBestPerCluster("doc_id", "n_chars", pairs)
+      .orderBy("kept_id")
+      .select("n_members", "kept_id", "kept_quality")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (2L, Long.MinValue, Some(9L)), // exact negation → min-id wins the tie
+      (2L, 8L, Some(1L))))           // null quality loses to quality 1
+  }
+
   test("describeNum returns one exact summary row") {
     val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x").describeNum("x")
     val r = d.collect().head

@@ -4,7 +4,13 @@ OUT (written by graft.Verify), run the corresponding oracle SQL from
 oracle_sql.json in DuckDB over the sf parquet tables, sort columns by
 name and rows by all columns, and compare values.
 
-Usage: python3 tools/compare.py /tmp/verify_out /root/testdata/sf0.01
+Usage: python3 tools/compare.py /tmp/verify_out /root/testdata/sf0.01 \
+           [CORRECTNESS-style-artifact.json]
+
+With the optional third arg, also writes a driver-format artifact
+({q: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}) so scale-fixture runs (e.g. /tmp/sf1_real) leave the same
+evidence shape the per-round gate produces.
 """
 import json, sys, glob, math
 import duckdb
@@ -13,7 +19,7 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, json_out=None):
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -85,6 +91,19 @@ def main(out_dir, sf_dir):
         if v != "OK":
             print(f"{k}: {v}")
     print(f"\n{n_ok}/{len(results)} OK")
+    if json_out:
+        art = {}
+        for k, v in sorted(results.items()):
+            ok = v == "OK"
+            art[k] = {
+                "rows_match": ok or not v.startswith("ROWS"),
+                "schema_match": ok or not v.startswith("SCHEMA"),
+                "hash_match": ok,
+                "err": None if ok else v}
+        with open(json_out, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         sys.argv[3] if len(sys.argv) > 3 else None)
