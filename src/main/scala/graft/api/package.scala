@@ -129,10 +129,13 @@ package object api {
     // ——— graph analytics (co-occurrence graphs) ———
 
     /** Undirected co-occurrence pairs (a < b) of items sharing a key,
-      * kept at co-occurrence ≥ minCount — basket-bounded self-join. */
+      * kept at co-occurrence ≥ minCount — basket-bounded self-join;
+      * maxBasket caps the per-key fan-out deterministically. */
     def coOccurrencePairs(keyCol: String, itemCol: String,
-                          minCount: Long = 2L): DataFrame =
-      graft.operators.Graphs.coOccurrencePairs(df, keyCol, itemCol, minCount)
+                          minCount: Long = 2L,
+                          maxBasket: Int = 64): DataFrame =
+      graft.operators.Graphs.coOccurrencePairs(df, keyCol, itemCol,
+        minCount, maxBasket)
 
     /** PageRank over (a, b) pair rows → (node, prq); prq/1e9 = rank. */
     def pageRank(iters: Int = 3): DataFrame =

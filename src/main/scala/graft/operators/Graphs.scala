@@ -23,10 +23,32 @@ object Graphs {
   /** Undirected co-occurrence pairs (a < b) of `itemCol` values sharing
     * a `keyCol` value, kept when the pair co-occurs ≥ `minCount` times.
     * The self-join is keyed on `keyCol` — per-key fan-out is basket² on
-    * that key only. */
+    * that key only.
+    *
+    * `maxBasket` bounds the basket² term the way every other
+    * quadratic-risk family here does (minhash bucket cap, RangeJoin
+    * maxMatches, fuzzy block cap): each key keeps its first `maxBasket`
+    * rows by item order — a row_number gate riding the key shuffle
+    * itself, selected BEFORE anything quadratic. On a 100 TB event log
+    * one hot session (the organic-sf1 soak's hottest user already holds
+    * 2.1% of events) would otherwise square. The truncation is
+    * deterministic and oracle-mirrorable: the kept rows are the
+    * item-ordered head, and ties among equal (key, item) rows are
+    * indistinguishable two-column tuples, so either pick yields the
+    * same multiset. Order baskets are schema-bounded far below the
+    * default, so the TPC-H graph queries are cap-unaffected at every
+    * tested SF — the gate exists for open-ended keys (sessions, users,
+    * documents). */
   def coOccurrencePairs(df: DataFrame, keyCol: String, itemCol: String,
-                        minCount: Long = 2L): DataFrame = {
+                        minCount: Long = 2L,
+                        maxBasket: Int = 64): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__i"))
     val base = df.select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBasket)
+      .select(col("__k"), col("__i"))
     base.join(base.withColumnRenamed("__i", "__j"), Seq("__k"))
       .filter(col("__i") < col("__j"))
       .groupBy(col("__i").as("a"), col("__j").as("b"))

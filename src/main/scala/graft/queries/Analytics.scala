@@ -391,8 +391,19 @@ object Analytics {
     // lift with (a, b) tiebreak, so near-tie doubles cannot reorder the
     // cut cross-engine.
     "q_assoc_rules" -> ((s, dir) => {
+      // the same per-key fan-out gate as Graphs.coOccurrencePairs:
+      // each basket keeps its first 64 items (deterministic — distinct
+      // makes (orderkey, partkey) a total order), so one hot basket on
+      // an open-ended key can never square. Order baskets sit far
+      // below 64 at every SF, so the gate is a no-op here; the oracle
+      // mirrors it with the same QUALIFY.
+      val obw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
       val ob = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .withColumn("__rn", row_number().over(obw))
+        .filter(col("__rn") <= 64)
+        .select(col("l_orderkey"), col("l_partkey"))
         .pinned // item supports + both sides of the pair join
       val tot = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
       val item = ob.groupBy(col("l_partkey").as("item"))
@@ -655,7 +666,10 @@ object Analytics {
 
     // same basket joins; ranking on the rounded lift with (a,b) ties
     "q_assoc_rules" ->
-      """WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH ob AS (SELECT l_orderkey, l_partkey FROM (
+        |    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_partkey) <= 64),
         |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
         |item AS (SELECT l_partkey AS item, COUNT(*) AS supp
         |  FROM ob GROUP BY 1),
@@ -680,7 +694,9 @@ object Analytics {
 
     // same degree orientation; wedges close on the undirected edge set
     "q_triangle_count" ->
-      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_partkey) <= 64),
         |pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey < b.l_partkey
@@ -724,7 +740,9 @@ object Analytics {
           |        + 0.5) AS BIGINT) AS BIGINT) AS prq
           |  FROM (SELECT src AS node FROM deg) n
           |  LEFT JOIN i$i i USING (node))""".stripMargin
-      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_partkey) <= 64),
         |pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey < b.l_partkey
@@ -772,7 +790,9 @@ object Analytics {
       val allp = (1 to MAXI)
         .map(i => s"SELECT $i AS iter, node, prq FROM p$i")
         .mkString("\nUNION ALL ")
-      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_partkey) <= 64),
         |pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey < b.l_partkey
