@@ -246,4 +246,133 @@ object TextOps {
     }
     (rules.reduce(_.union(_)).orderBy(col("merge_rank")), spelled)
   }
+
+  /** [[bpeTrainWithSpellings]] with WAVE-BATCHED merges — the
+    * production-depth variant. The sequential trainer runs one Spark
+    * job wave per RULE; a 32k-vocab tokenizer needs thousands of rules,
+    * so per-rule waves are the scale bottleneck of BPE training, not
+    * the data. This variant learns several provably NON-INTERACTING
+    * rules per wave from one pair count, cutting driver round-trips by
+    * the mean wave width while returning BIT-IDENTICAL output to the
+    * sequential greedy (spec'd in BpeBatchSpec, and live under
+    * q_bpe_merges' sequential-unroll oracle).
+    *
+    * Admission — candidates scan in the greedy total order
+    * (count DESC, pa, pb); the wave takes the running prefix and STOPS
+    * (never skips) at the first candidate that could interact with an
+    * already-selected rule r = (a, b):
+    *
+    *  - symbol overlap: the candidate names a, b, or the merged symbol
+    *    "ab" — merging r would change its count or its identity;
+    *  - count ≤ B(r) = adjMax(r) + catMax(r), where adjMax is the
+    *    largest count among pairs adjacent to r (q.pb = a — destroyed
+    *    "x a b" contexts — or q.pa = b, destroyed "a b y") and catMax
+    *    the largest count among pairs already naming the symbol "ab".
+    *    Every pair the merge of r creates or grows embeds one of those
+    *    adjacencies, so its post-merge count is ≤ B(r): a candidate
+    *    strictly above B(r) still outranks everything the merge can
+    *    produce, which is exactly what sequential greedy would pick
+    *    next. Pairs BETWEEN the candidate and r in the order were
+    *    either admitted (disjoint) or stopped the wave, so nothing
+    *    above the candidate was skipped;
+    *  - self pairs (a = a): occurrences overlap ("aaa" counts 2, merges
+    *    once), so their token reduction is not their count — one
+    *    admits only as a single-rule wave.
+    *
+    * Within a wave the rules' instance sets are disjoint (non-self
+    * pairs cannot overlap themselves, and symbol-disjoint rules cannot
+    * touch each other's instances), so one chained replace pass in rank
+    * order IS the sequential application, each rule removes exactly
+    * pair_count symbols, and the per-rule tokens_after back-fills
+    * exactly from one end-of-wave recount: T_i = T_end + Σ_{j>i} c_j.
+    *
+    * Cost model: one pair-count + one head/stats collect + one recount
+    * per WAVE (all vocabulary-scale), against the sequential trainer's
+    * two jobs per RULE. The ≤`headSize`-row admission scan is driver
+    * loop CONTROL on metadata-sized data — the same exception class as
+    * the convergence gates. */
+  def bpeTrainBatchedWithSpellings(words: org.apache.spark.sql.DataFrame,
+                                   rounds: Int, headSize: Int = 64):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(headSize >= 1, s"headSize must be >= 1, got $headSize")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val nSyms = size(split(wsTrim(col("s")), " +"))
+    var spelled = words.select(col("word"), col("freq"),
+      regexp_replace(col("word"), "(.)", " $1 ").as("s")).pinned
+    val rules = scala.collection.mutable
+      .ArrayBuffer[(Int, String, String, Long, Long)]()
+    while (rules.size < rounds) {
+      val pairsDf = spelled
+        .select(col("freq"), split(wsTrim(col("s")), " +").as("a"))
+        .select(col("freq"), col("a"), posexplode(col("a")))
+        .filter(col("pos") < size(col("a")) - 1)
+        .select(col("freq"), col("col").as("pa"),
+          get(col("a"), col("pos") + 1).as("pb"))
+        .groupBy(col("pa"), col("pb")).agg(sum(col("freq")).as("c"))
+        .pinned // head scan + stats join read it
+      val head = pairsDf.orderBy(col("c").desc, col("pa"), col("pb"))
+        .limit(headSize).as[(String, String, Long)].collect()
+      require(head.nonEmpty,
+        s"bpeTrainBatched: corpus exhausted after ${rules.size} of " +
+          s"$rounds merges — every word is a single symbol")
+      val headDf = broadcast(spark.createDataFrame(head.toSeq)
+        .toDF("hpa", "hpb", "hc")
+        .withColumn("hcat", concat(col("hpa"), col("hpb"))))
+      val bound = pairsDf.join(headDf,
+          col("pb") === col("hpa") || col("pa") === col("hpb") ||
+          col("pa") === col("hcat") || col("pb") === col("hcat"))
+        .groupBy(col("hpa"), col("hpb"))
+        .agg(
+          max(when(col("pb") === col("hpa") || col("pa") === col("hpb"),
+            col("c"))).as("adjMax"),
+          max(when(col("pa") === col("hcat") || col("pb") === col("hcat"),
+            col("c"))).as("catMax"))
+        .as[(String, String, Option[Long], Option[Long])].collect()
+        .map { case (a, b, am, cm) =>
+          (a, b) -> (am.getOrElse(0L) + cm.getOrElse(0L)) }.toMap
+      val selected = scala.collection.mutable
+        .ArrayBuffer[(String, String, Long)]()
+      var stop = false
+      for ((pa, pb, c) <- head
+           if !stop && rules.size + selected.size < rounds) {
+        if (selected.isEmpty) {
+          selected += ((pa, pb, c))
+          if (pa == pb) stop = true // self pair: single-rule wave
+        } else {
+          val interacts = pa == pb || selected.exists { case (ra, rb, _) =>
+            val syms = Set(ra, rb, ra + rb)
+            syms.contains(pa) || syms.contains(pb)
+          }
+          val outranksNew = selected.forall { case (ra, rb, _) =>
+            c > bound.getOrElse((ra, rb), 0L) }
+          if (interacts || !outranksNew) stop = true
+          else selected += ((pa, pb, c))
+        }
+      }
+      var sCol = col("s")
+      for ((pa, pb, _) <- selected)
+        sCol = call_function("replace", sCol,
+          lit(" " + pa + "  " + pb + " "), lit(" " + pa + pb + " "))
+      spelled = spelled.select(col("word"), col("freq"), sCol.as("s"))
+        .pinned
+      val tEnd = spelled
+        .agg(sum(col("freq") * nSyms.cast("long"))).head.getLong(0)
+      val cs = selected.map(_._3)
+      val ts =
+        if (selected.size == 1) Seq(tEnd) // covers the self-pair wave
+        else selected.indices.map(i => tEnd + cs.drop(i + 1).sum)
+      for (((pa, pb, c), t) <- selected.zip(ts))
+        rules += ((rules.size + 1, pa, pb, c, t))
+    }
+    val rulesDf = spark.createDataFrame(rules.toSeq)
+      .toDF("merge_rank", "sym_a", "sym_b", "pair_count", "tokens_after")
+    (rulesDf, spelled)
+  }
+
+  /** [[bpeTrainBatchedWithSpellings]], rules only. */
+  def bpeTrainBatched(words: org.apache.spark.sql.DataFrame,
+                      rounds: Int): org.apache.spark.sql.DataFrame =
+    bpeTrainBatchedWithSpellings(words, rounds)._1
 }

@@ -179,19 +179,23 @@ object TrainPrep {
 
     // BPE merge TRAINING, 6 rounds — the iterative top-pair merge loop
     // (Sennrich et al.) run the distributed way: tokenize + count the
-    // corpus ONCE into (word, freq), then every merge round runs at
-    // vocabulary scale (pair explode + hash agg + TakeOrdered(1) +
-    // broadcast rule). Deterministic end to end: exact long pair
-    // counts, (count DESC, pair ASC) winner order, and a wrapped-token
-    // string spelling whose single replace pass IS the greedy merge on
-    // both engines. Output = the learned merge table plus the corpus
-    // token count after each rule. Full recipe on TextOps.bpeTrain.
+    // corpus ONCE into (word, freq), then merges run at vocabulary
+    // scale. This runs the WAVE-BATCHED trainer (several provably
+    // non-interacting rules per job wave — the depth that makes a 32k
+    // vocab feasible; BpeBatchSpec proves it bit-identical to
+    // sequential greedy, and this oracle unrolls the SEQUENTIAL
+    // greedy, so the equivalence is also checked live on every
+    // verify). Deterministic end to end: exact long pair counts,
+    // (count DESC, pair ASC) winner order, and a wrapped-token string
+    // spelling whose replace pass IS the greedy merge on both engines.
+    // Output = the learned merge table plus the corpus token count
+    // after each rule. Full recipe on TextOps.bpeTrainBatched.
     "q_bpe_merges" -> ((s, dir) => {
       val words = Parallelism.fanOut(Tables(s, dir, "documents"))
         .select(explode(TextOps.normWords(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      TextOps.bpeTrain(words, rounds = 6)
+      TextOps.bpeTrainBatched(words, rounds = 6)
     }),
 
     // BPE ENCODE — the apply half of q_bpe_merges' learn half: the
@@ -207,7 +211,8 @@ object TrainPrep {
         .select(explode(TextOps.normWords(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      val (_, spelled) = TextOps.bpeTrainWithSpellings(words, rounds = 6)
+      val (_, spelled) =
+        TextOps.bpeTrainBatchedWithSpellings(words, rounds = 6)
       val enc = spelled.select(col("word"),
         size(split(TextOps.wsTrim(col("s")), " +")).cast("long").as("nsym"))
       docs.select(col("doc_id"),
