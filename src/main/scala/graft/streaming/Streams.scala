@@ -57,11 +57,15 @@ object Streams {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Staged into a FRESH per-JVM temp dir, never a fixed path: part
+    * files carry generation UUIDs in their names, so a fixed directory
+    * surviving a fixture regeneration would accumulate BOTH
+    * generations and the stream source would silently read every row
+    * twice (caught live: the first sf1 gate read 2× events and 4×
+    * stream-stream join rows from exactly this). */
   private def eventsDir(sfDir: String): String =
     streamDirs.computeIfAbsent(sfDir, { _ =>
-      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_$tag")
-      Files.createDirectories(dir)
+      val dir = Files.createTempDirectory("graft_stream_")
       stageParquet(sfDir, "events", dir)
       dir.toString
     })
@@ -281,9 +285,7 @@ object Streams {
     * [[eventsDir]]. */
   private def docsDir(sfDir: String): String =
     streamDirs.computeIfAbsent(s"docs:$sfDir", { _ =>
-      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_docstream_$tag")
-      Files.createDirectories(dir)
+      val dir = Files.createTempDirectory("graft_docstream_")
       stageParquet(sfDir, "documents", dir)
       dir.toString
     })
