@@ -848,6 +848,61 @@ object Extras {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // Embedding-space drift between a reference and a current corpus
+    // half (deterministic md5 split on vec_id) — the monitoring signal
+    // the count-based drift tier (PSI/KS/JS) cannot see: a changed
+    // upstream encoder or shifted corpus mix moves label centroids
+    // even when counts stay flat. Per label: quantize-exact per-dim
+    // centroids for each half (the q_emb_centroids scheme — exact long
+    // sums, one IEEE divide per component), then centroid cosine and
+    // L2 shift with every per-dim product/diff term 1e-9-quantized to
+    // longs BEFORE the order-free sums (the q_pca_power libm recipe);
+    // final rounding is the floor(x·1e6 + 0.5)/1e6 op sequence on both
+    // engines, so the hash compare is exact. Scale shape: one explode
+    // + hash agg to (label, half, dim) — 2·|labels|·64 rows — then
+    // metadata-sized arithmetic; the vectors themselves never shuffle.
+    "q_emb_drift" -> ((s, dir) => {
+      val q = Tables(s, dir, "embeddings")
+        .select(col("label"),
+          (md5Bucket(col("vec_id"), 2L, salt = "drift:") === 1L).as("cur"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("cur"), col("pos"),
+          floor(col("col").cast("double") * lit(1e6) + lit(0.5))
+            .cast("long").as("qv"))
+        .groupBy(col("label"), col("cur"), col("pos"))
+        .agg(count(col("qv")).as("n"), sum(col("qv")).as("sq"))
+      val c = q.select(col("label"), col("cur"), col("pos"),
+        (col("sq").cast("double") / (col("n") * lit(1e6))).as("c"),
+        col("n"))
+      val r = c.filter(!col("cur")).select(col("label"), col("pos"),
+        col("c").as("cr"), col("n").as("nr"))
+      val u = c.filter(col("cur")).select(col("label").as("lc"),
+        col("pos").as("pc"), col("c").as("cc"), col("n").as("nc"))
+      val terms = r
+        .join(u, col("label") === col("lc") && col("pos") === col("pc"))
+        .select(col("label"), col("nr"), col("nc"),
+          floor(col("cr") * col("cc") * lit(1e9) + lit(0.5))
+            .cast("long").as("tnum"),
+          floor(col("cr") * col("cr") * lit(1e9) + lit(0.5))
+            .cast("long").as("trr"),
+          floor(col("cc") * col("cc") * lit(1e9) + lit(0.5))
+            .cast("long").as("tcc"),
+          floor((col("cr") - col("cc")) * (col("cr") - col("cc")) *
+            lit(1e9) + lit(0.5)).cast("long").as("td"))
+      terms.groupBy(col("label"))
+        .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+          sum(col("tnum")).as("snum"), sum(col("trr")).as("srr"),
+          sum(col("tcc")).as("scc"), sum(col("td")).as("sd"))
+        .select(col("label"), col("n_ref"), col("n_cur"),
+          (floor(col("snum").cast("double") /
+              (sqrt(col("srr").cast("double")) *
+               sqrt(col("scc").cast("double"))) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("cos_sim"),
+          (floor(sqrt(col("sd").cast("double") / lit(1e9)) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("l2_shift"))
+        .orderBy(col("label"))
+    }),
+
     // Symmetric int8 embedding quantization (the 4× memory lever for the
     // ANN index paths: an IVF/LSH index over int8 codes + one float
     // scale per vector holds 4× the corpus per executor-GB, and the
@@ -1438,6 +1493,37 @@ object Extras {
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
         |GROUP BY label, i
         |ORDER BY label, pos""".stripMargin,
+
+    // identical op sequence: per-(label, half, dim) exact long sums,
+    // one IEEE divide per centroid component, 1e-9-quantized product /
+    // diff terms, floor-quantized final rounding
+    "q_emb_drift" ->
+      s"""WITH q AS (
+        |  SELECT label,
+        |    (${hex8("'drift:' || vec_id::VARCHAR")} % 2 = 1) AS cur,
+        |    i - 1 AS pos,
+        |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT)) AS sq,
+        |    COUNT(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)) AS n
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
+        |  GROUP BY label, cur, i),
+        |c AS (SELECT label, cur, pos,
+        |    CAST(sq AS DOUBLE) / (n * 1e6) AS c, n FROM q),
+        |t AS (SELECT r.label, r.n AS nr, u.n AS nc,
+        |    CAST(FLOOR(r.c * u.c * 1e9 + 0.5) AS BIGINT) AS tnum,
+        |    CAST(FLOOR(r.c * r.c * 1e9 + 0.5) AS BIGINT) AS trr,
+        |    CAST(FLOOR(u.c * u.c * 1e9 + 0.5) AS BIGINT) AS tcc,
+        |    CAST(FLOOR((r.c - u.c) * (r.c - u.c) * 1e9 + 0.5) AS BIGINT)
+        |      AS td
+        |  FROM c r JOIN c u ON r.label = u.label AND r.pos = u.pos
+        |    AND NOT r.cur AND u.cur)
+        |SELECT label, MAX(nr) AS n_ref, MAX(nc) AS n_cur,
+        |  FLOOR(CAST(SUM(tnum) AS DOUBLE)
+        |    / (sqrt(CAST(SUM(trr) AS DOUBLE)) * sqrt(CAST(SUM(tcc) AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS cos_sim,
+        |  FLOOR(sqrt(CAST(SUM(td) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6
+        |    AS l2_shift
+        |FROM t GROUP BY label ORDER BY label""".stripMargin,
 
     "q_explode" ->
       """WITH base AS (
