@@ -412,7 +412,11 @@ class PlanShapeSpec extends SparkSpecBase {
       "q_dedup_keep_best" -> 4, "q_variant_extract" -> 2,
       // survival: duration agg + the GlobalOrder two-pass prefix sums
       // over the calendar-sized frame + final order
-      "q_survival_km" -> 4)
+      "q_survival_km" -> 4,
+      // round-10: drift = (label, half, dim) agg + ref/cur split join +
+      // final 1-row agg; recall = the full-outer pair join over the two
+      // (pinned) capped generators + 1-row agg
+      "q_emb_drift" -> 4, "q_minhash_recall" -> 3)
     for ((name, budget) <- budgets) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size +
