@@ -86,5 +86,8 @@ object SparkEntry {
     // keep-best dedup resolution policy, the survival/drift tier, and
     // the grouped-apply seam
     "q_dpp_join", "q_variant_extract", "q_dedup_keep_best",
-    "q_survival_km", "q_groupby_apply", "q_js_divergence")
+    "q_survival_km", "q_groupby_apply", "q_js_divergence",
+    // round 10: embedding-centroid drift and the banding-vs-blocking
+    // recall readout (both capped generators in one plan)
+    "q_emb_drift", "q_minhash_recall")
 }
