@@ -89,5 +89,8 @@ object SparkEntry {
     "q_survival_km", "q_groupby_apply", "q_js_divergence",
     // round 10: embedding-centroid drift and the banding-vs-blocking
     // recall readout (both capped generators in one plan)
-    "q_emb_drift", "q_minhash_recall")
+    "q_emb_drift", "q_minhash_recall",
+    // round 11: the high-recall union candidate stage the production
+    // dedup queries now run, and its provenance-flag recall readout
+    "q_dedup_union", "q_union_recall")
 }

@@ -170,44 +170,28 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4, w: Int = 3,
                    threshold: Double = 0.7, maxBucket: Int = 200,
-                   fastHash: Boolean = false): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    // base hash must stay < 2^32 so a·h (a < 2^30) never overflows a long
-    val baseHash: Column => Column =
-      if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
-      else shingleBaseHash
+                   fastHash: Boolean = false): DataFrame =
+    verifyJaccard(df,
+      bandedCandidates(df, idCol, textCol, k, bands, w, maxBucket, fastHash),
+      idCol, textCol, w, threshold, fastHash)
 
-    // Stage 1: (id, word, pos) token rows; shingle start positions are
-    // pos ≤ n−w, plus pos = 0 for short docs (whole doc as one shingle,
-    // mirroring `shingles`; `get` is null past the end and concat_ws
-    // skips nulls, so the short-doc shingle is the whole doc). Every
-    // doc yields ≥1 row (split of "" is [""]), so no id is lost.
-    // The shingle hash is md5 of the joined shingle string (the same
-    // value [[minhashSig]] computes and the DuckDB oracle replays);
-    // the k minhashes are affine permutations of that one hash.
-    //
-    // toks (regexp split + explode + one md5 per shingle) is the single
-    // most expensive scan, and it feeds the signature aggregation as a
-    // pure whole-stage-codegen pipeline: scan → explode → md5 → partial
-    // min-agg, with only (id, k longs) per doc crossing the shuffle.
-    // It is deliberately NOT persisted — caching (id, hash) rows costs a
-    // full serialize/store pass of the widest frame in the job; the only
-    // other consumer (candidate verification) re-derives shingles for
-    // just the candidate docs below, which is a few hundred rows of
-    // regexp work instead of a corpus-wide cache write.
-    def shingleHashes(src: DataFrame): DataFrame =
-      shingleRows(src, idCol, textCol, w)
-        .select(col("id"), baseHash(col("shingle")).as("__h"))
+  /** Stages 3–4 of [[minhashPairs]]: banding → bucket cap → intra-bucket
+    * candidate (id_a < id_b) pairs, distinct, eagerly pinned (the pair
+    * table is Σ bucket_n² ≪ |docs| by the cap — tiny next to anything
+    * upstream, and every consumer branches over it).
+    *
+    * Bucket-size gate as an unordered window count over the banding
+    * shuffle itself — one pass, no count-frame join; a bucket's rows are
+    * co-partitioned by definition, and the count is O(bucket) per key
+    * regardless of |D| (the cap then drops degenerate buckets before
+    * anything quadratic). member is consumed by both self-join sides;
+    * persisting it (≤ maxBucket rows per surviving bucket) stops each
+    * side re-deriving the banding subtree. */
+  private[graft] def bandedCandidates(df: DataFrame, idCol: String,
+                                      textCol: String, k: Int, bands: Int,
+                                      w: Int, maxBucket: Int,
+                                      fastHash: Boolean): DataFrame = {
     val banded = bandedIds(df, idCol, textCol, k, bands, w, fastHash)
-
-    // Stage 3+4: cap degenerate buckets, then self-join ids within buckets.
-    // Bucket-size gate as an unordered window count over the banding
-    // shuffle itself — one pass, no count-frame join; a bucket's rows are
-    // co-partitioned by definition, and the count is O(bucket) per key
-    // regardless of |D| (the cap then drops degenerate buckets before
-    // anything quadratic). member is consumed by both self-join sides;
-    // persisting it (≤ maxBucket rows per surviving bucket) stops each
-    // side re-deriving the banding subtree.
     val bucketW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh"))
     val member = banded
@@ -215,25 +199,72 @@ object Dedup {
       .filter(col("__bn").between(2, maxBucket))
       .select(col("id"), col("band"), col("bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Candidate pairs are consumed twice (verification join + the id
-    // semi-join); they number at most Σ bucket_n² ≪ |docs| — persist.
     val cand = member.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(member.select(col("band"), col("bh"), col("id").as("id_b")),
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
+    member.unpersist(false)
+    cand
+  }
 
-    // Stage 5: exact shingle-set Jaccard over the md5-derived 32-bit
-    // shingle hashes, only for docs that made it into a candidate pair.
-    // The candidate-id semi-join is pushed BELOW the shingle explode
-    // (broadcast filter on the source scan), so the second regexp/md5
-    // pass touches only candidate docs — a few hundred rows — instead of
-    // re-reading or caching the corpus-wide token frame. Hash-set
-    // Jaccard equals string-set Jaccard except under 32-bit collisions
-    // (~n²/2³³ per doc — irrelevant at shingle-set sizes, and collisions
-    // affect both engines identically).
+  /** The (lang, length-bucket) BLOCKING strategy's candidate stage —
+    * [[ngramJaccardPairs]]' block structure WITHOUT any shingle work:
+    * candidate generation needs only the two blocking attributes, so
+    * this is one narrow projection + window-count cap + self-join.
+    * Same [2, maxBlock] cap semantics as the verifying variant; the
+    * pair table is Σ block_n² bounded by the cap, eagerly pinned. */
+  private[graft] def blockedCandidates(df: DataFrame, idCol: String,
+                                       textCol: String, langCol: String,
+                                       maxBlock: Int): DataFrame = {
+    val attrs = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      (length(col(textCol)) / 100).cast("int").as("lenb"))
+    val blockW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("lenb"))
+    val base = attrs
+      .withColumn("__bn", count(lit(1)).over(blockW))
+      .filter(col("__bn").between(2, maxBlock))
+      .select(col("id"), col("lang"), col("lenb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = base.select(col("lang"), col("lenb"), col("id").as("id_a"))
+      .join(base.select(col("lang"), col("lenb"), col("id").as("id_b")),
+        Seq("lang", "lenb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .pinned
+    base.unpersist(false)
+    cand
+  }
+
+  /** Stage 5 of [[minhashPairs]] as a reusable verification pass: exact
+    * shingle-set Jaccard over the md5-derived 32-bit shingle hashes,
+    * only for docs that appear in some candidate pair.
+    *
+    * The candidate-id semi-join is pushed BELOW the shingle explode
+    * (broadcast filter on the source scan), so the shingle/md5 pass
+    * touches only candidate docs — instead of re-reading or caching the
+    * corpus-wide token frame (caching (id, hash) rows would cost a full
+    * serialize/store pass of the widest frame in the job). Hash-set
+    * Jaccard equals string-set Jaccard except under 32-bit collisions
+    * (~n²/2³³ per doc — irrelevant at shingle-set sizes, and collisions
+    * affect both engines identically).
+    *
+    * @param extraCols candidate-frame columns (e.g. provenance flags)
+    *                  carried through verification into the output. */
+  private[graft] def verifyJaccard(df: DataFrame, candIn: DataFrame,
+                                   idCol: String, textCol: String, w: Int,
+                                   threshold: Double, fastHash: Boolean,
+                                   extraCols: Seq[String] = Nil): DataFrame = {
+    // base hash must stay < 2^32 so a·h (a < 2^30) never overflows a long
+    val baseHash: Column => Column =
+      if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
+      else shingleBaseHash
+    // candidates feed two branches (id semi-join + verification join)
+    val cand = candIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("id_a").as("cid"))
       .union(cand.select(col("id_b").as("cid"))).distinct()
     // Semi-join the RAW scan, not `fanned`: filtering below the fan-out
@@ -242,7 +273,8 @@ object Dedup {
     // first would reshuffle the whole corpus text again).
     val candDocs = Parallelism.fanOut(
       df.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"))
-    val candSh = shingleHashes(candDocs)
+    val candSh = shingleRows(candDocs, idCol, textCol, w)
+      .select(col("id"), baseHash(col("shingle")).as("__h"))
       .groupBy(col("id")).agg(collect_set(col("__h")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = cand
@@ -252,7 +284,8 @@ object Dedup {
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     val result = verified.withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(Seq(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard")) ++ extraCols.map(col): _*)
       // Eagerly materialize the (tiny) verified-pair result, then release
       // the intermediate caches — without this every invocation leaks
       // MEMORY_AND_DISK blocks for the JVM lifetime (Bench alone calls
@@ -260,11 +293,64 @@ object Dedup {
       // by the ContextCleaner once the returned frame is unreferenced,
       // unlike CacheManager entries.
       .pinned
-    member.unpersist(false)
     cand.unpersist(false)
     candSh.unpersist(false)
     result
   }
+
+  /** HIGH-RECALL near-dup pairs: the UNION of both candidate-generation
+    * strategies — MinHash banding (bucket-capped) ∪ (lang, length-bucket)
+    * blocking (block-capped) — verified ONCE by exact shingle-set
+    * Jaccard. The r11 production dedup default.
+    *
+    * Why: q_minhash_recall measured on the organic sf1 corpus that each
+    * single strategy alone finds only ~half of the other's verified
+    * exact-Jaccard≥0.5 pairs (banding loses pairs that collide in no
+    * band or overflow a bucket; blocking loses cross-block pairs —
+    * 83k/57k pairs sharing only 29k). The union subsumes both for the
+    * cost of ONE extra shingle-free blocking pass: banded candidates
+    * need the corpus-wide signature scan either way, blocked candidates
+    * need only (lang, length) attributes, and verification runs once
+    * over the merged candidate set (overlapping candidates dedup in the
+    * merge, so the union verifies FEWER pairs than the two verifying
+    * pipelines did separately).
+    *
+    * Each verified pair carries provenance flags `from_banded` /
+    * `from_blocked` (1/0) so the recall readout — each generator's
+    * share of the union's verified pairs — aggregates straight off the
+    * output with zero extra passes (q_union_recall).
+    *
+    * Scale shape: both generators stay capped-never-all-pairs; the
+    * merge is a hash aggregate over the two pair tables; verification
+    * is [[verifyJaccard]]'s candidate-docs-only pass. */
+  def unionPairsFlagged(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, k: Int = 16, bands: Int = 4,
+                        w: Int = 3, threshold: Double = 0.5,
+                        maxBucket: Int = 200, maxBlock: Int = 1000,
+                        fastHash: Boolean = false): DataFrame = {
+    val cb = bandedCandidates(df, idCol, textCol, k, bands, w, maxBucket,
+        fastHash)
+      .select(col("id_a"), col("id_b"), lit(1).as("__fb"), lit(0).as("__fk"))
+    val ck = blockedCandidates(df, idCol, textCol, langCol, maxBlock)
+      .select(col("id_a"), col("id_b"), lit(0).as("__fb"), lit(1).as("__fk"))
+    val cand = cb.union(ck)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("__fb")).as("from_banded"),
+        max(col("__fk")).as("from_blocked"))
+    verifyJaccard(df, cand, idCol, textCol, w, threshold, fastHash,
+      extraCols = Seq("from_banded", "from_blocked"))
+  }
+
+  /** [[unionPairsFlagged]] without the provenance flags — the drop-in
+    * high-recall replacement for [[minhashPairs]] in the production
+    * dedup compositions (cluster / apply / keep-best). */
+  def unionPairs(df: DataFrame, idCol: String, textCol: String,
+                 langCol: String, k: Int = 16, bands: Int = 4, w: Int = 3,
+                 threshold: Double = 0.5, maxBucket: Int = 200,
+                 maxBlock: Int = 1000, fastHash: Boolean = false): DataFrame =
+    unionPairsFlagged(df, idCol, textCol, langCol, k, bands, w, threshold,
+        maxBucket, maxBlock, fastHash)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Stages 1–2 of [[minhashPairs]] as a reusable frame: one row per
     * (id, band, bandHash). Extracted so bucket observability reads the
@@ -470,9 +556,18 @@ object Dedup {
     * quasi-clique of mutual candidates), so propagation converges in a
     * handful of rounds. Each round eagerly localCheckpoints — the loop
     * would otherwise double plan depth per iteration, and the
-    * convergence count would replay the whole history. For adversarial
-    * long-chain graphs use [[connectedComponentsStar]] — O(log) rounds
-    * regardless of diameter, same equi-join shape per round.
+    * convergence count would replay the whole history.
+    *
+    * NON-CONVERGENCE IS NEVER SILENT (hardened r11): if labels are
+    * still changing at `maxIter` — a component whose diameter exceeds
+    * the round budget, e.g. a 21+-hop chain of boilerplate edits at
+    * corpus scale — the call AUTO-ESCALATES to
+    * [[connectedComponentsStar]], which converges in O(log n) rounds
+    * regardless of diameter and computes the identical (id, min-id)
+    * labeling. Before r11 the loop returned the unconverged labels
+    * with no signal; the escalation closes that latent
+    * wrong-answer-at-scale path for every caller
+    * (cluster/apply/keep-best/semantic).
     *
     * Reference scope: the reference's dedup surface is
     * `drop_duplicates` (`sdc/datatypes/hpat_pandas_dataframe_functions
@@ -509,7 +604,8 @@ object Dedup {
       lab = next.select(col("id"), col("lab"))
       round += 1
     }
-    lab.select(col("id"), col("lab").as("cluster"))
+    if (changed > 0) connectedComponentsStar(pairs)
+    else lab.select(col("id"), col("lab").as("cluster"))
   }
 
   /** Connected components by alternating large-star/small-star edge

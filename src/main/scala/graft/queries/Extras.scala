@@ -605,14 +605,48 @@ object Extras {
             .as("recall_of_blocked"))
     }),
 
-    // minhash pairs → connected components → one cluster id (the
+    // High-recall UNION pair dump (banding ∪ blocked candidates,
+    // verified once at the same exact-Jaccard threshold) — the r11
+    // candidate stage the production dedup queries below now run.
+    "q_dedup_union" -> ((s, dir) => {
+      Dedup.unionPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          "lang", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // The recall readout the union path answers q_minhash_recall with:
+    // each generator's share of the UNION's verified pairs, aggregated
+    // straight off the provenance flags — zero extra passes. By
+    // construction the union's own recall of this set is 1.0; the two
+    // per-generator shares quantify what shipping either strategy
+    // alone would have lost.
+    "q_union_recall" -> ((s, dir) => {
+      Dedup.unionPairsFlagged(Tables(s, dir, "documents"), "doc_id",
+          "text", "lang", threshold = 0.5)
+        .agg(count(lit(1)).as("n_union"),
+          sum(col("from_banded")).cast("long").as("n_banded"),
+          sum(col("from_blocked")).cast("long").as("n_blocked"))
+        .select(col("n_union"), col("n_banded"), col("n_blocked"),
+          (floor(col("n_banded").cast("double") /
+            col("n_union").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("recall_banded"),
+          (floor(col("n_blocked").cast("double") /
+            col("n_union").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("recall_blocked"))
+    }),
+
+    // union pairs → connected components → one cluster id (the
     // component's min doc_id) per document; is_rep marks the keeper.
     // The CC loop runs only over ids that appear in some pair; the
     // corpus-wide frame just left-joins the (tiny) label table back.
+    // r11: candidates come from the HIGH-RECALL union stage — the
+    // banding-only path measured ~0.51 recall of blocked's verified
+    // pairs at organic sf1 (q_minhash_recall), so clustering on it
+    // alone under-merges; the union subsumes both generators.
     "q_dedup_cluster" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d, "doc_id", "text",
-        k = 16, bands = 4, threshold = 0.5)
+      val pairs = Dedup.unionPairs(d, "doc_id", "text", "lang",
+        threshold = 0.5)
       val cc = Dedup.connectedComponents(pairs)
       // no broadcast hint: |labels| is bounded by the near-dup doc count,
       // small here but unbounded at corpus scale — let AQE pick broadcast
@@ -630,8 +664,8 @@ object Extras {
     // rounds instead of O(diameter); shares the q_dedup_cluster oracle
     "q_dedup_cluster_star" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d, "doc_id", "text",
-        k = 16, bands = 4, threshold = 0.5)
+      val pairs = Dedup.unionPairs(d, "doc_id", "text", "lang",
+        threshold = 0.5)
       val cc = Dedup.connectedComponentsStar(pairs)
       d.select(col("doc_id"))
         .join(cc, col("doc_id") === col("id"), "left")
@@ -649,8 +683,8 @@ object Extras {
     // agg is the only corpus-wide shuffle after the LSH stages.
     "q_dedup_apply" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d, "doc_id", "text",
-        k = 16, bands = 4, threshold = 0.5)
+      val pairs = Dedup.unionPairs(d, "doc_id", "text", "lang",
+        threshold = 0.5)
       val cc = Dedup.connectedComponents(pairs)
       d.join(cc, col("doc_id") === col("id"), "left")
         .filter(col("doc_id") === coalesce(col("cluster"), col("doc_id")))
@@ -670,8 +704,8 @@ object Extras {
     // label join broadcasts under AQE, exactly as in q_dedup_apply.
     "q_dedup_keep_best" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d, "doc_id", "text",
-        k = 16, bands = 4, threshold = 0.5)
+      val pairs = Dedup.unionPairs(d, "doc_id", "text", "lang",
+        threshold = 0.5)
       Dedup.keepBestClusters(d, "doc_id", "n_chars", pairs)
         .filter(col("n_members") >= 2)
         .select(col("cluster"), col("n_members"),
@@ -1181,7 +1215,12 @@ object Extras {
     * `pairs(id_a, id_b, j)` — the exact replica of
     * [[graft.operators.Dedup.minhashPairs]]. Shared by the pair query
     * and the connected-components clustering oracle. */
-  private lazy val minhashPairsCte: String = {
+  /** DuckDB replica of [[Dedup.bandedCandidates]] (stages 1–4 of the
+    * minhash pipeline): shingles, md5-nibble base hashes, the k affine
+    * permutations, banding, the [2, maxBucket] cap, candidate pairs —
+    * ending in cand(id_a, id_b), with hs(id, sh, hl) in scope for the
+    * verification CTEs layered on top. */
+  private lazy val minhashCandCtes: String = {
     val coeffs = Dedup.minhashCoeffs(16)
     val P = Dedup.MinhashP
     val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
@@ -1214,14 +1253,43 @@ object Extras {
       |  HAVING COUNT(*) BETWEEN 2 AND 200),
       |member AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |  FROM member a JOIN member b USING (band, bh) WHERE a.id < b.id),
+      |  FROM member a JOIN member b USING (band, bh) WHERE a.id < b.id)""".stripMargin
+  }
+
+  private lazy val minhashPairsCte: String =
+    s"""$minhashCandCtes,
       |hsets AS (SELECT id, list_distinct(hl) AS hh FROM hs),
       |pairs AS (SELECT id_a, id_b,
       |  CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE) /
       |    len(list_distinct(list_concat(ha.hh, hb.hh))) AS j
       |  FROM cand JOIN hsets ha ON ha.id = cand.id_a
       |            JOIN hsets hb ON hb.id = cand.id_b)""".stripMargin
-  }
+
+  /** DuckDB replica of [[Dedup.unionPairsFlagged]]: the banded
+    * candidate chain verbatim, the shingle-free (lang, length-bucket)
+    * blocked candidates, the flagged candidate merge, and ONE exact
+    * shingle-hash-set Jaccard verification — ending in
+    * upairs(id_a, id_b, from_banded, from_blocked, j). */
+  private lazy val unionPairsCtes: String =
+    s"""$minhashCandCtes,
+      |battrs AS (SELECT doc_id AS id, lang,
+      |  CAST(FLOOR(LENGTH(text)/100.0) AS INT) AS lenb FROM documents),
+      |bcapped AS (SELECT * FROM battrs
+      |  QUALIFY COUNT(*) OVER (PARTITION BY lang, lenb) BETWEEN 2 AND 1000),
+      |bcand AS (SELECT a.id AS id_a, b.id AS id_b
+      |  FROM bcapped a JOIN bcapped b
+      |    ON a.lang = b.lang AND a.lenb = b.lenb AND a.id < b.id),
+      |ucand AS (SELECT id_a, id_b,
+      |    MAX(fb) AS from_banded, MAX(fk) AS from_blocked
+      |  FROM (SELECT id_a, id_b, 1 AS fb, 0 AS fk FROM cand
+      |        UNION ALL SELECT id_a, id_b, 0 AS fb, 1 AS fk FROM bcand)
+      |  GROUP BY id_a, id_b),
+      |hsets AS (SELECT id, list_distinct(hl) AS hh FROM hs),
+      |upairs AS (SELECT id_a, id_b, from_banded, from_blocked,
+      |  CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(ha.hh, hb.hh))) AS j
+      |  FROM ucand JOIN hsets ha ON ha.id = ucand.id_a
+      |             JOIN hsets hb ON hb.id = ucand.id_b)""".stripMargin
 
   /** DuckDB fragment: the hyperplane table (p, pl: DOUBLE[64]) for
     * `planes` planes — exact replica of Similarity.planeComponent. */
@@ -1270,9 +1338,9 @@ object Extras {
     * `cc(node, cluster)` — shared by the cluster queries and the
     * end-to-end dedup apply. */
   private def ccCtes: String =
-    s"""$minhashPairsCte,
-      |e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE j >= 0.5
-      |      UNION ALL SELECT id_b, id_a FROM pairs WHERE j >= 0.5),
+    s"""$unionPairsCtes,
+      |e AS (SELECT id_a AS a, id_b AS b FROM upairs WHERE j >= 0.5
+      |      UNION ALL SELECT id_b, id_a FROM upairs WHERE j >= 0.5),
       |reach AS (SELECT a AS node, a AS lab FROM e
       |          UNION SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node),
       |cc AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)""".stripMargin
@@ -1955,6 +2023,24 @@ object Extras {
       s"""WITH $minhashPairsCte
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // unionPairs replica: banded ∪ blocked candidates, one verification
+    "q_dedup_union" ->
+      s"""WITH $unionPairsCtes
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM upairs
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // provenance-flag aggregation over the union's verified pairs
+    "q_union_recall" ->
+      s"""WITH $unionPairsCtes
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+        |  CAST(SUM(from_banded) AS BIGINT) AS n_banded,
+        |  CAST(SUM(from_blocked) AS BIGINT) AS n_blocked,
+        |  FLOOR(CAST(SUM(from_banded) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+        |    / 1e6 AS recall_banded,
+        |  FLOOR(CAST(SUM(from_blocked) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+        |    / 1e6 AS recall_blocked
+        |FROM upairs WHERE j >= 0.5""".stripMargin,
 
     // both candidate strategies replayed (the banding chain verbatim,
     // the ngram block chain with renamed CTEs), full-outer joined

@@ -52,6 +52,24 @@ class DistributedAlgoPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents auto-escalates to star on >maxIter-diameter chains") {
+    // a 30-edge path has diameter 30 > maxIter=20: label propagation
+    // alone would return unconverged (silently wrong) labels — the r11
+    // escalation must hand the graph to star contraction and come back
+    // with the exact min-id labeling (everything -> 0)
+    val edges = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toList
+    val schema = StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false)))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        edges.map { case (a, b) => Row(a, b) }, 3), schema)
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 30L).map(_ -> 0L).toMap
+    assert(got == want)
+  }
+
   test("large-star/small-star CC equals union-find, including path graphs") {
     // a 40-node path is the adversarial case: label propagation needs
     // 40 rounds, star contraction O(log 40)
