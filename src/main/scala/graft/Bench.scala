@@ -17,18 +17,42 @@ import org.apache.spark.sql.SparkSession
   * the wall-clock noise that made rounds 7–9 incomparable. */
 object Bench {
 
-  /** Accumulates task-level resource metrics attributed to the query
-    * named in `current` (null = ignore, e.g. warm-up runs). */
+  /** Job-group prefix marking the final timed rep of each query. */
+  private val GroupPrefix = "graft-bench:"
+
+  /** Accumulates task-level resource metrics attributed by STAGE → JOB
+    * → JOB-GROUP identity, not by wall-clock windows: the main loop
+    * tags each query's final timed rep with a job group
+    * (`graft-bench:<name>`), onJobStart records every stage the tagged
+    * job owns, and onTaskEnd buckets by the task's stageId. Attribution
+    * is therefore exact even when the async listener bus lags — a
+    * trailing task-end event carries its stage identity and lands in
+    * the right query no matter when it is delivered (the r10 quiet-
+    * window heuristic could mis-attribute under a backlogged bus).
+    * Streaming queries attribute too: local properties (including the
+    * job group) are InheritableThreadLocal, and each rep starts its
+    * stream execution thread inside the tagged scope. */
   private class MetricsListener
       extends org.apache.spark.scheduler.SparkListener {
-    @volatile var current: String = null
     @volatile var lastEventNs: Long = System.nanoTime()
+    private val jobQuery = scala.collection.concurrent.TrieMap[Int, String]()
+    private val stageQuery = scala.collection.concurrent.TrieMap[Int, String]()
     val acc = scala.collection.concurrent.TrieMap[String, Array[Long]]()
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      lastEventNs = System.nanoTime()
+      val g = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      g.filter(_.startsWith(GroupPrefix)).foreach { grp =>
+        val q = grp.stripPrefix(GroupPrefix)
+        jobQuery(js.jobId) = q
+        js.stageIds.foreach(sid => stageQuery(sid) = q)
+      }
+    }
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       lastEventNs = System.nanoTime()
-      val q = current
-      if (q != null && te.taskMetrics != null) {
+      for (q <- stageQuery.get(te.stageId); if te.taskMetrics != null) {
         val a = acc.getOrElseUpdate(q, Array.fill(5)(0L))
         a.synchronized {
           a(0) += te.taskMetrics.shuffleReadMetrics.totalBytesRead
@@ -39,10 +63,10 @@ object Bench {
         }
       }
     }
-    /** The listener bus delivers task events asynchronously; the action
-      * returning only guarantees the JOB finished. Wait until the bus
-      * has been quiet for 150 ms (cap 3 s) before detaching a query so
-      * its trailing task-end events land in the right bucket. */
+    /** The listener bus delivers events asynchronously; attribution is
+      * id-based so late events still land correctly, but the FINAL
+      * artifact read must wait for the bus to drain. Wait until the
+      * bus has been quiet for 150 ms (cap 3 s). */
     def quiesce(): Unit = {
       val deadline = System.nanoTime() + 3000000000L
       while (System.nanoTime() - lastEventNs < 150000000L &&
@@ -123,13 +147,19 @@ object Bench {
         val times = (1 to reps).map { i =>
           if (i > 1) System.gc()
           // resource metrics are identical across reps (fixed plan,
-          // fixed data) — attribute only the final rep, so the
-          // recorded bytes are ONE execution's, not reps×
-          if (i == reps) { listener.quiesce(); listener.current = name }
+          // fixed data) — tag only the final rep's jobs, so the
+          // recorded bytes are ONE execution's, not reps×. The tag is
+          // a job group (thread-local, inherited by stream-execution
+          // threads started inside the scope); the listener attributes
+          // by stage/job identity, so no quiesce is needed around the
+          // window — late events still land in the right bucket.
+          if (i == reps) spark.sparkContext.setJobGroup(
+            GroupPrefix + name, s"graft bench final rep: $name",
+            interruptOnCancel = false)
           val t0 = System.nanoTime()
           val ok = run(name)
           val dt = (System.nanoTime() - t0) / 1e9
-          if (i == reps) { listener.quiesce(); listener.current = null }
+          if (i == reps) spark.sparkContext.clearJobGroup()
           if (ok) dt else -1.0
         }
         val med =
@@ -145,7 +175,11 @@ object Bench {
     // Sibling resource artifact: per-query shuffle/spill bytes + task
     // counts (+ the measured seconds for cross-reference). Full runs
     // overwrite the repo-root artifact the driver archives; targeted
-    // local iterations go to /tmp so they can't clobber it.
+    // local iterations go to /tmp so they can't clobber it. One final
+    // drain wait so the LAST query's async events are all delivered
+    // before the artifact snapshot (attribution itself is id-based and
+    // needs no window).
+    listener.quiesce()
     val metricsOut = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT",
       if (args.isEmpty) "BENCH_METRICS.json" else "/tmp/bench_metrics.json")
     val metricsJson = {

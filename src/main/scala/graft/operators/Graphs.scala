@@ -38,7 +38,13 @@ object Graphs {
     * same multiset. Order baskets are schema-bounded far below the
     * default, so the TPC-H graph queries are cap-unaffected at every
     * tested SF — the gate exists for open-ended keys (sessions, users,
-    * documents). */
+    * documents).
+    *
+    * API CHANGE (r10): `maxBasket = 64` became the DEFAULT — before
+    * r10 the operator had no cap. Library callers with baskets larger
+    * than 64 items now get pairs only from each basket's item-ordered
+    * 64-row head; pass a larger `maxBasket` (or `Int.MaxValue` to
+    * restore the uncapped behavior) if the tail pairs matter. */
   def coOccurrencePairs(df: DataFrame, keyCol: String, itemCol: String,
                         minCount: Long = 2L,
                         maxBasket: Int = 64): DataFrame = {

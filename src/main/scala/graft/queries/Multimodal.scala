@@ -31,17 +31,20 @@ object Multimodal {
     * The staged ids are the first min(200, count) doc_ids ACTUALLY in
     * the documents table (not an assumed 0..199 range), so the query and
     * its oracle agree on any fixture keying. The directory is a fresh
-    * `createTempDirectory` per JVM — a fixed path shared across JVMs
-    * could leak stale files from an older id range or a concurrent
-    * writer into the glob read. */
+    * `TempDirs.create` per JVM (shutdown-hook cleaned) — a fixed path
+    * shared across JVMs could leak stale files from an older id range
+    * or a concurrent writer into the glob read — and the cache key
+    * carries the documents fixture's FS fingerprint, so regenerating
+    * the fixture inside a long-lived JVM re-stages instead of serving
+    * the old id range (ADVICE r10). */
   private def imageFiles(s: org.apache.spark.sql.SparkSession,
-                         dir: String): String =
-    fixtures.computeIfAbsent(s"imgfiles:$dir", { _ =>
+                         dir: String): String = {
+    val fp = graft.TempDirs.fingerprint(s"$dir/documents.parquet")
+    fixtures.computeIfAbsent(s"imgfiles:$dir:$fp", { _ =>
       val ids = Tables(s, dir, "documents")
         .select(col("doc_id")).orderBy(col("doc_id")).limit(200)
         .collect().map(_.getLong(0))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_imgfiles_").toString
+      val tmp = graft.TempDirs.create("graft_imgfiles_").toString
       for (id <- ids) {
         val (w, h, g) = Media.stripeParams(id)
         java.nio.file.Files.write(
@@ -50,6 +53,7 @@ object Multimodal {
       }
       tmp
     })
+  }
 
   val queries: Map[String, Q] = Map(
     // The multimodal INGEST entry point the other media queries skip:

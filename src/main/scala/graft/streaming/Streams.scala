@@ -63,12 +63,14 @@ object Streams {
     * generations and the stream source would silently read every row
     * twice (caught live: the first sf1 gate read 2× events and 4×
     * stream-stream join rows from exactly this). */
-  private def eventsDir(sfDir: String): String =
-    streamDirs.computeIfAbsent(sfDir, { _ =>
-      val dir = Files.createTempDirectory("graft_stream_")
+  private def eventsDir(sfDir: String): String = {
+    val fp = graft.TempDirs.fingerprint(s"$sfDir/events.parquet")
+    streamDirs.computeIfAbsent(s"$sfDir:$fp", { _ =>
+      val dir = graft.TempDirs.create("graft_stream_")
       stageParquet(sfDir, "events", dir)
       dir.toString
     })
+  }
 
   /** The ts normalization shared with the batch loader — see
     * [[graft.Tables.normalizeTs]] (layout-adaptive: long-nanos or NTZ). */
@@ -283,12 +285,14 @@ object Streams {
 
   /** documents.parquet copied to a one-file streaming directory, like
     * [[eventsDir]]. */
-  private def docsDir(sfDir: String): String =
-    streamDirs.computeIfAbsent(s"docs:$sfDir", { _ =>
-      val dir = Files.createTempDirectory("graft_docstream_")
+  private def docsDir(sfDir: String): String = {
+    val fp = graft.TempDirs.fingerprint(s"$sfDir/documents.parquet")
+    streamDirs.computeIfAbsent(s"docs:$sfDir:$fp", { _ =>
+      val dir = graft.TempDirs.create("graft_docstream_")
       stageParquet(sfDir, "documents", dir)
       dir.toString
     })
+  }
 
   /** The frozen train corpus's distinct shingle hashes — built ONCE and
     * reused by every micro-batch of the ingestion gate. */

@@ -28,13 +28,16 @@ class FaultInjectionSpec extends SparkSpecBase {
     ds.mapPartitions { it =>
       val tc = org.apache.spark.TaskContext.get()
       if (tc.partitionId == part && tc.attemptNumber == 0) {
-        FaultInjectionSpec.injected.incrementAndGet()
         new Iterator[T] {
           private var n = 0
           def hasNext: Boolean =
-            if (n >= afterRows)
+            if (n >= afterRows) {
+              // count in the THROW path, not at iterator creation: the
+              // 'fault never fired' assertion must fail if the stream
+              // drains before reaching afterRows (ADVICE r10)
+              FaultInjectionSpec.injected.incrementAndGet()
               throw new RuntimeException("injected fault (attempt 0)")
-            else it.hasNext
+            } else it.hasNext
           def next(): T = { n += 1; it.next() }
         }
       } else it

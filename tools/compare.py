@@ -31,6 +31,7 @@ def main(out_dir, sf_dir, json_out=None):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    counts = {}  # name -> (spark_rows, oracle_rows-or-None)
     for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
         name = qdir.split("/")[-1]
         files = glob.glob(f"{qdir}/*.parquet")
@@ -38,6 +39,7 @@ def main(out_dir, sf_dir, json_out=None):
             results[name] = "NO_SPARK_OUTPUT"
             continue
         spark_df = pq.read_table(files[0]).to_pandas()
+        counts[name] = (len(spark_df), None)
         if name not in oracles:
             results[name] = f"no_oracle rows={len(spark_df)}"
             continue
@@ -46,6 +48,7 @@ def main(out_dir, sf_dir, json_out=None):
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
+        counts[name] = (len(spark_df), len(ora_df))
         if len(spark_df) != len(ora_df):
             results[name] = f"ROWS {len(spark_df)} vs {len(ora_df)}"
             continue
@@ -95,10 +98,21 @@ def main(out_dir, sf_dir, json_out=None):
         art = {}
         for k, v in sorted(results.items()):
             ok = v == "OK"
+            sr, orr = counts.get(k, (None, None))
+            # 'never checked' must be distinguishable from a real
+            # mismatch: unchecked entries (missing oracle / oracle SQL
+            # error) carry hash_match null + an explicit err marker,
+            # not hash_match false.
+            unchecked = v.startswith("no_oracle") or \
+                v.startswith("ORACLE_SQL_ERROR") or v == "NO_SPARK_OUTPUT"
             art[k] = {
-                "rows_match": ok or not v.startswith("ROWS"),
-                "schema_match": ok or not v.startswith("SCHEMA"),
-                "hash_match": ok,
+                "rows_match": None if unchecked
+                    else ok or not v.startswith("ROWS"),
+                "schema_match": None if unchecked
+                    else ok or not v.startswith("SCHEMA"),
+                "hash_match": None if unchecked else ok,
+                "spark_rows": sr,
+                "oracle_rows": orr,
                 "err": None if ok else v}
         with open(json_out, "w") as f:
             json.dump(art, f, indent=1, sort_keys=True)
