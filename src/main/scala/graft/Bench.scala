@@ -17,62 +17,12 @@ import org.apache.spark.sql.SparkSession
   * the wall-clock noise that made rounds 7–9 incomparable. */
 object Bench {
 
-  /** Job-group prefix marking the final timed rep of each query. */
-  private val GroupPrefix = "graft-bench:"
-
-  /** Accumulates task-level resource metrics attributed by STAGE → JOB
-    * → JOB-GROUP identity, not by wall-clock windows: the main loop
-    * tags each query's final timed rep with a job group
-    * (`graft-bench:<name>`), onJobStart records every stage the tagged
-    * job owns, and onTaskEnd buckets by the task's stageId. Attribution
-    * is therefore exact even when the async listener bus lags — a
-    * trailing task-end event carries its stage identity and lands in
-    * the right query no matter when it is delivered (the r10 quiet-
-    * window heuristic could mis-attribute under a backlogged bus).
-    * Streaming queries attribute too: local properties (including the
-    * job group) are InheritableThreadLocal, and each rep starts its
-    * stream execution thread inside the tagged scope. */
-  private class MetricsListener
-      extends org.apache.spark.scheduler.SparkListener {
-    @volatile var lastEventNs: Long = System.nanoTime()
-    private val jobQuery = scala.collection.concurrent.TrieMap[Int, String]()
-    private val stageQuery = scala.collection.concurrent.TrieMap[Int, String]()
-    val acc = scala.collection.concurrent.TrieMap[String, Array[Long]]()
-    override def onJobStart(
-        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-      lastEventNs = System.nanoTime()
-      val g = Option(js.properties)
-        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
-      g.filter(_.startsWith(GroupPrefix)).foreach { grp =>
-        val q = grp.stripPrefix(GroupPrefix)
-        jobQuery(js.jobId) = q
-        js.stageIds.foreach(sid => stageQuery(sid) = q)
-      }
-    }
-    override def onTaskEnd(
-        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      lastEventNs = System.nanoTime()
-      for (q <- stageQuery.get(te.stageId); if te.taskMetrics != null) {
-        val a = acc.getOrElseUpdate(q, Array.fill(5)(0L))
-        a.synchronized {
-          a(0) += te.taskMetrics.shuffleReadMetrics.totalBytesRead
-          a(1) += te.taskMetrics.shuffleWriteMetrics.bytesWritten
-          a(2) += te.taskMetrics.memoryBytesSpilled
-          a(3) += te.taskMetrics.diskBytesSpilled
-          a(4) += 1
-        }
-      }
-    }
-    /** The listener bus delivers events asynchronously; attribution is
-      * id-based so late events still land correctly, but the FINAL
-      * artifact read must wait for the bus to drain. Wait until the
-      * bus has been quiet for 150 ms (cap 3 s). */
-    def quiesce(): Unit = {
-      val deadline = System.nanoTime() + 3000000000L
-      while (System.nanoTime() - lastEventNs < 150000000L &&
-          System.nanoTime() < deadline) Thread.sleep(10)
-    }
-  }
+  /** Per-query resource metrics ride [[BenchMetrics.MetricsListener]]:
+    * the main loop tags each query's final timed rep with a job group
+    * and the listener attributes task events by stage/job identity —
+    * exact under listener-bus lag, streaming included (see
+    * BenchMetrics for the full attribution + determinism notes). */
+  private val GroupPrefix = BenchMetrics.GroupPrefix
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -138,7 +88,7 @@ object Bench {
     // query immediately before its own timing — rather than one global
     // warm-up pass over every query — keeps cross-query residue out of
     // the measurement window.
-    val listener = new MetricsListener
+    val listener = new BenchMetrics.MetricsListener
     spark.sparkContext.addSparkListener(listener)
     val results = names.map { name =>
       scrub()
