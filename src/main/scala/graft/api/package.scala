@@ -214,6 +214,18 @@ package object api {
       Dedup.ngramJaccardPairs(df, idCol, textCol, langCol,
         threshold = threshold, maxBlock = maxBlock)
 
+    /** HIGH-RECALL near-dup pairs (r11 production default): banding ∪
+      * blocked candidates — both capped — verified once by exact
+      * Jaccard. Each single strategy alone measured only ~half the
+      * other's verified pairs on an organic corpus (q_minhash_recall);
+      * the union subsumes both for one extra shingle-free blocking
+      * pass. */
+    def nearDupPairsUnion(idCol: String, textCol: String, langCol: String,
+                          threshold: Double = 0.5,
+                          fastHash: Boolean = false): DataFrame =
+      Dedup.unionPairs(df, idCol, textCol, langCol, threshold = threshold,
+        fastHash = fastHash)
+
     /** Cluster this frame of (id_a, id_b) near-dup pairs into
       * components → (id, cluster = component min id). Diameter-bound
       * label propagation; use [[nearDupClustersStar]] for adversarial

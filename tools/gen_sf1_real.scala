@@ -13,6 +13,11 @@
 // Schemas match /root/testdata/sf0.1 exactly (TESTDATA.md). Determinism:
 // xxhash64-based uniforms only — re-running reproduces byte-identical data.
 // Run: /opt/spark/bin/spark-shell --master 'local[32]' -I tools/gen_sf1_real.scala
+//
+// r11: SPARK_GRAFT_GEN_SCALE (default 1) multiplies every row count AND the
+// near-dup template count — SPARK_GRAFT_GEN_SCALE=10 writes an organic sf10
+// to /tmp/sf10_real (override via SPARK_GRAFT_GEN_OUT). scale=1 output is
+// byte-identical to the pre-r11 generator (same ids → same hash draws).
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
@@ -21,7 +26,10 @@ object GenSf1Real {
   def run(spark: SparkSession): Unit = {
     import spark.implicits._
 
-val out = "/tmp/sf1_real"
+val scale = sys.env.getOrElse("SPARK_GRAFT_GEN_SCALE", "1").toLong
+require(scale >= 1, s"SPARK_GRAFT_GEN_SCALE must be >= 1, got $scale")
+val out = sys.env.getOrElse("SPARK_GRAFT_GEN_OUT",
+  if (scale == 1) "/tmp/sf1_real" else s"/tmp/sf${scale}_real")
 spark.conf.set("spark.sql.shuffle.partitions", 32)
 
 // uniform in (0,1] from (id, salt) — 40 bits of hash, never exactly 0
@@ -43,9 +51,11 @@ def pick(id: Column, salt: Int, vs: Seq[String]): Column =
   element_at(array(vs.map(lit): _*),
     (floor(u(id, salt) * vs.size) + 1).cast("int"))
 
-val N_CUST = 150000L; val N_SUPP = 10000L; val N_PART = 200000L
-val N_ORD = 1500000L; val N_EV = 1000000L; val N_USERS = 15000L
-val N_DOC = 50000L;   val N_VEC = 20000L
+val N_CUST = 150000L * scale; val N_SUPP = 10000L * scale
+val N_PART = 200000L * scale
+val N_ORD = 1500000L * scale; val N_EV = 1000000L * scale
+val N_USERS = 15000L * scale
+val N_DOC = 50000L * scale;   val N_VEC = 20000L * scale
 
 // ---- dimensions -----------------------------------------------------------
 val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
@@ -177,7 +187,7 @@ val vocabs = Map("en" -> vocabEnW, "fr" -> vocabFrW, "de" -> vocabDeW, "zh" -> v
 // Zipf cluster sizes (largest clusters ~hundreds of members — organically
 // exercises the LSH bucket caps); 1/3 of members are EXACT dups (identical
 // seed and no mutation), the rest mutate every ~8th word.
-val N_TMPL = 2000L
+val N_TMPL = 2000L * scale
 val ids = spark.range(N_DOC)
 val isDup = u(col("id"), 50) < 0.18
 val tmpl = zipf(col("id"), 51, N_TMPL) - N_TMPL // negative ids: template seeds
