@@ -91,6 +91,7 @@ object SparkEntry {
     // recall readout (both capped generators in one plan)
     "q_emb_drift", "q_minhash_recall",
     // round 11: the high-recall union candidate stage the production
-    // dedup queries now run, and its provenance-flag recall readout
-    "q_dedup_union", "q_union_recall")
+    // dedup queries now run, its provenance-flag recall readout, and
+    // the linear sorted-neighborhood strategy the sf10 soak motivated
+    "q_dedup_union", "q_union_recall", "q_dedup_sorted")
 }

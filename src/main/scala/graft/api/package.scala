@@ -226,6 +226,16 @@ package object api {
       Dedup.unionPairs(df, idCol, textCol, langCol, threshold = threshold,
         fastHash = fastHash)
 
+    /** Sorted-neighborhood near-dup pairs: O(n·window) candidates —
+      * linear at every corpus size, no block caps (the blocked
+      * strategy to run where fixed-cardinality blocks would saturate
+      * [[ngramNearDups]]' cap). */
+    def nearDupPairsSorted(idCol: String, textCol: String, langCol: String,
+                           window: Int = 8, threshold: Double = 0.5,
+                           fastHash: Boolean = false): DataFrame =
+      Dedup.sortedNeighborPairs(df, idCol, textCol, langCol,
+        window = window, threshold = threshold, fastHash = fastHash)
+
     /** Cluster this frame of (id_a, id_b) near-dup pairs into
       * components → (id, cluster = component min id). Diameter-bound
       * label propagation; use [[nearDupClustersStar]] for adversarial

@@ -239,6 +239,61 @@ object Dedup {
     cand
   }
 
+  /** SORTED-NEIGHBORHOOD candidate generation (Hernández & Stolfo's
+    * merge/purge windowing) — the SCALE-CORRECT successor to
+    * [[blockedCandidates]], added after the r11 sf10 soak measured the
+    * fixed-cardinality (lang, length-bucket) key saturating its caps:
+    * block COUNT does not grow with the corpus, so at 10× data every
+    * block is ~10× fatter and intra-block all-pairs work grows ~100×
+    * (the union queries read 11–15× wall-clock for 10× data, 36 GB
+    * spill). Here members of each (lang, length-bucket) block are
+    * totally ordered by (n_chars, id) and each member pairs with
+    * exactly its `window` successors, so candidates are O(n·window) —
+    * LINEAR in corpus size with no membership cap and no tombstoned
+    * blocks at any scale. Near-duplicates have near-equal lengths, so
+    * the length sort puts them within a small window of each other.
+    *
+    * The window join is not a self-theta-join: each row EXPLODES its
+    * `window` successor ranks (`sequence(rn+1, rn+window)`) and
+    * equi-joins on (lang, lenb, rn) — one shuffle carrying n·window
+    * narrow rows, no banding needed, nothing quadratic anywhere. */
+  private[graft] def sortedNeighborCandidates(df: DataFrame, idCol: String,
+                                              textCol: String, langCol: String,
+                                              window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val attrs = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      (length(col(textCol)) / 100).cast("int").as("lenb"),
+      length(col(textCol)).as("len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("lenb")).orderBy(col("len"), col("id"))
+    val ranked = attrs.withColumn("rn", row_number().over(w))
+      .select(col("id"), col("lang"), col("lenb"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = ranked
+      .select(col("id").as("id_l"), col("lang"), col("lenb"),
+        explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
+      .join(ranked.select(col("id").as("id_r"), col("lang"), col("lenb"),
+        col("rn")), Seq("lang", "lenb", "rn"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .pinned
+    ranked.unpersist(false)
+    cand
+  }
+
+  /** Sorted-neighborhood near-dup pairs: [[sortedNeighborCandidates]]
+    * verified by exact shingle-set Jaccard — the blocked strategy a
+    * 100 TB corpus actually runs (linear candidates, no caps, no
+    * recall cliff when fixed-cardinality blocks outgrow a cap; recall
+    * is governed by `window` and the length-sort locality instead). */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+                          langCol: String, window: Int = 8, w: Int = 3,
+                          threshold: Double = 0.5,
+                          fastHash: Boolean = false): DataFrame =
+    verifyJaccard(df,
+      sortedNeighborCandidates(df, idCol, textCol, langCol, window),
+      idCol, textCol, w, threshold, fastHash)
+
   /** Stage 5 of [[minhashPairs]] as a reusable verification pass: exact
     * shingle-set Jaccard over the md5-derived 32-bit shingle hashes,
     * only for docs that appear in some candidate pair.

@@ -614,6 +614,19 @@ object Extras {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SORTED-NEIGHBORHOOD near-dup pairs — the scale-correct blocked
+    // strategy the r11 sf10 soak motivated: the (lang, length-bucket)
+    // key's block COUNT is fixed, so at 10x corpus the capped
+    // all-pairs blocks go superlinear (11-15x wall-clock, 36 GB
+    // spill); here each block member pairs with exactly its 8
+    // length-sorted successors — O(n·window) candidates, LINEAR at
+    // every scale, no caps, no tombstoned blocks.
+    "q_dedup_sorted" -> ((s, dir) => {
+      Dedup.sortedNeighborPairs(Tables(s, dir, "documents"), "doc_id",
+          "text", "lang", window = 8, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // The recall readout the union path answers q_minhash_recall with:
     // each generator's share of the UNION's verified pairs, aggregated
     // straight off the provenance flags — zero extra passes. By
@@ -1220,17 +1233,10 @@ object Extras {
     * permutations, banding, the [2, maxBucket] cap, candidate pairs —
     * ending in cand(id_a, id_b), with hs(id, sh, hl) in scope for the
     * verification CTEs layered on top. */
-  private lazy val minhashCandCtes: String = {
-    val coeffs = Dedup.minhashCoeffs(16)
-    val P = Dedup.MinhashP
-    val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
-      s"list_min(list_transform(hl, h -> ($a*h + $b) % $P)) AS mh$s"
-    }.mkString(",\n  ")
-    val bandSelects = (0 until 4).map { b =>
-      val cat = (b * 4 until (b + 1) * 4)
-        .map(s => s"mh$s::VARCHAR").mkString(" || '|' || ")
-      s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
-    }.mkString("\n  UNION ALL ")
+  /** DuckDB fragment: shingle construction + md5-nibble base hashes —
+    * base(id, sh) and hs(id, sh, hl), the shared prefix of every
+    * shingle-verified candidate strategy. */
+  private lazy val shingleHsCtes: String =
     s"""base AS (
       |  SELECT doc_id AS id, list_distinct(
       |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
@@ -1243,7 +1249,20 @@ object Extras {
       |hs AS (SELECT id, sh, list_transform(sh, s ->
       |  list_reduce(list_transform(string_split(substr(md5(s),1,8),''),
       |    c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)) AS hl
-      |  FROM base),
+      |  FROM base)""".stripMargin
+
+  private lazy val minhashCandCtes: String = {
+    val coeffs = Dedup.minhashCoeffs(16)
+    val P = Dedup.MinhashP
+    val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
+      s"list_min(list_transform(hl, h -> ($a*h + $b) % $P)) AS mh$s"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (b * 4 until (b + 1) * 4)
+        .map(s => s"mh$s::VARCHAR").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleHsCtes,
       |sig AS (SELECT id,
       |  $mhs
       |FROM hs),
@@ -2028,6 +2047,31 @@ object Extras {
     "q_dedup_union" ->
       s"""WITH $unionPairsCtes
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM upairs
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // sortedNeighborPairs replica: same (lang, lenb) blocks, the same
+    // (len, id) total order, each rank exploded to its 8 successor
+    // ranks, exact shingle-hash-set Jaccard on the joined pairs
+    "q_dedup_sorted" ->
+      s"""WITH $shingleHsCtes,
+        |battrs AS (SELECT doc_id AS id, lang,
+        |  CAST(FLOOR(LENGTH(text)/100.0) AS INT) AS lenb,
+        |  LENGTH(text) AS len FROM documents),
+        |r AS (SELECT id, lang, lenb,
+        |  ROW_NUMBER() OVER (PARTITION BY lang, lenb ORDER BY len, id) AS rn
+        |  FROM battrs),
+        |scand AS (SELECT LEAST(a.id, b.id) AS id_a,
+        |    GREATEST(a.id, b.id) AS id_b
+        |  FROM (SELECT id, lang, lenb,
+        |          unnest(generate_series(rn + 1, rn + 8)) AS rnb FROM r) a
+        |  JOIN r b ON a.lang = b.lang AND a.lenb = b.lenb AND b.rn = a.rnb),
+        |hsets AS (SELECT id, list_distinct(hl) AS hh FROM hs),
+        |spairs AS (SELECT id_a, id_b,
+        |  CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(ha.hh, hb.hh))) AS j
+        |  FROM scand JOIN hsets ha ON ha.id = scand.id_a
+        |             JOIN hsets hb ON hb.id = scand.id_b)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM spairs
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     // provenance-flag aggregation over the union's verified pairs
