@@ -567,35 +567,27 @@ object Extras {
 
     // Measured recall of the two near-dup candidate strategies against
     // each other — the tuning readout that turns "add a band?" /
-    // "raise the block cap?" from guesswork into data. Both pipelines
-    // verify EXACT Jaccard ≥ 0.5 over the identical shingle-hash sets;
-    // they differ only in candidate GENERATION — banding + bucket caps
-    // (minhash) vs (lang, length-bucket) blocks + block caps (ngram) —
-    // so the full-outer join of their pair sets isolates exactly what
-    // each blocking strategy misses: banding loses pairs that collide
-    // in no band or overflow a bucket; blocking loses cross-block
-    // pairs. One row: both counts, the intersection, each side's
-    // exclusive misses, and the overlap ratio. Scale shape: both
-    // generators are the capped-never-all-pairs paths already pinned;
-    // the join is pair-table-sized.
+    // "raise the block cap?" from guesswork into data. r11 rewrite:
+    // both strategies verify the IDENTICAL exact-Jaccard ≥ 0.5 over
+    // the same shingle-hash sets, so each side's verified set equals
+    // "union-verified pairs whose candidate came from that generator"
+    // — the readout now aggregates straight off unionPairsFlagged's
+    // provenance flags. One corpus-wide candidate+verification pass
+    // instead of two full pipelines (the r10 plan-audit note: the
+    // shared distinct (id, shingle-hash) work was computed twice —
+    // measured 8.3 s → ~halved at sf0.1), output bit-identical.
     "q_minhash_recall" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val banded = Dedup.minhashPairs(d, "doc_id", "text",
-          k = 16, bands = 4, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), lit(1L).as("__b"))
-      val blocked = Dedup.ngramJaccardPairs(d, "doc_id", "text", "lang",
-          threshold = 0.5)
-        .select(col("id_a"), col("id_b"), lit(1L).as("__k"))
-      banded.join(blocked, Seq("id_a", "id_b"), "full_outer")
+      Dedup.unionPairsFlagged(Tables(s, dir, "documents"), "doc_id",
+          "text", "lang", threshold = 0.5)
         .agg(
-          sum(coalesce(col("__b"), lit(0L))).as("n_banded"),
-          sum(coalesce(col("__k"), lit(0L))).as("n_blocked"),
-          sum(when(col("__b").isNotNull && col("__k").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"),
-          sum(when(col("__k").isNull, 1L).otherwise(0L))
-            .as("n_only_banded"),
-          sum(when(col("__b").isNull, 1L).otherwise(0L))
-            .as("n_only_blocked"))
+          sum(col("from_banded")).cast("long").as("n_banded"),
+          sum(col("from_blocked")).cast("long").as("n_blocked"),
+          sum(col("from_banded") * col("from_blocked")).cast("long")
+            .as("n_both"),
+          sum(col("from_banded") * (lit(1) - col("from_blocked")))
+            .cast("long").as("n_only_banded"),
+          sum(col("from_blocked") * (lit(1) - col("from_banded")))
+            .cast("long").as("n_only_blocked"))
         .select(col("n_banded"), col("n_blocked"), col("n_both"),
           col("n_only_banded"), col("n_only_blocked"),
           when(col("n_blocked") > 0,
@@ -2196,44 +2188,23 @@ object Extras {
         |    / 1e6 AS recall_blocked
         |FROM upairs WHERE j >= 0.5""".stripMargin,
 
-    // both candidate strategies replayed (the banding chain verbatim,
-    // the ngram block chain with renamed CTEs), full-outer joined
+    // r11: aggregated off the union replica's provenance flags — the
+    // per-strategy verified sets are exactly the flagged slices of the
+    // union's verified pairs (same candidates, same verification)
     "q_minhash_recall" ->
-      s"""WITH $minhashPairsCte,
-        |banded2 AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
-        |nbase AS (
-        |  SELECT doc_id AS id, lang,
-        |    CAST(FLOOR(LENGTH(text)/100.0) AS INT) AS lenb,
-        |    list_distinct(list_transform(
-        |      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-        |           ELSE list_transform(generate_series(1, len(ws)-2),
-        |                  i -> array_to_string(ws[i:i+2], ' '))
-        |      END, s -> ${hex8("s")})) AS sh
-        |  FROM (SELECT doc_id, lang, text,
-        |    regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\\s+') AS ws
-        |    FROM documents)),
-        |ncapped AS (
-        |  SELECT * FROM nbase
-        |  QUALIFY COUNT(*) OVER (PARTITION BY lang, lenb) BETWEEN 2 AND 1000),
-        |blocked2 AS (SELECT a.id AS id_a, b.id AS id_b
-        |  FROM ncapped a JOIN ncapped b
-        |    ON a.lang = b.lang AND a.lenb = b.lenb AND a.id < b.id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-        |j AS (SELECT
-        |    CASE WHEN bb.id_a IS NOT NULL THEN 1 ELSE 0 END AS isb,
-        |    CASE WHEN kk.id_a IS NOT NULL THEN 1 ELSE 0 END AS isk
-        |  FROM banded2 bb FULL OUTER JOIN blocked2 kk
-        |    ON bb.id_a = kk.id_a AND bb.id_b = kk.id_b)
-        |SELECT CAST(SUM(isb) AS BIGINT) AS n_banded,
-        |  CAST(SUM(isk) AS BIGINT) AS n_blocked,
-        |  CAST(SUM(isb * isk) AS BIGINT) AS n_both,
-        |  CAST(SUM(isb * (1 - isk)) AS BIGINT) AS n_only_banded,
-        |  CAST(SUM(isk * (1 - isb)) AS BIGINT) AS n_only_blocked,
-        |  CASE WHEN SUM(isk) > 0 THEN
-        |    FLOOR(CAST(SUM(isb * isk) AS DOUBLE) / SUM(isk) * 1e6 + 0.5)
-        |      / 1e6 END AS recall_of_blocked
-        |FROM j""".stripMargin,
+      s"""WITH $unionPairsCtes
+        |SELECT CAST(SUM(from_banded) AS BIGINT) AS n_banded,
+        |  CAST(SUM(from_blocked) AS BIGINT) AS n_blocked,
+        |  CAST(SUM(from_banded * from_blocked) AS BIGINT) AS n_both,
+        |  CAST(SUM(from_banded * (1 - from_blocked)) AS BIGINT)
+        |    AS n_only_banded,
+        |  CAST(SUM(from_blocked * (1 - from_banded)) AS BIGINT)
+        |    AS n_only_blocked,
+        |  CASE WHEN SUM(from_blocked) > 0 THEN
+        |    FLOOR(CAST(SUM(from_banded * from_blocked) AS DOUBLE)
+        |      / SUM(from_blocked) * 1e6 + 0.5) / 1e6 END
+        |    AS recall_of_blocked
+        |FROM upairs WHERE j >= 0.5""".stripMargin,
 
     // same banding CTEs, aggregated to the bucket-size distribution
     "q_minhash_bucket_stats" ->

@@ -416,7 +416,17 @@ class PlanShapeSpec extends SparkSpecBase {
       // round-10: drift = (label, half, dim) agg + ref/cur split join +
       // final 1-row agg; recall = the full-outer pair join over the two
       // (pinned) capped generators + 1-row agg
-      "q_emb_drift" -> 4, "q_minhash_recall" -> 3)
+      "q_emb_drift" -> 4, "q_minhash_recall" -> 3,
+      // round-11 dedup ladder: every candidate/verification stage is
+      // pinned (localCheckpoint), so the final plans are only the
+      // readout tail — total order on the pair dumps, SinglePartition
+      // agg on the recall readouts, label joins + agg for chain recall
+      "q_dedup_union" -> 1, "q_dedup_sorted" -> 1,
+      "q_dedup_minhash_sorted" -> 1, "q_union_recall" -> 1,
+      // chain recall: singleton-vertex distinct + star-label join on
+      // top of the pinned pair frames, the two endpoint label joins,
+      // and the 1-row agg — all pair-table-sized
+      "q_chain_recall" -> 7)
     for ((name, budget) <- budgets) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size +
