@@ -215,7 +215,19 @@ object Dedup {
     * candidate generation needs only the two blocking attributes, so
     * this is one narrow projection + window-count cap + self-join.
     * Same [2, maxBlock] cap semantics as the verifying variant; the
-    * pair table is Σ block_n² bounded by the cap, eagerly pinned. */
+    * pair table is Σ block_n² bounded by the cap, eagerly pinned.
+    *
+    * ≤sf1 DIAGNOSTIC GENERATOR, NOT A SCALE STRATEGY: the blocking
+    * key has FIXED cardinality (|langs| × |length buckets|), so block
+    * COUNT cannot grow with the corpus — at 10× data every block is
+    * ~10× fatter and the capped intra-block all-pairs work grows
+    * ~100× until `maxBlock` starts dropping whole blocks (cost then
+    * bounded, recall cliffs). Measured in the r11 sf10 soak: the
+    * union queries riding this generator read 11–15.5× wall-clock
+    * for 10× data with ~36 GB spill. Use it for per-pair-completeness
+    * readouts at ≤sf1 (q_dedup_union / q_union_recall); production
+    * clustering runs [[minhashSortedPairs]] — linear candidates whose
+    * key cardinality grows with the corpus by construction. */
   private[graft] def blockedCandidates(df: DataFrame, idCol: String,
                                        textCol: String, langCol: String,
                                        maxBlock: Int): DataFrame = {
@@ -429,7 +441,10 @@ object Dedup {
   /** HIGH-RECALL near-dup pairs: the UNION of both candidate-generation
     * strategies — MinHash banding (bucket-capped) ∪ (lang, length-bucket)
     * blocking (block-capped) — verified ONCE by exact shingle-set
-    * Jaccard. The r11 production dedup default.
+    * Jaccard. The per-PAIR-completeness DIAGNOSTIC the recall
+    * readouts are measured against (≤sf1 — it inherits
+    * [[blockedCandidates]]' superlinear regime past that); production
+    * clustering runs [[minhashSortedPairs]] since r12.
     *
     * Why: q_minhash_recall measured on the organic sf1 corpus that each
     * single strategy alone finds only ~half of the other's verified
@@ -469,9 +484,9 @@ object Dedup {
       extraCols = Seq("from_banded", "from_blocked"))
   }
 
-  /** [[unionPairsFlagged]] without the provenance flags — the drop-in
-    * high-recall replacement for [[minhashPairs]] in the production
-    * dedup compositions (cluster / apply / keep-best). */
+  /** [[unionPairsFlagged]] without the provenance flags — the
+    * maximum-recall pair dump for ≤sf1 completeness readouts
+    * (q_dedup_union and the recall denominators). */
   def unionPairs(df: DataFrame, idCol: String, textCol: String,
                  langCol: String, k: Int = 16, bands: Int = 4, w: Int = 3,
                  threshold: Double = 0.5, maxBucket: Int = 200,
@@ -1001,8 +1016,12 @@ object Dedup {
       s"keepBestClusters: idCol '$idCol' must be an integral column " +
         s"for the min-id tiebreak, got ${idType.typeName}")
     // label columns renamed before the join so caller frames that
-    // already carry an `id` or `cluster` column stay unambiguous
-    val cc = connectedComponents(pairs)
+    // already carry an `id` or `cluster` column stay unambiguous.
+    // Star contraction, not label propagation: the production pair
+    // source is the minhash-sorted CHAIN generator, whose mega-cluster
+    // components are paths — O(diameter) label propagation would burn
+    // its full round budget there before auto-escalating to this.
+    val cc = connectedComponentsStar(pairs)
       .select(col("id").as("__kb_id"), col("cluster").as("__kb_cluster"))
     df.join(cc, col(idCol) === col("__kb_id"), "left")
       .select(col(idCol), col(qualityCol),

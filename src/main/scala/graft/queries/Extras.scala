@@ -598,8 +598,12 @@ object Extras {
     }),
 
     // High-recall UNION pair dump (banding ∪ blocked candidates,
-    // verified once at the same exact-Jaccard threshold) — the r11
-    // candidate stage the production dedup queries below now run.
+    // verified once at the same exact-Jaccard threshold) — the
+    // per-PAIR-completeness diagnostic the recall readouts are
+    // measured against. NOT the production clustering default: its
+    // blocked half goes superlinear past ~sf1 (fixed-cardinality
+    // blocks — see blockedCandidates' scaladoc and the r11 sf10
+    // soak); the production compositions run minhash-sorted chains.
     "q_dedup_union" -> ((s, dir) => {
       Dedup.unionPairs(Tables(s, dir, "documents"), "doc_id", "text",
           "lang", threshold = 0.5)
@@ -683,18 +687,23 @@ object Extras {
             .as("recall_blocked"))
     }),
 
-    // union pairs → connected components → one cluster id (the
+    // near-dup pairs → connected components → one cluster id (the
     // component's min doc_id) per document; is_rep marks the keeper.
     // The CC loop runs only over ids that appear in some pair; the
     // corpus-wide frame just left-joins the (tiny) label table back.
-    // r11: candidates come from the HIGH-RECALL union stage — the
-    // banding-only path measured ~0.51 recall of blocked's verified
-    // pairs at organic sf1 (q_minhash_recall), so clustering on it
-    // alone under-merges; the union subsumes both generators.
+    // r12: candidates come from the LINEAR minhash-sorted chains —
+    // the r11 sf10 soak measured the union stage superlinear (its
+    // fixed-cardinality blocked half: 11-15× wall for 10× data,
+    // ~36 GB spill) while the sorted chains read 6.4× with ZERO
+    // spill and 0.981 CHAIN recall of the union's verified pairs at
+    // sf1 (q_chain_recall) — for CLUSTERING, chain connectivity is
+    // the recall that matters, and it is the production default now.
+    // The union stage stays as the per-PAIR-completeness readout
+    // (q_dedup_union / q_union_recall / q_minhash_recall).
     "q_dedup_cluster" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.unionPairs(d, "doc_id", "text", "lang",
-        threshold = 0.5)
+      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text",
+        passes = 3, window = 8, threshold = 0.5)
       val cc = Dedup.connectedComponents(pairs)
       // no broadcast hint: |labels| is bounded by the near-dup doc count,
       // small here but unbounded at corpus scale — let AQE pick broadcast
@@ -709,11 +718,15 @@ object Extras {
 
     // same pipeline, clustered by large-star/small-star contraction —
     // identical result (same components, same min-id labels), O(log n)
-    // rounds instead of O(diameter); shares the q_dedup_cluster oracle
+    // rounds instead of O(diameter); shares the q_dedup_cluster
+    // oracle. On CHAIN-shaped pair graphs (exactly what the sorted
+    // neighborhood emits for a boilerplate mega-cluster) this is the
+    // right CC algorithm: label propagation needs O(chain length)
+    // rounds there and would burn its round budget before escalating.
     "q_dedup_cluster_star" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.unionPairs(d, "doc_id", "text", "lang",
-        threshold = 0.5)
+      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text",
+        passes = 3, window = 8, threshold = 0.5)
       val cc = Dedup.connectedComponentsStar(pairs)
       d.select(col("doc_id"))
         .join(cc, col("doc_id") === col("id"), "left")
@@ -724,16 +737,16 @@ object Extras {
     }),
 
     // end-to-end dedup apply (the "materialize the clean corpus"
-    // step): minhash pairs → connected components → keep each
+    // step): minhash-sorted chain pairs → star CC → keep each
     // cluster's min-id representative → per-language accounting of
     // the survivors. The label table is bounded by the near-dup doc
     // count (tiny vs |D|) — AQE broadcasts the left join; the final
-    // agg is the only corpus-wide shuffle after the LSH stages.
+    // agg is the only corpus-wide shuffle after the candidate stages.
     "q_dedup_apply" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.unionPairs(d, "doc_id", "text", "lang",
-        threshold = 0.5)
-      val cc = Dedup.connectedComponents(pairs)
+      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text",
+        passes = 3, window = 8, threshold = 0.5)
+      val cc = Dedup.connectedComponentsStar(pairs)
       d.join(cc, col("doc_id") === col("id"), "left")
         .filter(col("doc_id") === coalesce(col("cluster"), col("doc_id")))
         .groupBy(col("lang"))
@@ -752,8 +765,8 @@ object Extras {
     // label join broadcasts under AQE, exactly as in q_dedup_apply.
     "q_dedup_keep_best" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.unionPairs(d, "doc_id", "text", "lang",
-        threshold = 0.5)
+      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text",
+        passes = 3, window = 8, threshold = 0.5)
       Dedup.keepBestClusters(d, "doc_id", "n_chars", pairs)
         .filter(col("n_members") >= 2)
         .select(col("cluster"), col("n_members"),
@@ -1421,13 +1434,16 @@ object Extras {
       |sig AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM s)""".stripMargin
   }
 
-  /** DuckDB fragment: minhash pairs → CC labels as CTE text ending in
-    * `cc(node, cluster)` — shared by the cluster queries and the
-    * end-to-end dedup apply. */
+  /** DuckDB fragment: minhash-SORTED chain pairs → CC labels as CTE
+    * text ending in `cc(node, cluster)` — shared by the cluster
+    * queries and the end-to-end dedup apply. r12: rebased from the
+    * union stage (upairs) onto the linear sorted chains (mpairs),
+    * matching the production compositions' candidate-stage swap. */
   private def ccCtes: String =
-    s"""$unionPairsCtes,
-      |e AS (SELECT id_a AS a, id_b AS b FROM upairs WHERE j >= 0.5
-      |      UNION ALL SELECT id_b, id_a FROM upairs WHERE j >= 0.5),
+    s"""$shingleHsCtes,
+      |$mhSortedCtes,
+      |e AS (SELECT id_a AS a, id_b AS b FROM mpairs WHERE j >= 0.5
+      |      UNION ALL SELECT id_b, id_a FROM mpairs WHERE j >= 0.5),
       |reach AS (SELECT a AS node, a AS lab FROM e
       |          UNION SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node),
       |cc AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)""".stripMargin

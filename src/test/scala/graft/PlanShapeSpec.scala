@@ -407,9 +407,13 @@ class PlanShapeSpec extends SparkSpecBase {
       // (band,bh) count, size histogram, final total order
       "q_pagerank_converged" -> 0, "q_kmeans_converged" -> 2,
       "q_minhash_bucket_stats" -> 4, "q_tpch_q9" -> 6,
-      // keep_best: label join + cluster agg + member filter + order on
-      // top of the pinned CC labels; variant: agg + total order
-      "q_dedup_keep_best" -> 4, "q_variant_extract" -> 2,
+      // keep_best (r12: minhash-sorted chains + star CC): the star
+      // tail's pair-table-sized singleton-vertex distinct + label
+      // join + cluster agg + member filter + total order — one more
+      // than the label-prop variant, whose final label frame was
+      // pinned per-round (the distinct is bounded by the near-dup
+      // vertex count, never |D|)
+      "q_dedup_keep_best" -> 5, "q_variant_extract" -> 2,
       // survival: duration agg + the GlobalOrder two-pass prefix sums
       // over the calendar-sized frame + final order
       "q_survival_km" -> 4,
