@@ -90,6 +90,15 @@ object Bench {
     // the measurement window.
     val listener = new BenchMetrics.MetricsListener
     spark.sparkContext.addSparkListener(listener)
+    // Per-query connected-components observability: Dedup's CC loops
+    // record (algo, rounds, escalated) tagged with the active job
+    // group; the final timed rep is the tagged one, so draining after
+    // each query and filtering on its group yields exactly that rep's
+    // CC runs. Escalation (label propagation hitting its round budget
+    // and switching to star contraction) is the at-scale signal the
+    // artifact must carry — a chain-shaped pair graph shows up here
+    // before it shows up as wall-clock.
+    val ccStats = scala.collection.mutable.Map[String, (Int, Int, Boolean)]()
     val results = names.map { name =>
       scrub()
       if (!run(name)) name -> -1.0
@@ -109,7 +118,13 @@ object Bench {
           val t0 = System.nanoTime()
           val ok = run(name)
           val dt = (System.nanoTime() - t0) / 1e9
-          if (i == reps) spark.sparkContext.clearJobGroup()
+          if (i == reps) {
+            spark.sparkContext.clearJobGroup()
+            val runs = graft.operators.Dedup.drainCcRuns()
+              .filter(_._1 == GroupPrefix + name).map(_._2)
+            if (runs.nonEmpty) ccStats(name) =
+              (runs.size, runs.map(_.rounds).max, runs.exists(_.escalated))
+          }
           if (ok) dt else -1.0
         }
         val med =
@@ -135,8 +150,11 @@ object Bench {
     val metricsJson = {
       val qs = results.map { case (name, sec) =>
         val a = listener.acc.getOrElse(name, Array.fill(5)(0L))
+        val cc = ccStats.get(name).map { case (n, rounds, esc) =>
+          s""" "cc_runs": $n, "cc_rounds": $rounds, "cc_escalated": $esc,"""
+        }.getOrElse("")
         s""" "$name": {"shuffle_read_b": ${a(0)}, "shuffle_write_b": ${a(1)},""" +
-          s""" "mem_spill_b": ${a(2)}, "disk_spill_b": ${a(3)},""" +
+          s""" "mem_spill_b": ${a(2)}, "disk_spill_b": ${a(3)},$cc""" +
           s""" "tasks": ${a(4)}, "sec": ${"%.3f".formatLocal(java.util.Locale.ROOT, sec)}}"""
       }.mkString(",\n")
       s"""{\n"sf": "$sfDir",\n"queries": {\n$qs\n}\n}\n"""

@@ -31,13 +31,16 @@ object MultiExecWitness {
   private val WitnessQueries =
     Seq("q_pagerank_converged", "q_kmeans_converged", "q_dedup_cluster_star")
 
-  /** kill -9 the first executor JVM found (never the driver: executors
-    * are separate CoarseGrainedExecutorBackend processes under
-    * local-cluster). Returns the killed pid, if any. */
-  private def killOneExecutor(): Option[String] = {
+  /** kill -9 the first executor JVM of THIS application (never the
+    * driver: executors are separate CoarseGrainedExecutorBackend
+    * processes under local-cluster). The pgrep pattern includes the
+    * app id — executor command lines carry `--app-id <id>` — so a
+    * concurrent Spark job's executors (a parallel soak/bench run) are
+    * never collateral (ADVICE r11). Returns the killed pid, if any. */
+  private def killOneExecutor(appId: String): Option[String] = {
     import scala.sys.process._
     val pids = try {
-      Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!.trim
+      Seq("pgrep", "-f", s"CoarseGrainedExecutorBackend.*$appId").!!.trim
         .split("\\s+").filter(_.nonEmpty).toSeq
     } catch { case _: Exception => Seq.empty }
     pids.headOption.map { pid =>
@@ -73,9 +76,10 @@ object MultiExecWitness {
     // killed mid-iteration. The standalone Worker relaunches the
     // executor; failed tasks retry; pinned iterates re-read from the
     // reliable checkpoint dir instead of dying on lost lineage.
+    val appId = spark.sparkContext.applicationId
     val killer = new Thread(() => {
       Thread.sleep(4000)
-      killOneExecutor() match {
+      killOneExecutor(appId) match {
         case Some(pid) => println(s"[multiexec] killed executor pid $pid")
         case None => println("[multiexec] WARNING: no executor found to kill")
       }

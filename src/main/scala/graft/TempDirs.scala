@@ -43,8 +43,17 @@ object TempDirs {
         } finally s.close()
       } else if (Files.exists(p)) Seq(p)
       else Seq.empty
+    // A file can vanish between Files.list and the stat (a fixture
+    // being regenerated concurrently — the very scenario fingerprinting
+    // targets). Skip vanished files rather than failing the caller's
+    // staging: the next call re-resolves because the key changes again
+    // once the regeneration completes (ADVICE r11).
     val stamp = files
-      .map(f => s"${f.getFileName}:${Files.getLastModifiedTime(f).toMillis}:${Files.size(f)}")
+      .flatMap { f =>
+        try Some(
+          s"${f.getFileName}:${Files.getLastModifiedTime(f).toMillis}:${Files.size(f)}")
+        catch { case _: java.io.IOException => None }
+      }
       .sorted.mkString("|")
     java.lang.Integer.toHexString(stamp.hashCode)
   }

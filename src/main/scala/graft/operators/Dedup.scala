@@ -23,6 +23,40 @@ object Dedup {
 
   private val bloomViewId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** One connected-components invocation's observability record:
+    * which algorithm ran, how many rounds it used, and whether a
+    * label-propagation call had to auto-escalate to star contraction
+    * (i.e. a component's diameter exceeded the round budget — the
+    * signal that the pair graph is chain-shaped and callers should
+    * start on [[connectedComponentsStar]] directly). */
+  case class CcRun(algo: String, rounds: Int, escalated: Boolean)
+
+  /** Driver-side CC run log, tagged with the Spark job group active at
+    * the call (Bench tags each query's final timed rep, so entries are
+    * attributable per query). Bounded: CC runs once or twice per dedup
+    * query, and [[drainCcRuns]] empties it — never rows-scaled. */
+  private val ccRuns =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, CcRun)]()
+
+  private def recordCc(df: DataFrame, run: CcRun): Unit = {
+    val group = Option(df.sparkSession.sparkContext
+      .getLocalProperty("spark.jobGroup.id")).getOrElse("")
+    ccRuns.add(group -> run)
+    if (run.escalated)
+      System.err.println(s"[graft.cc] label propagation unconverged after " +
+        s"${run.rounds} rounds — auto-escalating to star contraction " +
+        s"(group='$group')")
+  }
+
+  /** Drain and return all CC run records since the last drain, as
+    * (jobGroup, run) pairs — consumed by Bench's metrics artifact. */
+  def drainCcRuns(): Seq[(String, CcRun)] = {
+    val b = Seq.newBuilder[(String, CcRun)]
+    var e = ccRuns.poll()
+    while (e != null) { b += e; e = ccRuns.poll() }
+    b.result()
+  }
+
   /** Normalized word array — the ONE normalization definition, shared
     * with the text subsystem (TF-IDF tokens == shingle words by
     * construction, not by parallel regex copies). */
@@ -747,6 +781,7 @@ object Dedup {
       lab = next.select(col("id"), col("lab"))
       round += 1
     }
+    recordCc(pairs, CcRun("labelprop", round, escalated = changed > 0))
     if (changed > 0) connectedComponentsStar(pairs)
     else lab.select(col("id"), col("lab").as("cluster"))
   }
@@ -805,6 +840,7 @@ object Dedup {
       e = next
       round += 1
     }
+    recordCc(pairs, CcRun("star", round, escalated = false))
     // converged: every edge is (center, v) with center the component
     // min; centers label themselves, original singleton-side vertices
     // (none by construction of `pairs`) would coalesce to their own id

@@ -64,10 +64,18 @@ class DistributedAlgoPropertySpec extends SparkSpecBase {
     val pairs = spark.createDataFrame(
       spark.sparkContext.parallelize(
         edges.map { case (a, b) => Row(a, b) }, 3), schema)
+    Dedup.drainCcRuns() // discard records from earlier tests
     val got = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = (0L until 30L).map(_ -> 0L).toMap
     assert(got == want)
+    // r12 observability: the escalation is RECORDED, not silent — one
+    // labelprop run flagged escalated at the round budget, then the
+    // star run that produced the labels
+    val runs = Dedup.drainCcRuns().map(_._2)
+    assert(runs.exists(r => r.algo == "labelprop" && r.escalated &&
+      r.rounds == 20), s"runs=$runs")
+    assert(runs.exists(r => r.algo == "star" && !r.escalated), s"runs=$runs")
   }
 
   test("large-star/small-star CC equals union-find, including path graphs") {

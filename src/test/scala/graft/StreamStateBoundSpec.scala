@@ -62,14 +62,20 @@ class StreamStateBoundSpec extends SparkSpecBase {
         s"(warm peak $warm, late peak $late; series=$rows)")
   }
 
-  /** JSON-lines artifact: one {"op", "series"} object per replay. */
+  /** JSON-lines artifact: one {"op", "series"} object per replay.
+    * The file is truncated by this JVM's FIRST dump — appending across
+    * suite re-runs would accumulate duplicate series objects in the
+    * committed artifact (ADVICE r11); within one run each test appends
+    * its own op line. */
+  private val dumpTruncated = new java.util.concurrent.atomic.AtomicBoolean()
   private def maybeDump(tag: String, series: Seq[(Long, Long)]): Unit =
     sys.env.get("SPARK_GRAFT_STREAM_STATE_OUT").foreach { path =>
       val line = series.map { case (r, b) => s"""{"rows":$r,"bytes":$b}""" }
         .mkString(s"""{"op": "$tag", "series": [""", ",", "]}")
       val f = java.nio.file.Paths.get(path)
       val prev =
-        if (java.nio.file.Files.exists(f))
+        if (!dumpTruncated.compareAndSet(false, true) &&
+            java.nio.file.Files.exists(f))
           new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
         else ""
       java.nio.file.Files.write(f, (prev + line + "\n").getBytes("UTF-8"))

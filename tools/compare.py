@@ -103,9 +103,16 @@ def main(out_dir, sf_dir, json_out=None):
             # mismatch: unchecked entries (missing oracle / oracle SQL
             # error) carry hash_match null + an explicit err marker,
             # not hash_match false.
+            # ARTIFACT SCHEMA NOTE (r11 change): rows_match /
+            # schema_match / hash_match are nullable booleans — null
+            # means "not checked", and the explicit "checked" field
+            # carries that tri-state so gate scripts can key off
+            # checked/err instead of plain truthiness (before r11,
+            # no_oracle entries reported rows_match/schema_match true).
             unchecked = v.startswith("no_oracle") or \
                 v.startswith("ORACLE_SQL_ERROR") or v == "NO_SPARK_OUTPUT"
             art[k] = {
+                "checked": not unchecked,
                 "rows_match": None if unchecked
                     else ok or not v.startswith("ROWS"),
                 "schema_match": None if unchecked
