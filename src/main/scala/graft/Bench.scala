@@ -26,8 +26,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // multi-JVM bench smoke runs the same headline set under
+    // `local-cluster[8,4,3072]` (32 cores across 8 executor PROCESSES,
+    // real serialization boundaries) with reliableCheckpoint=true; see
+    // README. Under spark-submit the env wins over the submit master
+    // only because both are set to the same value there.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -36,6 +43,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Multi-JVM topology: localCheckpoint blocks live on individual
+    // executors and die with them — the reliable mode checkpoints
+    // pinned frames to a shared dir instead (Pin scaladoc; the
+    // MultiExecWitness failure-model run exercises the loss path).
+    if (master.startsWith("local-cluster")) {
+      spark.conf.set(graft.operators.Pin.FLAG, "true")
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-bench-ckpt")
+          .toString)
+    }
 
     // Optional args narrow the run to named queries — local iteration
     // only; the driver passes no args and benches the full headline set.

@@ -49,10 +49,10 @@ object ProfileMain {
     time("  +md5 basehash")(hashed)
     val coeffs = Dedup.minhashCoeffs(16)
     val sig = hashed.groupBy(col("id")).agg(
-      min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2), lit(Dedup.MinhashP))).as("mh0"),
+      min(Dedup.minhashTerm(col("__h"), coeffs(0)._1, coeffs(0)._2)).as("mh0"),
       (1 until 16).map { s =>
         val (a, b) = coeffs(s)
-        min(pmod(lit(a) * col("__h") + lit(b), lit(Dedup.MinhashP))).as(s"mh$s")
+        min(Dedup.minhashTerm(col("__h"), a, b)).as(s"mh$s")
       }: _*)
     time("  +16 min-aggs (sig)")(sig)
     time("full minhashPairs")(Dedup.minhashPairs(docs, "doc_id", "text"))

@@ -70,19 +70,47 @@ object Dedup {
         i => concat_ws(" ", slice(ws, i + 1, lit(w)))))
   }
 
-  /** MinHash permutation family: mh_s(h) = (a_s·h + b_s) mod P over a
-    * 32-bit base hash h — the textbook affine construction, so each
-    * shingle costs ONE md5 plus k multiply-adds (not k hashes). P is the
-    * Mersenne prime 2^61−1; a_s < 2^30 keeps a_s·h < 2^62, so everything
-    * stays in exact signed-64 arithmetic in both this engine and the
-    * DuckDB oracle. Coefficients come from a fixed-seed LCG (JVM-spec
-    * deterministic) and are baked as literals into both plans. */
-  val MinhashP: Long = (1L << 61) - 1
+  /** MinHash permutation family: mh_s(h) = (a_s·(h mod P) + b_s) mod P
+    * over a 32-bit base hash h — the textbook Carter-Wegman affine
+    * construction over Z_P, so each shingle costs ONE md5 plus k
+    * multiply-adds (not k hashes). P is the Mersenne prime 2^31−1;
+    * operands stay < 2^31, so every product is < 2^62 — exact signed-64
+    * arithmetic in both this engine and the DuckDB oracle. Coefficients
+    * come from a fixed-seed LCG (JVM-spec deterministic) and are baked
+    * as literals into both plans.
+    *
+    * WHY P = 2^31−1 and h reduced FIRST (r12 fix): the previous family
+    * used P = 2^61−1 with a_s < 2^30 over unreduced h < 2^32 — but then
+    * a_s·h + b_s < P whenever a_s < 2^29, i.e. for ~half the drawn
+    * coefficients THE MODULUS NEVER WRAPS and the map is monotone in h:
+    * those "independent" permutations all select the SAME argmin
+    * shingle (the minimum base hash) and rank documents identically.
+    * Measured before the fix: sorted-neighborhood passes 1 and 3 agreed
+    * on all 500 ranks at sf0.01, and a 4th pass added ZERO new
+    * candidates. Over Z_{2^31−1} with h reduced into the field first,
+    * a_s·h' exceeds P for every a_s ≥ 2 across the domain — the wrap
+    * count varies with h', restoring real mixing, pass independence,
+    * and the MinHash identity P[mh(A)=mh(B)] ≈ J(A,B) the banding and
+    * chain-recall math assume. (Reducing h mod P folds only 2 residues
+    * per value — negligible at shingle-set sizes, identical in both
+    * engines.) */
+  val MinhashP: Long = (1L << 31) - 1
   def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42L)
-    Seq.fill(k)((rnd.nextInt((1 << 30) - 1).toLong + 1,
+    Seq.fill(k)((math.floorMod(rnd.nextLong(), MinhashP - 1) + 1,
       math.floorMod(rnd.nextLong(), MinhashP)))
   }
+
+  /** One minhash term as a Column: (a·(h mod P) + b) mod P — the ONE
+    * definition every signature builder and profiling replica uses
+    * (the oracle SQL replays the same arithmetic via [[minhashTermSql]]). */
+  private[graft] def minhashTerm(h: Column, a: Long, b: Long): Column =
+    pmod(lit(a) * pmod(h, lit(MinhashP)) + lit(b), lit(MinhashP))
+
+  /** DuckDB spelling of [[minhashTerm]] for an int64 expression `h` —
+    * all operands non-negative, so `%` matches pmod. */
+  private[graft] def minhashTermSql(h: String, a: Long, b: Long): String =
+    s"($a*($h % $MinhashP) + $b) % $MinhashP"
 
   /** 32-bit base hash of a shingle string — the shared cross-engine
     * md5 fold ([[graft.functions.md5Fold32]]). */
@@ -100,7 +128,7 @@ object Dedup {
     val sh = array_distinct(shingles(text, w))
     val hs = transform(sh, s => shingleBaseHash(s))
     array(minhashCoeffs(k).map { case (a, b) =>
-      array_min(transform(hs, h => pmod(lit(a) * h + lit(b), lit(MinhashP))))
+      array_min(transform(hs, h => minhashTerm(h, a, b)))
     }: _*)
   }
 
@@ -376,11 +404,10 @@ object Dedup {
     val sig = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
       .select(col("id"), baseHash(col("shingle")).as("__h"))
       .groupBy(col("id")).agg(
-        min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2),
-          lit(MinhashP))).as("mh0"),
+        min(minhashTerm(col("__h"), coeffs(0)._1, coeffs(0)._2)).as("mh0"),
         (1 until passes).map { s =>
           val (a, b) = coeffs(s)
-          min(pmod(lit(a) * col("__h") + lit(b), lit(MinhashP))).as(s"mh$s")
+          min(minhashTerm(col("__h"), a, b)).as(s"mh$s")
         }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = (0 until passes).map { p =>
@@ -401,12 +428,28 @@ object Dedup {
     cand
   }
 
+  /** Production sorted-chain config — the measured knee of the sf1
+    * recall-vs-cost sweep (BENCH_RECALL_LADDER.json, r12, run with the
+    * fixed permutation family): 4 passes × window 4 reads chain recall
+    * 0.9889 of the union stage's verified pairs with 16·n candidates —
+    * strictly dominating 3×8 (0.9802 at 24·n): more independent sort
+    * orders beat a wider window because the window axis saturates
+    * (4→16 buys ≤0.002 at any pass count) while each extra pass is an
+    * independent 1−(1−J) draw. Candidate volume (verification cost)
+    * scales with passes·window·n; rank passes are narrow (id, long)
+    * frames. */
+  val SortedPassesDefault = 4
+  val SortedWindowDefault = 4
+
   /** Minhash-sorted neighborhood pairs: [[minhashSortedCandidates]]
     * verified by the shared exact-Jaccard pass — the LINEAR,
     * cap-free candidate strategy for corpora where banding caps
-    * tombstone and fixed blocks saturate. */
+    * tombstone and fixed blocks saturate. Defaults are the measured
+    * [[SortedPassesDefault]]/[[SortedWindowDefault]] knee; the DuckDB
+    * oracle CTEs build from the same constants. */
   def minhashSortedPairs(df: DataFrame, idCol: String, textCol: String,
-                         passes: Int = 3, window: Int = 8, w: Int = 3,
+                         passes: Int = SortedPassesDefault,
+                         window: Int = SortedWindowDefault, w: Int = 3,
                          threshold: Double = 0.5,
                          fastHash: Boolean = false): DataFrame =
     verifyJaccard(df,
@@ -548,10 +591,10 @@ object Dedup {
     val sig = shingleRows(fanned, idCol, textCol, w)
       .select(col("id"), baseHash(col("shingle")).as("__h"))
       .groupBy(col("id")).agg(
-        min(pmod(lit(coeffs(0)._1) * col("__h") + lit(coeffs(0)._2), lit(MinhashP))).as("mh0"),
+        min(minhashTerm(col("__h"), coeffs(0)._1, coeffs(0)._2)).as("mh0"),
         (1 until k).map { s =>
           val (a, b) = coeffs(s)
-          min(pmod(lit(a) * col("__h") + lit(b), lit(MinhashP))).as(s"mh$s")
+          min(minhashTerm(col("__h"), a, b)).as(s"mh$s")
         }: _*)
     val bandHashes = array((0 until bands).map { b =>
       val joined = concat_ws("|",

@@ -624,15 +624,18 @@ object Extras {
     }),
 
     // MINHASH-SORTED neighborhood — the production-grade LINEAR
-    // strategy: 3 passes of global (minhash_p, id) total order, each
-    // doc pairing with its 8 rank-successors (GlobalOrder two-pass
-    // rank, never a 1-partition window). Docs with Jaccard J share a
-    // pass's key with prob J, so recall ≈ 1-(1-J)^3 at ANY corpus
-    // size while candidates stay exactly 3·8·n — cap-free: boilerplate
-    // mega-clusters chain instead of tombstoning.
+    // strategy: `passes` independent global (minhash_p, id) total
+    // orders, each doc pairing with its `window` rank-successors
+    // (GlobalOrder two-pass rank, never a 1-partition window). Docs
+    // with Jaccard J share a pass's key with prob J, so recall ≈
+    // 1-(1-J)^passes at ANY corpus size while candidates stay exactly
+    // passes·window·n — cap-free: boilerplate mega-clusters chain
+    // instead of tombstoning. Config = the measured 4×4 knee
+    // (BENCH_RECALL_LADDER.json: chain recall 0.9889 at 16·n
+    // candidates, dominating 3×8's 0.9802 at 24·n).
     "q_dedup_minhash_sorted" -> ((s, dir) => {
       Dedup.minhashSortedPairs(Tables(s, dir, "documents"), "doc_id",
-          "text", passes = 3, window = 8, threshold = 0.5)
+          "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -640,18 +643,17 @@ object Extras {
     // linear strategy for CLUSTERING: a dedup pipeline consumes
     // COMPONENTS, not pairs, so the right recall question is "do the
     // union's verified pairs land in one cluster?", not "were they a
-    // direct candidate?". Measured at organic sf1: minhash-sorted
-    // chains connect 98.1% of the union's verified pairs from only
-    // ~26k direct pairs (banding's own direct pairs reach 79.2%) — a
-    // boilerplate mega-cluster chains through the sorted order instead
-    // of tombstoning in a capped bucket. One row: union pair count,
-    // chained count, the recall.
+    // direct candidate?". Measured at organic sf1 (r12, fixed
+    // permutation family, 4×4 config): minhash-sorted chains connect
+    // 98.9% of the union's verified pairs from only ~16k direct pairs
+    // — a boilerplate mega-cluster chains through the sorted order
+    // instead of tombstoning in a capped bucket. One row: union pair
+    // count, chained count, the recall.
     "q_chain_recall" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val up = Dedup.unionPairs(d, "doc_id", "text", "lang",
         threshold = 0.5)
-      val sp = Dedup.minhashSortedPairs(d, "doc_id", "text",
-        passes = 3, window = 8, threshold = 0.5)
+      val sp = Dedup.minhashSortedPairs(d, "doc_id", "text", threshold = 0.5)
       val cc = Dedup.connectedComponentsStar(sp)
       up.join(cc.select(col("id").as("id_a"), col("cluster").as("__ca")),
           Seq("id_a"), "left")
@@ -695,15 +697,14 @@ object Extras {
     // the r11 sf10 soak measured the union stage superlinear (its
     // fixed-cardinality blocked half: 11-15× wall for 10× data,
     // ~36 GB spill) while the sorted chains read 6.4× with ZERO
-    // spill and 0.981 CHAIN recall of the union's verified pairs at
+    // spill and 0.989 CHAIN recall of the union's verified pairs at
     // sf1 (q_chain_recall) — for CLUSTERING, chain connectivity is
     // the recall that matters, and it is the production default now.
     // The union stage stays as the per-PAIR-completeness readout
     // (q_dedup_union / q_union_recall / q_minhash_recall).
     "q_dedup_cluster" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text",
-        passes = 3, window = 8, threshold = 0.5)
+      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text", threshold = 0.5)
       val cc = Dedup.connectedComponents(pairs)
       // no broadcast hint: |labels| is bounded by the near-dup doc count,
       // small here but unbounded at corpus scale — let AQE pick broadcast
@@ -725,8 +726,7 @@ object Extras {
     // rounds there and would burn its round budget before escalating.
     "q_dedup_cluster_star" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text",
-        passes = 3, window = 8, threshold = 0.5)
+      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text", threshold = 0.5)
       val cc = Dedup.connectedComponentsStar(pairs)
       d.select(col("doc_id"))
         .join(cc, col("doc_id") === col("id"), "left")
@@ -744,8 +744,7 @@ object Extras {
     // agg is the only corpus-wide shuffle after the candidate stages.
     "q_dedup_apply" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text",
-        passes = 3, window = 8, threshold = 0.5)
+      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text", threshold = 0.5)
       val cc = Dedup.connectedComponentsStar(pairs)
       d.join(cc, col("doc_id") === col("id"), "left")
         .filter(col("doc_id") === coalesce(col("cluster"), col("doc_id")))
@@ -765,8 +764,7 @@ object Extras {
     // label join broadcasts under AQE, exactly as in q_dedup_apply.
     "q_dedup_keep_best" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text",
-        passes = 3, window = 8, threshold = 0.5)
+      val pairs = Dedup.minhashSortedPairs(d, "doc_id", "text", threshold = 0.5)
       Dedup.keepBestClusters(d, "doc_id", "n_chars", pairs)
         .filter(col("n_members") >= 2)
         .select(col("cluster"), col("n_members"),
@@ -1300,20 +1298,24 @@ object Extras {
       |  FROM base)""".stripMargin
 
   /** DuckDB fragment (expects hs in scope, via [[shingleHsCtes]]):
-    * the minhash-SORTED neighborhood chain — msig (3 affine minhash
-    * values, coefficient prefix of the banding family), mcand (per
-    * pass: global ROW_NUMBER over (mh_p, id), each rank exploded to
-    * its 8 successors, UNION-distinct across passes), mhsets, and
-    * mpairs(id_a, id_b, j) exact-Jaccard verified. */
+    * the minhash-SORTED neighborhood chain — msig (one affine minhash
+    * value per pass, coefficient prefix of the banding family), mcand
+    * (per pass: global ROW_NUMBER over (mh_p, id), each rank exploded
+    * to its `window` successors, UNION-distinct across passes),
+    * mhsets, and mpairs(id_a, id_b, j) exact-Jaccard verified. The
+    * pass/window counts come from the SAME production constants the
+    * Spark side defaults to (Dedup.SortedPassesDefault/
+    * SortedWindowDefault — the measured BENCH_RECALL_LADDER knee). */
   private lazy val mhSortedCtes: String = {
-    val coeffs = Dedup.minhashCoeffs(3)
-    val P = Dedup.MinhashP
+    val passes = Dedup.SortedPassesDefault
+    val window = Dedup.SortedWindowDefault
+    val coeffs = Dedup.minhashCoeffs(passes)
     val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
-      s"list_min(list_transform(hl, h -> ($a*h + $b) % $P)) AS mh$s"
+      s"list_min(list_transform(hl, h -> ${Dedup.minhashTermSql("h", a, b)})) AS mh$s"
     }.mkString(",\n  ")
-    val passCands = (0 until 3).map { p =>
+    val passCands = (0 until passes).map { p =>
       s"""SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
-         |  FROM (SELECT id, unnest(generate_series(rn + 1, rn + 8)) AS rnb
+         |  FROM (SELECT id, unnest(generate_series(rn + 1, rn + $window)) AS rnb
          |        FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY mh$p, id) AS rn
          |              FROM msig)) a
          |  JOIN (SELECT id, ROW_NUMBER() OVER (ORDER BY mh$p, id) AS rn
@@ -1334,9 +1336,8 @@ object Extras {
 
   private lazy val minhashCandCtes: String = {
     val coeffs = Dedup.minhashCoeffs(16)
-    val P = Dedup.MinhashP
     val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
-      s"list_min(list_transform(hl, h -> ($a*h + $b) % $P)) AS mh$s"
+      s"list_min(list_transform(hl, h -> ${Dedup.minhashTermSql("h", a, b)})) AS mh$s"
     }.mkString(",\n  ")
     val bandSelects = (0 until 4).map { b =>
       val cat = (b * 4 until (b + 1) * 4)
