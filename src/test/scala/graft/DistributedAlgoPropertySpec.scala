@@ -52,6 +52,31 @@ class DistributedAlgoPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("minhash family: passes select independent argmin shingles") {
+    // Regression guard for the r12 family fix: the old
+    // (a·h + b) mod 2^61−1 family over unreduced 32-bit hashes was
+    // ORDER-PRESERVING whenever a < 2^29 (the modulus never wrapped),
+    // so those passes all selected the same argmin shingle — pass
+    // "independence" was an illusion and a 4th sorted pass added zero
+    // candidates. Over Z_(2^31−1) with h reduced first, two distinct
+    // passes should agree on a doc's argmin only ≈ 1/|doc| of the
+    // time. Pure-JVM replica of minhashTerm's exact arithmetic.
+    val coeffs = Dedup.minhashCoeffs(8)
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.fill(200)(Set.fill(30)(rnd.nextLong().abs % (1L << 32)))
+    def argmin(doc: Set[Long], a: Long, b: Long): Long =
+      doc.minBy(h => (a * (h % Dedup.MinhashP) + b) % Dedup.MinhashP)
+    for (i <- coeffs.indices; j <- coeffs.indices if i < j) {
+      val agree = docs.count(d =>
+        argmin(d, coeffs(i)._1, coeffs(i)._2) ==
+          argmin(d, coeffs(j)._1, coeffs(j)._2))
+      // expected ≈ 200/30 ≈ 7; the broken family scored 200 for any
+      // order-preserving pair — fail anywhere near that
+      assert(agree < 50, s"passes $i,$j agree on $agree/200 argmins — " +
+        "the permutation family has lost pass independence")
+    }
+  }
+
   test("connectedComponents auto-escalates to star on >maxIter-diameter chains") {
     // a 30-edge path has diameter 30 > maxIter=20: label propagation
     // alone would return unconverged (silently wrong) labels — the r11
