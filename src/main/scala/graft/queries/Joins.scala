@@ -330,24 +330,29 @@ object Joins {
     // together as event rate grows, so UNCAPPED pairs grow with the
     // square of in-band density — the sf1 soak measured exactly-linear
     // growth from that term before the cap existed.
+    // Capped containment COUNT ("how many view-windows cover this
+    // click", cap 64). r12: rewritten from the banded pointInInterval
+    // (density-quadratic before its cap — 42× wall + ~35 GB spill at
+    // the sf10 soak, the time-banded twin of the fixed-cardinality
+    // blocked-dedup defect) onto RangeJoin.windowedCounts: a click is
+    // covered by the view-windows starting in [cts−10min, cts], a
+    // contiguous run of the view timeline, so TWO rank probes against
+    // one global running view-count give the capped count with zero
+    // candidate pairs — density-proof, like the minhash-sorted chains.
+    // Semantics unchanged (the cap keeps the first 64 by (vts, vid),
+    // which are exactly the run's first 64): same DuckDB oracle, green
+    // before and after at every tested SF.
     "q_range_join" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("ts").as("cts"))
       val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("vid"), col("ts").as("vts"),
-          (col("ts") + expr("INTERVAL 10 MINUTES")).as("vend"))
-      val pairs = RangeJoin.pointInInterval(
-        clicks, col("cts"), views, col("vts"), col("vend"),
-        bandSeconds = 600L, maxLenSeconds = 600L,
-        maxMatches = 64, pointKey = Seq(col("event_id")),
-        matchOrder = Seq(col("vts"), col("vid")))
-      val counts = pairs.groupBy(col("event_id"))
-        .agg(count(lit(1)).as("n_concurrent"))
-      clicks.select(col("event_id"))
-        .join(counts, Seq("event_id"), "left")
-        .select(col("event_id"),
-          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+        .select(col("ts").as("vts"))
+      RangeJoin.windowedCounts(
+          clicks, col("event_id"), col("cts"), views, col("vts"),
+          lowOffsetMicros = -600L * 1000000L, highOffsetMicros = 0L,
+          cap = 64L, countName = "n_concurrent")
+        .select(col("point_key").as("event_id"), col("n_concurrent"))
         .orderBy(col("event_id"))
     }),
 

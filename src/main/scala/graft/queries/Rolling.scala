@@ -225,6 +225,15 @@ object Rolling {
       val g1 = (m3 / (m2 * sqrt(m2))) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))
       val g2 = ((n + lit(1.0)) * (m4 / (m2 * m2) - lit(3.0)) + lit(6.0)) *
         (n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))
+      // Zero-variance guard: a window of 6 IDENTICAL quantities has m2
+      // exactly 0.0 (the power sums are exact longs, so no cancellation
+      // residue), and ANSI-mode Divide throws DIVIDE_BY_ZERO even on
+      // doubles. pandas returns NaN for a constant window (NaN ≡ missing
+      // here ⇒ NULL). First hit at organic sf10 — 600 Zipf-skewed rows
+      // per supplier make a 6-run of equal quantities likely; no smaller
+      // fixture produced one. CaseWhen codegen evaluates g1/g2 only when
+      // the predicate holds, so the guarded branch never divides by 0.
+      val nonDegenerate = n >= 5 && m2 > 0
       cums
         // floor(x·1e6 + 0.5)/1e6 — NOT round(): skew/kurt suffer
         // catastrophic cancellation, and on a half-boundary value Spark's
@@ -234,9 +243,9 @@ object Rolling {
         // + 0.0 normalizes IEEE −0.0 (a tiny negative skew rounds to −0.0
         // in DuckDB but +0.0 in Spark).
         .withColumn("roll_skew",
-          when(n >= 5, floor(g1 * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)))
+          when(nonDegenerate, floor(g1 * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)))
         .withColumn("roll_kurt",
-          when(n >= 5, floor(g2 * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)))
+          when(nonDegenerate, floor(g2 * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)))
         .drop("l_shipdate", "l_partkey", "__rn", "__c1", "__c2", "__c3", "__c4")
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
@@ -604,11 +613,11 @@ object Rolling {
         |    - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
         |FROM t)
         |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-        |  CASE WHEN n >= 5 THEN FLOOR(
+        |  CASE WHEN n >= 5 AND m2 > 0 THEN FLOOR(
         |    (m3 / (m2 * SQRT(m2))) * SQRT(n*(n - 1.0)) / (n - 2.0)
         |      * 1e6 + 0.5) / 1e6 + 0.0
         |  END AS roll_skew,
-        |  CASE WHEN n >= 5 THEN FLOOR(
+        |  CASE WHEN n >= 5 AND m2 > 0 THEN FLOOR(
         |    ((n + 1.0) * (m4/(m2*m2) - 3.0) + 6.0)
         |      * (n - 1.0) / ((n - 2.0) * (n - 3.0)) * 1e6 + 0.5) / 1e6 + 0.0
         |  END AS roll_kurt

@@ -90,11 +90,54 @@ class RangeJoinSpec extends SparkSpecBase {
     }
   }
 
-  test("q_range_join plans an equi-join on the band — no nested loop") {
+  test("q_range_join plans no nested loop (rank probes, no candidate pairs)") {
     val df = Joins.queries("q_range_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "banded range join must not plan a nested loop:\n" + p.take(1200))
+      "range-count must not plan a nested loop:\n" + p.take(1200))
+  }
+
+  // windowedCounts is the density-proof replacement for capped
+  // containment COUNTS (r12): two rank probes against one global
+  // running event-count — verified here against the naive theta-join
+  // count on generated timelines, capped and uncapped, boundaries
+  // inclusive on both ends.
+  test("windowedCounts equals the naive theta count on generated timelines") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i =>
+        g.apply(Gen.Parameters.default, Seed(0xC0DE + i)))
+    val cases = samples(
+      for {
+        pts <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 3600L * 1000000L))
+        evs <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 3600L * 1000000L))
+      } yield (pts.distinct, evs), 4)
+    for (((pts, evs), ci) <- cases.zipWithIndex) {
+      val points = pts.zipWithIndex
+        .map { case (t, i) => (i.toLong,
+          Timestamp.from(java.time.Instant.EPOCH.plusNanos(t * 1000))) }
+        .toDF("pid", "pts")
+      val events = evs
+        .map(t => Tuple1(
+          Timestamp.from(java.time.Instant.EPOCH.plusNanos(t * 1000))))
+        .toDF("ets")
+      for (cap <- Seq(3L, Long.MaxValue)) {
+        val got = RangeJoin.windowedCounts(points, col("pid"), col("pts"),
+            events, col("ets"),
+            lowOffsetMicros = -300L * 1000000L, highOffsetMicros = 0L,
+            cap = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val naive = points.join(events,
+            col("ets") >= (col("pts") - expr("INTERVAL 300 SECONDS")) &&
+            col("ets") <= col("pts"), "left")
+          .groupBy(col("pid")).agg(count(col("ets")).as("n"))
+          .collect()
+          .map(r => (r.getLong(0), math.min(r.getLong(1), cap))).toMap
+        assert(got === naive, s"case $ci cap $cap")
+      }
+    }
   }
 
   test("match cap keeps the first maxMatches per point in matchOrder; a loose cap is a no-op") {

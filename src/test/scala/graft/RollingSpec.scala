@@ -52,4 +52,35 @@ class RollingSpec extends SparkSpecBase {
       col("roll_apply") < 0).count()
     assert(bad == 0)
   }
+
+  // Regression (first hit at organic sf10): a window of 6 IDENTICAL
+  // quantities has m2 exactly 0, and ANSI-mode Divide throws
+  // DIVIDE_BY_ZERO even on doubles. pandas yields NaN for a constant
+  // window (NaN ≡ missing ⇒ NULL here); the varied partition must keep
+  // its non-null outputs. No driver fixture contains a constant 6-run,
+  // so this stages its own two-supplier lineitem.
+  test("rolling skew/kurt null out zero-variance windows instead of throwing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewkurt-")
+    dir.toFile.deleteOnExit()
+    val constant = (1 to 8).map(i => (7L, 100L + i, i, 1000L + i, 25.0,
+      java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00")))
+    val varied = (1 to 8).map(i => (8L, 200L + i, i, 2000L + i,
+      (i % 5 + 1).toDouble,
+      java.sql.Timestamp.valueOf(f"1995-02-$i%02d 00:00:00")))
+    (constant ++ varied)
+      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+        "l_quantity", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Rolling.queries("q_rolling_skew_kurt")(spark, dir.toString)
+      .collect() // the pre-guard plan ANSI-throws here
+    assert(out.length == 16)
+    val bySupp = out.groupBy(_.getLong(0))
+    assert(bySupp(7L).forall(r =>
+      r.isNullAt(r.fieldIndex("roll_skew")) &&
+      r.isNullAt(r.fieldIndex("roll_kurt"))))
+    assert(bySupp(8L).count(r =>
+      !r.isNullAt(r.fieldIndex("roll_skew")) &&
+      !r.isNullAt(r.fieldIndex("roll_kurt"))) == 4) // rows 5..8: n >= 5
+  }
 }
