@@ -207,11 +207,23 @@ object RangeJoin {
       Seq(col("__wc_t"), col("__wc_tag")), col("__wc_v"), "__wc_c",
       scale = 0, parts = parts)
     run.filter(col("__wc_tag") =!= 1)
-      .groupBy(col("__wc_k"))
-      .agg(least(
-        (max(when(col("__wc_tag") === 2, col("__wc_c"))) -
-         max(when(col("__wc_tag") === 0, col("__wc_c")))).cast("long"),
-        lit(cap)).as(countName))
-      .withColumnRenamed("__wc_k", "point_key")
+      .groupBy(col("__wc_k").as("point_key"))
+      .agg(
+        least(
+          (max(when(col("__wc_tag") === 2, col("__wc_c"))) -
+           max(when(col("__wc_tag") === 0, col("__wc_c")))).cast("long"),
+          lit(cap)).as(countName),
+        count(when(col("__wc_tag") === 0, lit(1))).as("__wc_n0"))
+      // Loud misuse guard (matches pointInInterval's require() style,
+      // but the uniqueness fact is distributed, so it must be a
+      // runtime check): a duplicated pointKey would silently mix one
+      // point's hi probe with the OTHER's lo probe and report the
+      // count over the spanning window. CaseWhen codegen evaluates
+      // raise_error only on violation — zero cost on the honest path.
+      .select(col("point_key"),
+        when(col("__wc_n0") === 1, col(countName))
+          .otherwise(raise_error(format_string(
+            "windowedCounts: pointKey %s is not unique (%s probe rows)",
+            col("point_key"), col("__wc_n0")))).as(countName))
   }
 }

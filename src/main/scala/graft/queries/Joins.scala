@@ -316,22 +316,14 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
-    // Point-in-interval range join with NO equi-key (parity-plus; the
+    // Point-in-interval containment with NO equi-key (parity-plus; the
     // asof family covers "latest before", this covers containment):
-    // each click paired with every 10-minute view-visibility window
-    // containing it, across ALL users — then a per-click concurrency
-    // count, zeros kept. Naive Spark plans the bare BETWEEN as
-    // BroadcastNestedLoopJoin (|clicks|·|views|); the banded rewrite in
-    // [[RangeJoin.pointInInterval]] makes it a shuffled equi-join on the
-    // time band with ≤2 replicas per interval (plan pinned — no
-    // nested-loop node). The per-click match cap (64, earliest views
-    // first — ~14× the sf0.1 mean concurrency, so it never binds below
-    // soak scale) bounds output density: both join sides densify
-    // together as event rate grows, so UNCAPPED pairs grow with the
-    // square of in-band density — the sf1 soak measured exactly-linear
-    // growth from that term before the cap existed.
-    // Capped containment COUNT ("how many view-windows cover this
-    // click", cap 64). r12: rewritten from the banded pointInInterval
+    // each click counted against every 10-minute view-visibility
+    // window containing it, across ALL users — per-click concurrency,
+    // zeros kept, capped at 64 (earliest views first — ~14× the sf0.1
+    // mean concurrency, so the cap never binds below soak scale).
+    // Naive Spark plans the bare BETWEEN as BroadcastNestedLoopJoin
+    // (|clicks|·|views|). r12: rewritten from the banded pointInInterval
     // (density-quadratic before its cap — 42× wall + ~35 GB spill at
     // the sf10 soak, the time-banded twin of the fixed-cardinality
     // blocked-dedup defect) onto RangeJoin.windowedCounts: a click is

@@ -140,6 +140,44 @@ class RangeJoinSpec extends SparkSpecBase {
     }
   }
 
+  // The generated-timeline test above cannot hit an exact
+  // event-ts == window-endpoint collision (independent 3.6e9-value
+  // draws); this fixture pins both ends' inclusivity by hand — an
+  // event exactly ON each endpoint counts, 1 µs outside either does
+  // not — and would catch a lo/hi probe-tag swap the generator misses.
+  test("windowedCounts boundaries are inclusive on both ends, exclusive 1 µs outside") {
+    import spark.implicits._
+    val p0 = 1000L * 1000000L // point at 1000 s, window [700 s, 1000 s]
+    def t(us: Long) = Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000))
+    val points = Seq((1L, t(p0))).toDF("pid", "pts")
+    val events = Seq(
+      t(p0 - 300L * 1000000L),     // exactly on window start: counts
+      t(p0),                       // exactly on window end: counts
+      t(p0 - 300L * 1000000L - 1), // 1 µs before start: excluded
+      t(p0 + 1),                   // 1 µs after end: excluded
+      t(p0 - 150L * 1000000L)      // interior: counts
+    ).map(Tuple1(_)).toDF("ets")
+    val got = RangeJoin.windowedCounts(points, col("pid"), col("pts"),
+        events, col("ets"),
+        lowOffsetMicros = -300L * 1000000L, highOffsetMicros = 0L)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(1) == 3L)
+  }
+
+  test("windowedCounts raises on a duplicated pointKey instead of mixing probes") {
+    import spark.implicits._
+    def t(us: Long) = Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000))
+    val points = Seq((1L, t(1000L)), (1L, t(2000L))).toDF("pid", "pts")
+    val events = Seq(Tuple1(t(1500L))).toDF("ets")
+    val e = intercept[Exception] {
+      RangeJoin.windowedCounts(points, col("pid"), col("pts"),
+        events, col("ets"), -1000L, 0L).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("not unique")))
+  }
+
   test("match cap keeps the first maxMatches per point in matchOrder; a loose cap is a no-op") {
     import spark.implicits._
     // 3 points; point 1 sits inside 5 intervals, point 2 inside 2, point 3 in 0

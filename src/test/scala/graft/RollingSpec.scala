@@ -61,8 +61,10 @@ class RollingSpec extends SparkSpecBase {
   // so this stages its own two-supplier lineitem.
   test("rolling skew/kurt null out zero-variance windows instead of throwing") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-skewkurt-")
-    dir.toFile.deleteOnExit()
+    // TempDirs.create registers a recursive shutdown-hook cleanup —
+    // File.deleteOnExit would leak the dir (it only removes EMPTY
+    // directories, and the parquet part files inside are unregistered).
+    val dir = TempDirs.create("graft-skewkurt-")
     val constant = (1 to 8).map(i => (7L, 100L + i, i, 1000L + i, 25.0,
       java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00")))
     val varied = (1 to 8).map(i => (8L, 200L + i, i, 2000L + i,
