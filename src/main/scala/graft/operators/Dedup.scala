@@ -437,7 +437,15 @@ object Dedup {
     * (4→16 buys ≤0.002 at any pass count) while each extra pass is an
     * independent 1−(1−J) draw. Candidate volume (verification cost)
     * scales with passes·window·n; rank passes are narrow (id, long)
-    * frames. */
+    * frames.
+    *
+    * The knob a recall-hungry pipeline should reach for: `window = 8`
+    * buys the next measurable step — chain recall 0.9904 vs 0.9889 at
+    * sf1 (BENCH_RECALL_LADDER.json, 4×8 row) for ~1.7× the candidate
+    * volume (32·n); beyond that the axis is flat (4×16: 0.9909). The
+    * default stays 4×4 because +0.15% recall rarely justifies +70%
+    * verification cost, but callers pass `window` explicitly when it
+    * does. */
   val SortedPassesDefault = 4
   val SortedWindowDefault = 4
 

@@ -195,12 +195,23 @@ object RangeJoin {
     val keyed = points.select(pointKey.as("__wc_k"),
       unix_micros(pTs).as("__wc_pt"))
     val keyType = keyed.schema("__wc_k").dataType
+    // Null timestamps follow the comparison semantics of the theta-join
+    // this replaces: a null-ts EVENT falls inside no window (dropped at
+    // the scan), and a null-ts POINT matches nothing — it still gets an
+    // output row, with a NULL count. Its probes ride the same union at a
+    // sentinel t that sorts before every real event (hi − lo = 0 there,
+    // then overridden to NULL by the flag), so the duplicate-pointKey
+    // guard still sees every point exactly once — nulls don't get to
+    // sort "somewhere" among null events and absorb their count.
     def probe(offset: Long, tag: Int) = keyed.select(col("__wc_k"),
-      (col("__wc_pt") + lit(offset)).as("__wc_t"),
-      lit(tag).as("__wc_tag"), lit(0L).as("__wc_v"))
-    val ev = events.select(lit(null).cast(keyType).as("__wc_k"),
-      unix_micros(eTs).as("__wc_t"), lit(1).as("__wc_tag"),
-      lit(1L).as("__wc_v"))
+      when(col("__wc_pt").isNotNull, col("__wc_pt") + lit(offset))
+        .otherwise(lit(Long.MinValue)).as("__wc_t"),
+      lit(tag).as("__wc_tag"), lit(0L).as("__wc_v"),
+      col("__wc_pt").isNull.as("__wc_nullts"))
+    val ev = events.filter(eTs.isNotNull)
+      .select(lit(null).cast(keyType).as("__wc_k"),
+        unix_micros(eTs).as("__wc_t"), lit(1).as("__wc_tag"),
+        lit(1L).as("__wc_v"), lit(false).as("__wc_nullts"))
     val unioned = probe(lowOffsetMicros, 0)
       .unionByName(ev).unionByName(probe(highOffsetMicros, 2))
     val run = GlobalOrder.withRunningSum(unioned,
@@ -213,17 +224,22 @@ object RangeJoin {
           (max(when(col("__wc_tag") === 2, col("__wc_c"))) -
            max(when(col("__wc_tag") === 0, col("__wc_c")))).cast("long"),
           lit(cap)).as(countName),
-        count(when(col("__wc_tag") === 0, lit(1))).as("__wc_n0"))
+        count(when(col("__wc_tag") === 0, lit(1))).as("__wc_n0"),
+        max(col("__wc_nullts")).as("__wc_nullts"))
       // Loud misuse guard (matches pointInInterval's require() style,
       // but the uniqueness fact is distributed, so it must be a
       // runtime check): a duplicated pointKey would silently mix one
       // point's hi probe with the OTHER's lo probe and report the
-      // count over the spanning window. CaseWhen codegen evaluates
-      // raise_error only on violation — zero cost on the honest path.
+      // count over the spanning window. Expressed as a FILTER, not a
+      // projected CaseWhen: a projection is column-prunable — a
+      // consumer selecting only point_key would silently lose the
+      // check — while a Filter survives pruning. assert_true returns
+      // NULL on the honest path, so the predicate keeps every valid
+      // row at zero cost and throws only on violation.
+      .filter(assert_true(col("__wc_n0") === 1, format_string(
+        "windowedCounts: pointKey %s is not unique (%s probe rows)",
+        col("point_key"), col("__wc_n0"))).isNull)
       .select(col("point_key"),
-        when(col("__wc_n0") === 1, col(countName))
-          .otherwise(raise_error(format_string(
-            "windowedCounts: pointKey %s is not unique (%s probe rows)",
-            col("point_key"), col("__wc_n0")))).as(countName))
+        when(!col("__wc_nullts"), col(countName)).as(countName))
   }
 }

@@ -178,6 +178,53 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(msgs(e).exists(m => m != null && m.contains("not unique")))
   }
 
+  // ADVICE r12: the guard used to be a projected CaseWhen, which column
+  // pruning eliminates when a consumer selects only point_key — the
+  // misuse then silently emitted duplicate rows. The guard is now a
+  // Filter; this pins that it fires even under maximal pruning.
+  test("duplicated-pointKey guard survives column pruning (select point_key only)") {
+    import spark.implicits._
+    def t(us: Long) = Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000))
+    val points = Seq((1L, t(1000L)), (1L, t(2000L))).toDF("pid", "pts")
+    val events = Seq(Tuple1(t(1500L))).toDF("ets")
+    val e = intercept[Exception] {
+      RangeJoin.windowedCounts(points, col("pid"), col("pts"),
+        events, col("ets"), -1000L, 0L)
+        .select("point_key").collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("not unique")))
+  }
+
+  // ADVICE r12: null timestamps follow the replaced theta-join's
+  // comparison semantics — a null-ts event matches no window, a null-ts
+  // point matches nothing (NULL count, not the count of null events),
+  // and the duplicate guard still sees null-ts points.
+  test("windowedCounts null semantics: null event ts ignored, null point ts -> NULL count") {
+    import spark.implicits._
+    def t(us: Long) = Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000))
+    val points = Seq((1L, Some(t(1000L))), (2L, None), (3L, Some(t(5000L))))
+      .toDF("pid", "pts")
+    val events = Seq(Some(t(900L)), Some(t(1000L)), None, None, Some(t(4500L)))
+      .map(Tuple1(_)).toDF("ets")
+    val got = RangeJoin.windowedCounts(points, col("pid"), col("pts"),
+        events, col("ets"), -1000L, 0L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(2L), 2L -> None, 3L -> Some(1L)))
+    // a duplicated null-ts pointKey is still caught
+    val dup = Seq((7L, Option.empty[Timestamp]), (7L, Option.empty[Timestamp]))
+      .toDF("pid", "pts")
+    val e = intercept[Exception] {
+      RangeJoin.windowedCounts(dup, col("pid"), col("pts"),
+        events, col("ets"), -1000L, 0L).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("not unique")))
+  }
+
   test("match cap keeps the first maxMatches per point in matchOrder; a loose cap is a no-op") {
     import spark.implicits._
     // 3 points; point 1 sits inside 5 intervals, point 2 inside 2, point 3 in 0
