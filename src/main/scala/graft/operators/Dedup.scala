@@ -428,25 +428,34 @@ object Dedup {
     cand
   }
 
-  /** Production sorted-chain config — the measured knee of the sf1
-    * recall-vs-cost sweep (BENCH_RECALL_LADDER.json, r12, run with the
-    * fixed permutation family): 4 passes × window 4 reads chain recall
-    * 0.9889 of the union stage's verified pairs with 16·n candidates —
-    * strictly dominating 3×8 (0.9802 at 24·n): more independent sort
-    * orders beat a wider window because the window axis saturates
-    * (4→16 buys ≤0.002 at any pass count) while each extra pass is an
-    * independent 1−(1−J) draw. Candidate volume (verification cost)
-    * scales with passes·window·n; rank passes are narrow (id, long)
-    * frames.
+  /** Production sorted-chain config — measured across TWO decades of
+    * corpus size (BENCH_RECALL_LADDER.json: union-denominator sweep at
+    * sf1, banded-denominator union-find sweep at sf10; both with the
+    * r12-fixed permutation family).
     *
-    * The knob a recall-hungry pipeline should reach for: `window = 8`
-    * buys the next measurable step — chain recall 0.9904 vs 0.9889 at
-    * sf1 (BENCH_RECALL_LADDER.json, 4×8 row) for ~1.7× the candidate
-    * volume (32·n); beyond that the axis is flat (4×16: 0.9909). The
-    * default stays 4×4 because +0.15% recall rarely justifies +70%
-    * verification cost, but callers pass `window` explicitly when it
-    * does. */
-  val SortedPassesDefault = 4
+    * The r13 finding that set this: chain recall at a FIXED config
+    * sags with corpus size — 4×4 reads 0.9955 of the banded pairs at
+    * sf1 (50k docs) but 0.9693 at sf10 (500k docs), because a larger
+    * corpus packs more interlopers between two near-dups in each
+    * sorted order, so a window-4 neighborhood misses more of them.
+    * The recovery axis is PASSES, not window: at equal candidate
+    * volume (32·n) the sf10 ladder reads 8×4 = 0.9956 vs 4×8 =
+    * 0.9850 — each pass is an independent 1−(1−J) draw, while the
+    * window axis saturates at every tested scale. Doubling passes
+    * (4→8) restored sf1-level recall across the measured decade at
+    * near-flat wall cost (the shingle/minhash stage dominates:
+    * 132→140 s at sf10 for 4→8 passes), so the production default is
+    * 8×4 (32·n candidates).
+    *
+    * Sizing rule for corpora beyond the tested decades: recall at a
+    * fixed config drops ~2-3 points per 10× docs and doubling passes
+    * recovered the measured decade — plan passes ≈ 8 + 4·log10(n/500k)
+    * and re-measure with the ladder (tools/gen_alt_pairs.scala +
+    * tools/uf_compare.py --alt-pairs gives the readout at any scale
+    * without a union-stage denominator). Candidate volume
+    * (verification cost) stays passes·window·n — linear, cap-free;
+    * rank passes are narrow (id, long) frames. */
+  val SortedPassesDefault = 8
   val SortedWindowDefault = 4
 
   /** Minhash-sorted neighborhood pairs: [[minhashSortedCandidates]]

@@ -630,9 +630,10 @@ object Extras {
     // with Jaccard J share a pass's key with prob J, so recall ≈
     // 1-(1-J)^passes at ANY corpus size while candidates stay exactly
     // passes·window·n — cap-free: boilerplate mega-clusters chain
-    // instead of tombstoning. Config = the measured 4×4 knee
-    // (BENCH_RECALL_LADDER.json: chain recall 0.9889 at 16·n
-    // candidates, dominating 3×8's 0.9802 at 24·n).
+    // instead of tombstoning. Config = the measured 8×4 default
+    // (BENCH_RECALL_LADDER.json, two-decade sweep: recall at a fixed
+    // config sags with corpus size and PASSES is the recovery axis —
+    // see the SortedPassesDefault scaladoc).
     "q_dedup_minhash_sorted" -> ((s, dir) => {
       Dedup.minhashSortedPairs(Tables(s, dir, "documents"), "doc_id",
           "text", threshold = 0.5)
@@ -643,12 +644,13 @@ object Extras {
     // linear strategy for CLUSTERING: a dedup pipeline consumes
     // COMPONENTS, not pairs, so the right recall question is "do the
     // union's verified pairs land in one cluster?", not "were they a
-    // direct candidate?". Measured at organic sf1 (r12, fixed
-    // permutation family, 4×4 config): minhash-sorted chains connect
-    // 98.9% of the union's verified pairs from only ~16k direct pairs
-    // — a boilerplate mega-cluster chains through the sorted order
-    // instead of tombstoning in a capped bucket. One row: union pair
-    // count, chained count, the recall.
+    // direct candidate?". A boilerplate mega-cluster chains through
+    // the sorted order instead of tombstoning in a capped bucket.
+    // Measured at organic sf1: 0.9889 under the old 4×4 config (r12);
+    // the r13 two-decade ladder then showed fixed-config recall sags
+    // with corpus size and bumped the default to 8×4 (see
+    // SortedPassesDefault). One row: union pair count, chained count,
+    // the recall.
     "q_chain_recall" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val up = Dedup.unionPairs(d, "doc_id", "text", "lang",
@@ -697,7 +699,7 @@ object Extras {
     // the r11 sf10 soak measured the union stage superlinear (its
     // fixed-cardinality blocked half: 11-15× wall for 10× data,
     // ~36 GB spill) while the sorted chains read 6.4× with ZERO
-    // spill and 0.989 CHAIN recall of the union's verified pairs at
+    // spill and ≥0.99 CHAIN recall of the union's verified pairs at
     // sf1 (q_chain_recall) — for CLUSTERING, chain connectivity is
     // the recall that matters, and it is the production default now.
     // The union stage stays as the per-PAIR-completeness readout
