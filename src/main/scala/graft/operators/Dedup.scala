@@ -95,10 +95,20 @@ object Dedup {
     * per value — negligible at shingle-set sizes, identical in both
     * engines.) */
   val MinhashP: Long = (1L << 31) - 1
-  def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+
+  /** The affine coefficient family: the first `k` (a, b) draws of the
+    * seed-42 stream, after discarding the first `skip` draws. skip = 0
+    * (every production path) keeps the historical coefficients;
+    * skip = 16 yields a family DISJOINT from the banding family's
+    * `minhashCoeffs(16)` — used by recall-ladder measurements so the
+    * chain sort orders share no permutation with the banded-pair
+    * denominator they are scored against (sharing biases recall up:
+    * a pair surfaced by band (mh0, mh1) is near-guaranteed adjacent in
+    * the mh0/mh1 chain orders). */
+  def minhashCoeffs(k: Int, skip: Int = 0): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42L)
-    Seq.fill(k)((math.floorMod(rnd.nextLong(), MinhashP - 1) + 1,
-      math.floorMod(rnd.nextLong(), MinhashP)))
+    Seq.fill(skip + k)((math.floorMod(rnd.nextLong(), MinhashP - 1) + 1,
+      math.floorMod(rnd.nextLong(), MinhashP))).drop(skip)
   }
 
   /** One minhash term as a Column: (a·(h mod P) + b) mod P — the ONE
@@ -395,12 +405,13 @@ object Dedup {
   private[graft] def minhashSortedCandidates(df: DataFrame, idCol: String,
                                              textCol: String, passes: Int,
                                              window: Int, w: Int,
-                                             fastHash: Boolean): DataFrame = {
+                                             fastHash: Boolean,
+                                             coeffSkip: Int = 0): DataFrame = {
     require(passes >= 1 && window >= 1, "passes and window must be >= 1")
     val baseHash: Column => Column =
       if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
       else shingleBaseHash
-    val coeffs = minhashCoeffs(passes)
+    val coeffs = minhashCoeffs(passes, coeffSkip)
     val sig = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
       .select(col("id"), baseHash(col("shingle")).as("__h"))
       .groupBy(col("id")).agg(
@@ -454,7 +465,20 @@ object Dedup {
     * tools/uf_compare.py --alt-pairs gives the readout at any scale
     * without a union-stage denominator). Candidate volume
     * (verification cost) stays passes·window·n — linear, cap-free;
-    * rank passes are narrow (id, long) frames. */
+    * rank passes are narrow (id, long) frames.
+    *
+    * MEASUREMENT CAVEAT (r13 advice): the sf10 banded-denominator
+    * recall numbers were read with the DEFAULT chain family, whose
+    * coefficients are the exact prefix of the banding family's
+    * `minhashCoeffs(16)` — banded pairs found via bands 0-1 (mh0-7)
+    * share all their minhashes with the chain sort orders, so those
+    * absolute numbers are biased UP relative to an independent
+    * denominator. The r14 ladder re-measured with a DISJOINT family
+    * (`coeffSkip = 16`): the bias is real but small at the decades
+    * tested — see BENCH_RECALL_LADDER.json's decorrelated rungs — and
+    * the passes-vs-window comparison direction survives. Production
+    * keeps skip = 0 (the correlation only affects scoring against the
+    * banded denominator, not standalone chain behavior). */
   val SortedPassesDefault = 8
   val SortedWindowDefault = 4
 
@@ -468,9 +492,11 @@ object Dedup {
                          passes: Int = SortedPassesDefault,
                          window: Int = SortedWindowDefault, w: Int = 3,
                          threshold: Double = 0.5,
-                         fastHash: Boolean = false): DataFrame =
+                         fastHash: Boolean = false,
+                         coeffSkip: Int = 0): DataFrame =
     verifyJaccard(df,
-      minhashSortedCandidates(df, idCol, textCol, passes, window, w, fastHash),
+      minhashSortedCandidates(df, idCol, textCol, passes, window, w,
+        fastHash, coeffSkip),
       idCol, textCol, w, threshold, fastHash)
 
   /** Stage 5 of [[minhashPairs]] as a reusable verification pass: exact

@@ -159,6 +159,12 @@ object RangeJoin {
     * (inclusive both ends), capped at `cap` — WITHOUT materializing a
     * single candidate pair.
     *
+    * The output count column is NULLABLE: a null-ts point gets a NULL
+    * count (not 0 — see the in-body comment on the deliberate deviation
+    * from left-join COUNT semantics). Consumers aggregating the count
+    * must `coalesce(count, 0)` if they want null-ts points counted as
+    * zeros.
+    *
     * Why this exists (r12 full-board sf10 soak): the banded
     * [[pointInInterval]] is density-QUADRATIC before its per-point cap —
     * bands quantize a FIXED time axis, so 10× data in the same time span
@@ -195,10 +201,18 @@ object RangeJoin {
     val keyed = points.select(pointKey.as("__wc_k"),
       unix_micros(pTs).as("__wc_pt"))
     val keyType = keyed.schema("__wc_k").dataType
-    // Null timestamps follow the comparison semantics of the theta-join
-    // this replaces: a null-ts EVENT falls inside no window (dropped at
-    // the scan), and a null-ts POINT matches nothing — it still gets an
-    // output row, with a NULL count. Its probes ride the same union at a
+    // Null timestamps: a null-ts EVENT falls inside no window (dropped
+    // at the scan — same as the theta-join, where NULL comparisons are
+    // never true), and a null-ts POINT still gets an output row, with a
+    // NULL count. The NULL count is a DELIBERATE DEVIATION from
+    // left-join COUNT semantics (a zeros-kept left theta-join — and the
+    // pandas masking convention, where NaT comparisons are False —
+    // would emit 0): "this point's window is undefined" and "this
+    // point's window is empty" are different facts, and NULL keeps them
+    // distinguishable downstream. Consequence for consumers: SUM/AVG
+    // over the count column skips null-ts points instead of counting
+    // them as zeros — coalesce(count, 0) at the call site to get
+    // left-join behavior. Pinned by RangeJoinSpec. Its probes ride the same union at a
     // sentinel t that sorts before every real event (hi − lo = 0 there,
     // then overridden to NULL by the flag), so the duplicate-pointKey
     // guard still sees every point exactly once — nulls don't get to

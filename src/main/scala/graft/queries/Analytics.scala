@@ -385,33 +385,47 @@ object Analytics {
     // Association rules over order baskets (the market-basket readout
     // q_basket_pairs' support-only table stops short of): directed
     // rules a→b with confidence sab/na and lift sab·N/(na·nb), top-20
-    // by lift. Scale shape: the basket self-join is keyed on orderkey
-    // (fan-out bounded by basket size), item supports are one hash agg,
-    // and the 1-row order total broadcasts. Ranking sorts the ROUNDED
-    // lift with (a, b) tiebreak, so near-tie doubles cannot reorder the
-    // cut cross-engine.
+    // by lift. Scale shape (r14 restructure — the self-join spelling
+    // spilled ~63 GB at sf10 under 6 GiB executors): baskets build in
+    // ONE exchange — collect_set dedups (orderkey, partkey) map-side,
+    // sort_array + slice applies the 64-item cap with no window sort —
+    // and pairs explode IN-basket from the sorted array, so the
+    // orderkey self-join (two SMJ sorts + a 200M-row join output)
+    // disappears entirely. The pair count is then a plain two-phase
+    // hash agg whose map-side partials absorb hot pairs (the
+    // q_heavy_hitters shape). Ranking sorts the ROUNDED lift with
+    // (a, b) tiebreak, so near-tie doubles cannot reorder the cut
+    // cross-engine.
     "q_assoc_rules" -> ((s, dir) => {
       // the same per-key fan-out gate as Graphs.coOccurrencePairs:
-      // each basket keeps its first 64 items (deterministic — distinct
-      // makes (orderkey, partkey) a total order), so one hot basket on
-      // an open-ended key can never square. Order baskets sit far
-      // below 64 at every SF, so the gate is a no-op here; the oracle
-      // mirrors it with the same QUALIFY.
-      val obw = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
-      val ob = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .withColumn("__rn", row_number().over(obw))
-        .filter(col("__rn") <= 64)
+      // each basket keeps its first 64 items by partkey (deterministic
+      // — collect_set + sort_array is the set of distinct partkeys in
+      // ascending order, so slice(…, 1, 64) ≡ the oracle's QUALIFY
+      // ROW_NUMBER() <= 64 over the DISTINCT pairs). Order baskets sit
+      // far below 64 at every SF, so the gate is a no-op here.
+      val baskets = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
-        .pinned // item supports + both sides of the pair join
-      val tot = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-      val item = ob.groupBy(col("l_partkey").as("item"))
-        .agg(count(lit(1)).as("supp"))
-      val pr = ob.join(ob.withColumnRenamed("l_partkey", "pb"),
-          Seq("l_orderkey"))
-        .filter(col("l_partkey") < col("pb"))
-        .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
+        .groupBy(col("l_orderkey"))
+        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 64)
+          .as("items"))
+        .select(col("items"))
+        .pinned // order total + item supports + pair generation
+      val tot = baskets.agg(count(lit(1)).as("n_orders"))
+      val item = baskets.select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("supp"))
+      // in-basket combination pairs: element i pairs with every later
+      // element of the ascending array, so a < b holds by construction
+      // — the join-free spelling of `ON a.ok = b.ok AND a.pk < b.pk`.
+      // Two Generate nodes (posexplode, then explode of the array
+      // tail via slice), NOT a transform lambda: higher-order
+      // functions run interpreted and are banned from benched plans
+      // (PlanShapeSpec's lambdafunction gate).
+      val pr = baskets
+        .select(col("items"), posexplode(col("items")))
+        .select(col("col").as("a"),
+          explode(slice(col("items"), col("pos") + lit(2), lit(64)))
+            .as("b"))
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("sab")).filter(col("sab") >= 2)
       val both = pr.select(col("a"), col("b"), col("sab"))
         .union(pr.select(col("b").as("a"), col("a").as("b"), col("sab")))

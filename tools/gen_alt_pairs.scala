@@ -18,14 +18,19 @@ val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10_real")
 val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/sf10_w8_pairs")
 val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
 val window = sys.env.getOrElse("SPARK_GRAFT_WINDOW", "8").toInt
+// SPARK_GRAFT_COEFF_SKIP=16 draws the chain family DISJOINT from the
+// banding family's minhashCoeffs(16) — the unbiased ladder read (the
+// default-prefix family shares mh0-7 with bands 0-1 and scores
+// optimistically against the banded denominator).
+val coeffSkip = sys.env.getOrElse("SPARK_GRAFT_COEFF_SKIP", "0").toInt
 
 val t0 = System.nanoTime()
 val d = graft.Tables(spark, sfDir, "documents")
 graft.operators.Dedup
   .minhashSortedPairs(d, "doc_id", "text", passes = passes,
-    window = window, threshold = 0.5)
+    window = window, threshold = 0.5, coeffSkip = coeffSkip)
   .orderBy(col("id_a"), col("id_b"))
   .coalesce(1).write.mode("overwrite").parquet(out)
-println(f"[gen_alt_pairs] ${passes}x$window -> $out in " +
+println(f"[gen_alt_pairs] ${passes}x$window skip=$coeffSkip -> $out in " +
   f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 sys.exit(0)

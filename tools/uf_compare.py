@@ -78,14 +78,40 @@ def components(pairs_tbl):
     return {x: uf.find(x) for x in list(uf.parent)}
 
 
-def frame_eq(name, spark_rows, oracle_rows):
-    """Exact multiset compare of two lists of tuples, driver-entry dict."""
-    s, o = sorted(spark_rows), sorted(oracle_rows)
-    entry = {"checked": True, "err": None,
-             "spark_rows": len(s), "oracle_rows": len(o),
-             "rows_match": len(s) == len(o),
-             "schema_match": True,  # caller aligned columns positionally
-             "hash_match": s == o}
+def schema_check(table, expected):
+    """(ok, err) — expected column names IN ORDER plus coarse pyarrow
+    type kinds ('int' / 'float' / 'str') against the parquet schema."""
+    import pyarrow.types as pt
+    kinds = {"int": pt.is_integer, "float": pt.is_floating,
+             "str": lambda t: pt.is_string(t) or pt.is_large_string(t)}
+    names, want = list(table.schema.names), [n for n, _ in expected]
+    if names != want:
+        return False, f"columns {names} != expected {want}"
+    for n, kind in expected:
+        t = table.schema.field(n).type
+        if not kinds[kind](t):
+            return False, f"column {n}: {t} is not {kind}"
+    return True, None
+
+
+def frame_eq(name, table, expected_cols, oracle_rows):
+    """Exact multiset compare of a dumped parquet table against oracle
+    tuples, driver-entry dict. schema_match is a REAL check (names in
+    order + coarse type kinds) — a renamed / reordered / type-drifted
+    dump reads as schema_match: False instead of crashing on a missing
+    name or silently passing as True."""
+    ok_schema, schema_err = schema_check(table, expected_cols)
+    entry = {"checked": True, "err": schema_err,
+             "spark_rows": table.num_rows, "oracle_rows": len(oracle_rows),
+             "rows_match": table.num_rows == len(oracle_rows),
+             "schema_match": ok_schema, "hash_match": False}
+    if not ok_schema:
+        print(f"  {name}: SCHEMA MISMATCH: {schema_err}")
+        return entry
+    got = list(zip(*(table[c].to_pylist() for c, _ in expected_cols))) \
+        if table.num_rows else []
+    s, o = sorted(got), sorted(oracle_rows)
+    entry["hash_match"] = s == o
     if not entry["hash_match"]:
         bad = next((i for i, (x, y) in enumerate(zip(s, o)) if x != y),
                    min(len(s), len(o)))
@@ -129,9 +155,8 @@ def main():
         if not os.path.isdir(f"{out_dir}/{q}"):
             continue
         t = read_pq(f"{out_dir}/{q}")
-        got = list(zip(t["doc_id"].to_pylist(), t["cluster"].to_pylist(),
-                       t["is_rep"].to_pylist()))
-        results[q] = frame_eq(q, got, expect_cluster)
+        results[q] = frame_eq(q, t, [("doc_id", "int"), ("cluster", "int"),
+                                     ("is_rep", "int")], expect_cluster)
 
     # q_dedup_keep_best: >=2-member clusters, max quality, min-id tiebreak
     if os.path.isdir(f"{out_dir}/q_dedup_keep_best"):
@@ -145,11 +170,10 @@ def main():
         expect_kb = [(label, members[label], best[label][1], best[label][0])
                      for label in members if members[label] >= 2]
         t = read_pq(f"{out_dir}/q_dedup_keep_best")
-        got = list(zip(t["cluster"].to_pylist(), t["n_members"].to_pylist(),
-                       t["kept_doc_id"].to_pylist(),
-                       t["kept_chars"].to_pylist()))
-        results["q_dedup_keep_best"] = frame_eq("q_dedup_keep_best", got,
-                                                expect_kb)
+        results["q_dedup_keep_best"] = frame_eq(
+            "q_dedup_keep_best", t,
+            [("cluster", "int"), ("n_members", "int"),
+             ("kept_doc_id", "int"), ("kept_chars", "int")], expect_kb)
 
     # q_dedup_apply: per-lang survivor accounting over min-id reps
     if os.path.isdir(f"{out_dir}/q_dedup_apply"):
@@ -160,10 +184,10 @@ def main():
                 agg[lg] = (n + 1, s + c)
         expect_apply = [(lg, n, s) for lg, (n, s) in agg.items()]
         t = read_pq(f"{out_dir}/q_dedup_apply")
-        got = list(zip(t["lang"].to_pylist(), t["n_docs"].to_pylist(),
-                       t["sum_chars"].to_pylist()))
-        results["q_dedup_apply"] = frame_eq("q_dedup_apply", got,
-                                            expect_apply)
+        results["q_dedup_apply"] = frame_eq(
+            "q_dedup_apply", t,
+            [("lang", "str"), ("n_docs", "int"), ("sum_chars", "int")],
+            expect_apply)
 
     def connected_frac(pairs_tbl, cmap, label):
         n = pairs_tbl.num_rows
@@ -182,13 +206,20 @@ def main():
         union = read_pq(f"{out_dir}/q_dedup_union")
         n, ok, rec = connected_frac(union, comp, "chain recall (union denom)")
         t = read_pq(f"{out_dir}/q_chain_recall")
-        got = list(zip(t["n_union"].to_pylist(), t["n_chained"].to_pylist(),
-                       t["chain_recall"].to_pylist()))
-        results["q_chain_recall"] = frame_eq("q_chain_recall", got,
-                                             [(n, ok, rec)])
+        results["q_chain_recall"] = frame_eq(
+            "q_chain_recall", t,
+            [("n_union", "int"), ("n_chained", "int"),
+             ("chain_recall", "float")], [(n, ok, rec)])
 
     # banded-denominator proxy (the feasible sf10 ladder readout)
     ladder = []
+    if alt and not os.path.isdir(f"{out_dir}/q_dedup_minhash"):
+        # --alt-pairs rungs are scored AGAINST the banded dump; without
+        # it the requested ladder work cannot run — fail loudly rather
+        # than exit 0 looking like a clean run
+        sys.exit(f"ERROR: --alt-pairs given but {out_dir}/q_dedup_minhash "
+                 "(the banded denominator dump) is missing — run Verify "
+                 "with q_dedup_minhash first")
     if os.path.isdir(f"{out_dir}/q_dedup_minhash"):
         banded = read_pq(f"{out_dir}/q_dedup_minhash")
         n, ok, rec = connected_frac(banded, comp,
