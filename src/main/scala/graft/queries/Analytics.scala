@@ -403,6 +403,12 @@ object Analytics {
       // ascending order, so slice(…, 1, 64) ≡ the oracle's QUALIFY
       // ROW_NUMBER() <= 64 over the DISTINCT pairs). Order baskets sit
       // far below 64 at every SF, so the gate is a no-op here.
+      // collect_set is an object agg whose partials fall back to
+      // sort-based at Spark's 128-key threshold, so the basket build
+      // externally sorts the scan — ~2 GB of benign spill at sf10
+      // under 6 GiB executors (measured; pre-repartitioning the scan
+      // onto orderkey shaved ~15% wall but grew the spill counter —
+      // the sort happens either way, so the simpler plan stands)
       val baskets = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
@@ -420,11 +426,25 @@ object Analytics {
       // tail via slice), NOT a transform lambda: higher-order
       // functions run interpreted and are banned from benched plans
       // (PlanShapeSpec's lambdafunction gate).
+      //
+      // The explicit repartition between explode and count is the
+      // query's one load-bearing exchange hint: pair keys are mostly
+      // UNIQUE (most co-occurrences happen once), so a map-side
+      // partial agg over the raw explode builds a ~distinct-pairs-
+      // sized hash map for near-zero reduction — measured 22.7 GB of
+      // spill at sf10 under 6 GiB executors. Pre-partitioning on the
+      // pair key lets the explode STREAM into the shuffle (~200M
+      // compact rows, no map) and bounds the post-exchange agg to
+      // |pairs|/P keys per task — same probe: ZERO spill. P scales
+      // with the session's shuffle parallelism (the explode multiplies
+      // rows ~4x over lineitem, so 4x the configured partitions).
+      val pairParts = 4 * s.sessionState.conf.numShufflePartitions
       val pr = baskets
         .select(col("items"), posexplode(col("items")))
         .select(col("col").as("a"),
           explode(slice(col("items"), col("pos") + lit(2), lit(64)))
             .as("b"))
+        .repartition(pairParts, col("a"), col("b"))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("sab")).filter(col("sab") >= 2)
       val both = pr.select(col("a"), col("b"), col("sab"))

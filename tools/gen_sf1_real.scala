@@ -30,6 +30,10 @@ val scale = sys.env.getOrElse("SPARK_GRAFT_GEN_SCALE", "1").toLong
 require(scale >= 1, s"SPARK_GRAFT_GEN_SCALE must be >= 1, got $scale")
 val out = sys.env.getOrElse("SPARK_GRAFT_GEN_OUT",
   if (scale == 1) "/tmp/sf1_real" else s"/tmp/sf${scale}_real")
+// SPARK_GRAFT_GEN_DOCS_ONLY=1 writes only documents.parquet — the recall
+// ladder's third-decade corpus needs millions of DOCS (scale=40 -> 2M),
+// not the 240M lineitem rows the full fixture would drag along.
+val docsOnly = sys.env.get("SPARK_GRAFT_GEN_DOCS_ONLY").contains("1")
 spark.conf.set("spark.sql.shuffle.partitions", 32)
 
 // uniform in (0,1] from (id, salt) — 40 bits of hash, never exactly 0
@@ -58,6 +62,7 @@ val N_USERS = 15000L * scale
 val N_DOC = 50000L * scale;   val N_VEC = 20000L * scale
 
 // ---- dimensions -----------------------------------------------------------
+if (!docsOnly) {
 val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
 spark.range(5).select(col("id").cast("int").as("r_regionkey"),
     element_at(array(regions.map(lit): _*), col("id").cast("int") + 1).as("r_name"))
@@ -162,6 +167,7 @@ val events = spark.range(N_EV).select(
       pmod(xxhash64(col("id"), lit(44)), lit(100)).cast("string"),
       lit("}")).as("props"))
 events.write.mode("overwrite").parquet(s"$out/events.parquet")
+}
 
 // ---- documents: fresh corpus ---------------------------------------------
 // Per-language vocab: language markers + English stopwords lead the array so
@@ -229,6 +235,7 @@ val docs = ids.select(col("id"), seedId.as("seed"), isDup.as("dup"),
 docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
 // ---- embeddings: Gaussian mixture around 10 label centroids --------------
+if (!docsOnly) {
 // 6% of vectors are near-dup children of a Zipf-chosen parent (same label,
 // same base noise, tiny extra jitter) — organic near-dup structure for ANN.
 def gauss(id: Column, salt: Int): Column =
@@ -250,9 +257,11 @@ val emb = spark.range(N_VEC).select(col("id"), vseed.as("vs"), isChild.as("child
     }).as("embedding"),
     pmod(xxhash64(col("vs"), lit(62)), lit(10)).cast("int").as("label"))
 emb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+}
 
-for (t <- Seq("region","nation","customer","supplier","part","orders",
-    "lineitem","events","documents","embeddings"))
+for (t <- if (docsOnly) Seq("documents")
+          else Seq("region","nation","customer","supplier","part","orders",
+            "lineitem","events","documents","embeddings"))
   println(s"GEN $t ${spark.read.parquet(s"$out/$t.parquet").count()}")
   }
 }

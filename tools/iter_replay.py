@@ -56,7 +56,7 @@ def spark_round6(x):
 
 PAIRS_SQL = """
 WITH li AS (SELECT l_orderkey, l_partkey
-  FROM read_parquet('{sf}/lineitem.parquet')
+  FROM read_parquet('{li}')
   QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
     ORDER BY l_partkey) <= 64)
 SELECT a.l_partkey AS a, b.l_partkey AS b
@@ -68,7 +68,10 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 
 def co_pairs(sf_dir):
     import duckdb
-    t = duckdb.sql(PAIRS_SQL.format(sf=sf_dir)).arrow()
+    li = f"{sf_dir}/lineitem.parquet"
+    if os.path.isdir(li):                  # organic fixtures are dirs
+        li = f"{li}/*.parquet"
+    t = duckdb.sql(PAIRS_SQL.format(li=li)).arrow()
     a = np.asarray(t["a"].to_numpy(), dtype=np.int64)
     b = np.asarray(t["b"].to_numpy(), dtype=np.int64)
     print(f"  pairs: {len(a)} (DuckDB)")
