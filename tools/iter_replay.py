@@ -107,6 +107,36 @@ def pr_top20(nodes, prq):
     return [(int(nodes[i]), spark_round6(int(prq[i]) / 1e9)) for i in order]
 
 
+def triangle_replay(a, b):
+    """graft.operators.Graphs.triangleStats replayed exactly: undirected
+    degrees, wedges = sum C(d,2), triangles counted on the (deg, id)-
+    ordered orientation (out-neighbor intersection per oriented edge ==
+    the closed-2-path count the Spark semi-join computes — each
+    triangle has exactly one oriented 2-path). DuckDB OOMs on this at
+    sf10 (the wedge join materializes; Spark streams it)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    deg = np.bincount(np.concatenate([ia, ib]),
+                      minlength=len(nodes)).astype(np.int64)
+    n_nodes, n_edges = len(nodes), len(a)
+    n_wedges = int((deg * (deg - 1) // 2).sum())
+    da, db = deg[ia], deg[ib]
+    a_first = (da < db) | ((da == db) & (nodes[ia] < nodes[ib]))
+    src = np.where(a_first, ia, ib)
+    dst = np.where(a_first, ib, ia)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    starts = np.searchsorted(s, np.arange(len(nodes)))
+    ends = np.searchsorted(s, np.arange(len(nodes)) + 1)
+    tri = 0
+    for i in range(len(s)):
+        ou = d[starts[s[i]]:ends[s[i]]]
+        ov = d[starts[d[i]]:ends[d[i]]]
+        tri += np.intersect1d(ou, ov, assume_unique=True).size
+    clustering = spark_round6(3.0 * tri / n_wedges)
+    return [(n_nodes, n_edges, n_wedges, tri, clustering)]
+
+
 # ------------------------------------------------------------------ lloyd
 
 def load_points(sf_dir):
@@ -214,10 +244,18 @@ def main():
     out_dir, sf_dir = args
     results = {}
 
-    want_pr = [q for q in ("q_pagerank", "q_pagerank_converged")
+    want_pr = [q for q in ("q_pagerank", "q_pagerank_converged",
+                           "q_triangle_count")
                if os.path.isdir(f"{out_dir}/{q}")]
     if want_pr:
         a, b = co_pairs(sf_dir)
+        if "q_triangle_count" in want_pr:
+            t = read_pq(f"{out_dir}/q_triangle_count")
+            results["q_triangle_count"] = frame_eq(
+                "q_triangle_count", t,
+                [("n_nodes", "int"), ("n_edges", "int"),
+                 ("n_wedges", "int"), ("n_triangles", "int"),
+                 ("clustering", "float")], triangle_replay(a, b))
         if "q_pagerank" in want_pr:
             nodes, prq, _ = pr_replay(a, b, iters=3)
             t = read_pq(f"{out_dir}/q_pagerank")
