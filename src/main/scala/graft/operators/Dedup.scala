@@ -458,27 +458,36 @@ object Dedup {
     * 132→140 s at sf10 for 4→8 passes), so the production default is
     * 8×4 (32·n candidates).
     *
-    * Sizing rule for corpora beyond the tested decades: recall at a
-    * fixed config drops ~2-3 points per 10× docs and doubling passes
-    * recovered the measured decade — plan passes ≈ 8 + 4·log10(n/500k)
-    * and re-measure with the ladder (tools/gen_alt_pairs.scala +
-    * tools/uf_compare.py --alt-pairs gives the readout at any scale
-    * without a union-stage denominator). Candidate volume
-    * (verification cost) stays passes·window·n — linear, cap-free;
-    * rank passes are narrow (id, long) frames.
+    * Sizing for corpora beyond the tested decades (REVISED r14, after
+    * the third-decade probe at 2M docs): recall at a fixed config
+    * drops ~2-3 points per 10× docs at EVERY measured decade (8×4:
+    * 0.9956 at 500k → 0.9691 at 2M), but passes-recovery DECELERATES —
+    * the r13 linear rule (passes ≈ 8 + 4·log10(n/500k)) prescribed
+    * ~10-11 passes at 2M docs, where 10×4 reads only 0.9805 and 12×4
+    * 0.9868, not parity. There is no closed-form rule: treat passes as
+    * a measured dial — run the ladder recipe at the target corpus
+    * (tools/gen_alt_pairs.scala + tools/uf_compare.py --alt-pairs
+    * reads it at any scale without a union-stage denominator; ~12×4 is
+    * the 0.99-ish operating point at the 2M-doc decade). Candidate
+    * volume (verification cost) stays passes·window·n — linear,
+    * cap-free; rank passes are narrow (id, long) frames.
     *
-    * MEASUREMENT CAVEAT (r13 advice): the sf10 banded-denominator
-    * recall numbers were read with the DEFAULT chain family, whose
-    * coefficients are the exact prefix of the banding family's
-    * `minhashCoeffs(16)` — banded pairs found via bands 0-1 (mh0-7)
-    * share all their minhashes with the chain sort orders, so those
-    * absolute numbers are biased UP relative to an independent
-    * denominator. The r14 ladder re-measured with a DISJOINT family
-    * (`coeffSkip = 16`): the bias is real but small at the decades
-    * tested — see BENCH_RECALL_LADDER.json's decorrelated rungs — and
-    * the passes-vs-window comparison direction survives. Production
-    * keeps skip = 0 (the correlation only affects scoring against the
-    * banded denominator, not standalone chain behavior). */
+    * MEASUREMENT CAVEAT (r13 advice, r14 MEASURED): banded-denominator
+    * recall numbers read with the DEFAULT chain family are biased UP —
+    * its coefficients are the exact prefix of the banding family's
+    * `minhashCoeffs(16)`, so banded pairs found via bands 0-1 (mh0-7)
+    * share all their minhashes with the chain sort orders. The r14
+    * ladder re-measured with a DISJOINT family (`coeffSkip = 16`): at
+    * 2M docs the default-prefix 8×4 reads 0.9691 vs the decorrelated
+    * 0.9506 — ~1.9 points optimistic — and the bias GROWS with corpus
+    * size (0.3 points at sf10: 0.9956 vs 0.9927), because as true
+    * recall sags the shared-coefficient pair subset stays
+    * near-guaranteed chained (BENCH_RECALL_LADDER.json, docs2m
+    * section). Passes-axis comparison directions survive (all
+    * shared-prefix rungs carry the same bias); quote decorrelated
+    * numbers when the ABSOLUTE recall matters. Production keeps
+    * skip = 0 (the correlation only affects scoring against the banded
+    * denominator, not standalone chain behavior). */
   val SortedPassesDefault = 8
   val SortedWindowDefault = 4
 
