@@ -22,8 +22,26 @@ object Graphs {
 
   /** Undirected co-occurrence pairs (a < b) of `itemCol` values sharing
     * a `keyCol` value, kept when the pair co-occurs ≥ `minCount` times.
-    * The self-join is keyed on `keyCol` — per-key fan-out is basket² on
-    * that key only.
+    * Pair multiplicity is the product of the two items' in-basket row
+    * multiplicities, exactly as the key-self-join this replaces
+    * produced (r14 restructure — same DuckDB oracles, no self-join):
+    *
+    *  - the window cap stays (it streams; a collect-first spelling
+    *    would buffer a hot key's whole basket in one agg buffer);
+    *  - the capped rows collect per key into a SORTED array on the
+    *    window's own partitioning (groupBy keyCol reuses the exchange,
+    *    ≤ maxBasket elements per buffer by construction);
+    *  - pairs explode IN-basket — element i with every later element
+    *    of the sorted array (equal values filtered: the self-join's
+    *    `__i < __j` was a VALUE comparison), so the quadratic term
+    *    never crosses the join machinery: measured at sf10 under
+    *    6 GiB executors, q_pagerank's pair stage dropped ~46 GB of
+    *    self-join sort/shuffle spill to the window sort's ~2 GB;
+    *  - the explicit repartition on the pair key before the count is
+    *    the q_assoc_rules move: pair keys are mostly unique, so a
+    *    map-side partial over the raw explode builds a huge hash map
+    *    for near-zero reduction — pre-partitioned, the explode
+    *    streams to the wire and the post-exchange agg is bounded.
     *
     * `maxBasket` bounds the basket² term the way every other
     * quadratic-risk family here does (minhash bucket cap, RangeJoin
@@ -54,10 +72,23 @@ object Graphs {
     val base = df.select(col(keyCol).as("__k"), col(itemCol).as("__i"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBasket)
-      .select(col("__k"), col("__i"))
-    base.join(base.withColumnRenamed("__i", "__j"), Seq("__k"))
-      .filter(col("__i") < col("__j"))
-      .groupBy(col("__i").as("a"), col("__j").as("b"))
+    // groupBy __k reuses the window's hash partitioning — no exchange;
+    // the window already emits rows item-sorted per key, but sort_array
+    // re-asserts it so the pairing order never depends on that
+    // implementation detail. Buffers are ≤ maxBasket by the cap above.
+    val baskets = base
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(col("__i"))).as("__items"))
+      .select(col("__items"))
+    val pairParts = 4 * df.sparkSession.sessionState.conf.numShufflePartitions
+    baskets
+      .select(col("__items"), posexplode(col("__items")))
+      .select(col("col").as("a"),
+        explode(slice(col("__items"), col("pos") + lit(2), lit(maxBasket)))
+          .as("b"))
+      .filter(col("a") =!= col("b"))
+      .repartition(pairParts, col("a"), col("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w")).filter(col("w") >= minCount)
       .select(col("a"), col("b"))
   }

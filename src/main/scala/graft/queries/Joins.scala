@@ -124,10 +124,16 @@ object Joins {
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(dsum(col("l_extendedprice")).as("sum_price"))
       // Both sides leave their hash aggregates already partitioned on
-      // (l_partkey, l_suppkey), so the join adds no exchange; the
-      // shuffle_hash hint skips the two sort passes a sort-merge join
-      // would add on ~|groups|-sized inputs.
-      qty.join(rev.hint("shuffle_hash"), Seq("l_partkey", "l_suppkey"), "inner")
+      // (l_partkey, l_suppkey), so the join adds no exchange. This
+      // carried a shuffle_hash hint through r13 (skipping SMJ's two
+      // sort passes on ~|groups|-sized inputs) — REMOVED r14: a forced
+      // hash build cannot degrade under memory pressure, and the r14
+      // multi-JVM sf10 board measured exactly that (~40M build-side
+      // groups OOM'd 6 GiB executors: "not enough memory to build hash
+      // map", 4 task retries, query dead). Sort-merge spills gracefully
+      // instead; a hint is only safe when the hinted side is BOUNDED
+      // (the dimHint rule), and an aggregate of a fact table is not.
+      qty.join(rev, Seq("l_partkey", "l_suppkey"), "inner")
         .orderBy(col("l_partkey"), col("l_suppkey"))
     }),
 
