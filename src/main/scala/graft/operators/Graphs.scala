@@ -61,8 +61,16 @@ object Graphs {
     * API CHANGE (r10): `maxBasket = 64` became the DEFAULT — before
     * r10 the operator had no cap. Library callers with baskets larger
     * than 64 items now get pairs only from each basket's item-ordered
-    * 64-row head; pass a larger `maxBasket` (or `Int.MaxValue` to
-    * restore the uncapped behavior) if the tail pairs matter. */
+    * 64-row head; pass a larger `maxBasket` if the tail pairs matter.
+    * NOTE (r15): since the r14 in-basket restructure, each kept basket
+    * buffers in ONE collect_list agg buffer and explodes O(basket²)
+    * pairs from one row — so a very large `maxBasket` (Int.MaxValue,
+    * the pre-r10 escape hatch) now concentrates a hot key's whole
+    * basket in a single buffer/row where the old self-join streamed
+    * it. If you genuinely need uncapped pairs on open-ended keys,
+    * prefer the self-join spelling (pre-r14 history of this file) over
+    * a huge cap here; for schema-bounded baskets (orders, carts) any
+    * cap ≥ the real max is free. */
   def coOccurrencePairs(df: DataFrame, keyCol: String, itemCol: String,
                         minCount: Long = 2L,
                         maxBasket: Int = 64): DataFrame = {

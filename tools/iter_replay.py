@@ -87,6 +87,11 @@ def pr_replay(a, b, iters=None, eps_milli=None, max_iters=None):
     prq = np.full(len(nodes), 1_000_000_000, dtype=np.int64)
     k = 0
     bound = iters if iters is not None else max_iters
+    # oracle-of-record guard: a call with neither a fixed iteration
+    # count nor a (gate, cap) pair would leave bound=None and fail with
+    # an opaque TypeError below — fail loudly at the contract instead
+    assert bound is not None, \
+        "pr_replay needs iters= (fixed) or max_iters= (with eps_milli gate)"
     while k < bound:
         contrib = prq[src] // deg[src]
         inflow = np.zeros(len(nodes), dtype=np.int64)
@@ -128,11 +133,27 @@ def triangle_replay(a, b):
     s, d = src[order], dst[order]
     starts = np.searchsorted(s, np.arange(len(nodes)))
     ends = np.searchsorted(s, np.arange(len(nodes)) + 1)
-    tri = 0
-    for i in range(len(s)):
-        ou = d[starts[s[i]]:ends[s[i]]]
-        ov = d[starts[d[i]]:ends[d[i]]]
-        tri += np.intersect1d(ou, ov, assume_unique=True).size
+    # Vectorized oriented-wedge close: |out(u) ∩ out(v)| per oriented
+    # edge (u,v) == number of oriented 2-paths u→v→w whose chord (u,w)
+    # is also an oriented edge. Materialize every 2-path endpoint w via
+    # a ragged gather over out(v), then membership-test the (u,w) keys
+    # against the (sorted, unique) oriented-edge keys with one
+    # searchsorted — no per-edge Python loop. 2-path volume on the
+    # (deg, id)-ordered orientation is exactly what the Spark semi-join
+    # streams (bounded at every tested scale); keys are u*|V|+w in
+    # int64 (|V|² < 2^63 for any graph NumPy can hold).
+    cnt = ends[d] - starts[d]                      # |out(v)| per edge
+    total = int(cnt.sum())
+    grp_off = np.repeat(np.cumsum(cnt) - cnt, cnt)  # 2-path -> its edge's 0-base
+    idx = np.repeat(starts[d], cnt) + (np.arange(total) - grp_off)
+    u_rep = np.repeat(s, cnt).astype(np.int64)
+    w = d[idx].astype(np.int64)
+    nv = np.int64(len(nodes))
+    edge_keys = s.astype(np.int64) * nv + d.astype(np.int64)  # lexsorted
+    path_keys = u_rep * nv + w
+    pos = np.searchsorted(edge_keys, path_keys)
+    pos = np.minimum(pos, len(edge_keys) - 1)
+    tri = int((edge_keys[pos] == path_keys).sum())
     clustering = spark_round6(3.0 * tri / n_wedges)
     return [(n_nodes, n_edges, n_wedges, tri, clustering)]
 

@@ -1,8 +1,8 @@
 // sf10 streaming soak: multi-batch AvailableNow replay of the two
 // stateful headline streams over the 10M-event organic fixture, with
-// the RocksDB state-store provider and per-batch stateOperators
-// (rows/bytes) recorded — the at-scale twin of StreamStateBoundSpec's
-// MemoryStream plateau witness.
+// the RocksDB state-store provider and per-batch state metrics
+// recorded — the at-scale twin of StreamStateBoundSpec's MemoryStream
+// plateau witness.
 //
 // The fixture is staged TIME-ORDERED into N chunk files (range
 // repartition on ts, modtimes set ascending so the file source
@@ -13,12 +13,36 @@
 // outputs must still equal their batch twins' DuckDB-gated answers:
 // the script dumps them parquet for tools/compare.py.
 //
+// METRIC IDENTITY (the r14 artifact's ambiguous "bytes" column,
+// resolved): per batch the series now records, by name,
+//   rows        StateOperatorProgress.numRowsTotal — live state rows
+//   mem_bytes   memoryUsedBytes; for the RocksDB provider this is
+//               RocksDBMetrics.totalMemUsageBytes = memtables + block
+//               cache + table-reader memory (a MEMORY number, capped
+//               by the block-cache config — NOT on-disk state size)
+//   sst_bytes   customMetrics.rocksdbSstFileSize =
+//               RocksDBMetrics.totalSSTFilesBytes — the on-disk SST
+//               footprint of the store's working dir, the column that
+//               answers "does state fill disks"; includes
+//               not-yet-compacted obsolete versions (compaction debt),
+//               so a plateau here is the strong bound
+//   pin_bytes   customMetrics.rocksdbPinnedBlocksMemoryUsage
+//   compact_w   customMetrics.rocksdbTotalBytesWrittenByCompaction
+//               (cumulative — monotone by definition; growth with a
+//               flat sst_bytes means compaction is keeping up)
+// The r14 "bytes" column was mem_bytes (totalMemUsageBytes).
+//
+// Progress is read from q.recentProgress AFTER awaitTermination —
+// synchronous and attached to the query — instead of the r14 global
+// StreamingQueryListener + fixed sleep, whose async flush could drop
+// the final batch from the recorded series.
+//
 // NOTE the blocks-not-chains style: spark-shell -I feeds the file
 // statement-by-statement, so a method chain continued on a fresh line
 // would be split into a complete statement plus orphan `.foo` lines.
 //
 // Run (after sbt -batch compile):
-//   SPARK_GRAFT_SF_DIR=/tmp/sf10_real SPARK_GRAFT_OUT=/tmp/r14_stream_sf10 \
+//   SPARK_GRAFT_SF_DIR=/tmp/sf10_real SPARK_GRAFT_OUT=/tmp/r15_stream_sf10 \
 //   /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 48g \
 //     --driver-class-path /root/repo/target/scala-2.13/classes \
 //     --conf spark.sql.shuffle.partitions=32 \
@@ -32,14 +56,16 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryProgress, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10_real")
-val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/r14_stream_sf10")
-val nChunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "16").toInt
+val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/r15_stream_sf10")
+val nChunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "32").toInt
 
 spark.conf.set("spark.sql.shuffle.partitions", "32")
+// recentProgress must retain every batch of the soak (default 100)
+spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", (nChunks + 16).toString)
 require(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
   .contains("RocksDB"), "soak must run under the RocksDB provider")
 
@@ -59,30 +85,25 @@ parts.zipWithIndex.foreach { case (p, i) =>
 }
 println(s"[soak] staged ${parts.length} time-ordered chunks")
 
-// ---- per-batch state listener --------------------------------------
-val series = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-  import org.apache.spark.sql.streaming.StreamingQueryListener._
-  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-  override def onQueryProgress(e: QueryProgressEvent): Unit = {
-    val p = e.progress
-    if (p.numInputRows > 0 || p.stateOperators.nonEmpty) {
-      series.synchronized {
-        series += ((p.numInputRows,
-          p.stateOperators.map(_.numRowsTotal).sum,
-          p.stateOperators.map(_.memoryUsedBytes).sum))
-      }
-    }
+def metricRow(p: StreamingQueryProgress): String = {
+  val rows = p.stateOperators.map(_.numRowsTotal).sum
+  val mem = p.stateOperators.map(_.memoryUsedBytes).sum
+  def custom(k: String): Long = {
+    p.stateOperators.map(so => Option(so.customMetrics.get(k)).map(_.longValue).getOrElse(0L)).sum
   }
+  s"""{"input":${p.numInputRows},"rows":$rows,"mem_bytes":$mem,""" +
+    s""""sst_bytes":${custom("rocksdbSstFileSize")},""" +
+    s""""pin_bytes":${custom("rocksdbPinnedBlocksMemoryUsage")},""" +
+    s""""compact_w":${custom("rocksdbTotalBytesWrittenByCompaction")}}"""
 }
-spark.streams.addListener(listener)
+
+// per-stream progress series, read synchronously off the query handle
+var lastSeries: Vector[StreamingQueryProgress] = Vector.empty
 
 def runStream(stream: DataFrame, mode: OutputMode, name: String): DataFrame = {
-  series.synchronized(series.clear())
   val q = stream.writeStream.format("memory").queryName(name).outputMode(mode).trigger(Trigger.AvailableNow()).start()
   q.awaitTermination()
-  Thread.sleep(2000) // one listener flush can lag termination
+  lastSeries = q.recentProgress.toVector.filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
   spark.table(name)
 }
 
@@ -93,12 +114,15 @@ def src(): DataFrame = {
 }
 
 def dumpSeries(tag: String, fed: Long): String = {
-  val s = series.synchronized(series.toVector)
-  val body = s.map { case (in, r, b) => s"""{"input":$in,"rows":$r,"bytes":$b}""" }.mkString(",")
+  val s = lastSeries
+  val body = s.map(metricRow).mkString(",")
+  val rows = s.map(_.stateOperators.map(_.numRowsTotal).sum)
+  val ssts = s.map(_.stateOperators.map(so => Option(so.customMetrics.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(0L)).sum)
   println(s"[soak] $tag: ${s.length} batches, " +
-    s"peak state ${if (s.isEmpty) -1L else s.map(_._2).max} rows, " +
-    s"final ${s.lastOption.map(_._2).getOrElse(-1L)} rows")
-  s"""{"op": "$tag", "sf": "$sfDir", "fed_rows": $fed, "provider": "rocksdb", "series": [$body]}"""
+    s"peak state ${if (rows.isEmpty) -1L else rows.max} rows, " +
+    s"final ${rows.lastOption.getOrElse(-1L)} rows, " +
+    s"peak sst ${if (ssts.isEmpty) -1L else ssts.max} B, final sst ${ssts.lastOption.getOrElse(-1L)} B")
+  s"""{"op": "$tag", "sf": "$sfDir", "fed_rows": $fed, "provider": "rocksdb", "n_chunks": $nChunks, "series": [$body]}"""
 }
 
 val lines = scala.collection.mutable.ArrayBuffer[String]()
