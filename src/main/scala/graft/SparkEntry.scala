@@ -94,5 +94,11 @@ object SparkEntry {
     // dedup queries now run, its provenance-flag recall readout, and
     // the linear sorted-neighborhood strategy the sf10 soak motivated
     "q_dedup_union", "q_union_recall", "q_dedup_sorted",
-    "q_dedup_minhash_sorted", "q_chain_recall")
+    "q_dedup_minhash_sorted", "q_chain_recall",
+    // round 15: the chain dial exercised at a non-default (12x4)
+    // config — the 2M-doc-decade operating point — the zero-exchange
+    // bucketed twin of the fleet's r14 spill outlier, and the
+    // sidecar-driven incremental near-dup ingest
+    "q_dedup_chain_sized", "q_join_multi_key_bucketed",
+    "q_incremental_neardup")
 }

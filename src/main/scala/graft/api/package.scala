@@ -237,13 +237,17 @@ package object api {
         window = window, threshold = threshold, fastHash = fastHash)
 
     /** Minhash-SORTED neighborhood pairs — the linear, cap-free
-      * candidate strategy whose CHAINS recover the cluster structure:
-      * measured 0.981 chain-connectivity recall of the union's
-      * verified pairs at organic sf1 from ~26k direct pairs
-      * (q_chain_recall). The strategy to cluster a 100 TB corpus
-      * with. */
+      * candidate strategy whose CHAINS recover the cluster structure.
+      * The strategy to cluster a 100 TB corpus with — BUT recall at a
+      * fixed config sags with corpus size (decorrelated chain recall
+      * of the banded pairs: ≈ 0.993 at 500k docs, ≈ 0.95 at 2M docs
+      * under the 8×4 default), so size the dial per deployment: set
+      * [[Dedup.ChainPassesConfKey]] (`spark.graft.dedup.chain.passes`)
+      * from a ladder run at the target corpus (recipe on that key's
+      * scaladoc). `passes`/`window` default to the session dial;
+      * explicit positive values win. */
     def nearDupPairsMinhashSorted(idCol: String, textCol: String,
-                                  passes: Int = 3, window: Int = 8,
+                                  passes: Int = -1, window: Int = -1,
                                   threshold: Double = 0.5,
                                   fastHash: Boolean = false): DataFrame =
       Dedup.minhashSortedPairs(df, idCol, textCol, passes = passes,

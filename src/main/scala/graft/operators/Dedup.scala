@@ -402,24 +402,40 @@ object Dedup {
     * range-partition + two-pass offset composition, never a
     * single-partition window; the rank join is one equi-join on rn per
     * pass over (id, rn) rows. */
+  /** The per-doc chain signature frame: (id, mh0..mh{passes-1}) — one
+    * affine minhash per pass over the w-shingle set. This is the frame
+    * a production deployment PERSISTS between ingests (the
+    * `_signatures` sidecar): it is deterministic in the text, narrow
+    * (id + passes longs), and [[incrementalNearDup]] chains a new
+    * batch against it WITHOUT re-shingling the corpus. `passes` ≤ 0
+    * resolves from the session chain dial like [[minhashSortedPairs]]. */
+  def chainSignatures(df: DataFrame, idCol: String, textCol: String,
+                      passes: Int = -1, w: Int = 3,
+                      fastHash: Boolean = false,
+                      coeffSkip: Int = 0): DataFrame = {
+    val p = if (passes > 0) passes else chainPasses(df.sparkSession)
+    val baseHash: Column => Column =
+      if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
+      else shingleBaseHash
+    val coeffs = minhashCoeffs(p, coeffSkip)
+    shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
+      .select(col("id"), baseHash(col("shingle")).as("__h"))
+      .groupBy(col("id")).agg(
+        min(minhashTerm(col("__h"), coeffs(0)._1, coeffs(0)._2)).as("mh0"),
+        (1 until p).map { s =>
+          val (a, b) = coeffs(s)
+          min(minhashTerm(col("__h"), a, b)).as(s"mh$s")
+        }: _*)
+  }
+
   private[graft] def minhashSortedCandidates(df: DataFrame, idCol: String,
                                              textCol: String, passes: Int,
                                              window: Int, w: Int,
                                              fastHash: Boolean,
                                              coeffSkip: Int = 0): DataFrame = {
     require(passes >= 1 && window >= 1, "passes and window must be >= 1")
-    val baseHash: Column => Column =
-      if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
-      else shingleBaseHash
-    val coeffs = minhashCoeffs(passes, coeffSkip)
-    val sig = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
-      .select(col("id"), baseHash(col("shingle")).as("__h"))
-      .groupBy(col("id")).agg(
-        min(minhashTerm(col("__h"), coeffs(0)._1, coeffs(0)._2)).as("mh0"),
-        (1 until passes).map { s =>
-          val (a, b) = coeffs(s)
-          min(minhashTerm(col("__h"), a, b)).as(s"mh$s")
-        }: _*)
+    val sig = chainSignatures(df, idCol, textCol, passes, w, fastHash,
+        coeffSkip)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = (0 until passes).map { p =>
       val ranked = GlobalOrder.withRowNumberLong(
@@ -491,22 +507,179 @@ object Dedup {
   val SortedPassesDefault = 8
   val SortedWindowDefault = 4
 
+  /** Session-conf keys for the chain dial: the ONE deployment knob the
+    * recall ladder sizes. `spark.graft.dedup.chain.passes` /
+    * `spark.graft.dedup.chain.window` override the measured 8×4
+    * default for every chain consumer that doesn't pass explicit
+    * values ([[minhashSortedPairs]]' default arguments resolve here),
+    * so a deployment sizes the dial ONCE at session build instead of
+    * threading a parameter through every query.
+    *
+    * Sizing is a MEASURED step, not a formula (the r14 third-decade
+    * ladder disproved the linear rule): run the ladder recipe at the
+    * target corpus — dump chain pairs at candidate configs with a
+    * DISJOINT coefficient family (tools/gen_alt_pairs.scala,
+    * SPARK_GRAFT_COEFF_SKIP=16) and score chain connectivity against
+    * the banded pairs with tools/uf_compare.py --alt-pairs — and set
+    * the smallest passes whose DECORRELATED recall clears the
+    * deployment's floor. Measured decorrelated operating points:
+    * 8×4 ≈ 0.993 at 500k docs, ≈ 0.95 at 2M docs; 12×4 ≈ 0.987
+    * (shared-prefix read) at 2M docs. Recall sags ~2-3 points per 10×
+    * docs at a fixed config and passes-recovery DECELERATES, so every
+    * decade of corpus growth needs a re-measurement, not an
+    * extrapolation. */
+  val ChainPassesConfKey = "spark.graft.dedup.chain.passes"
+  val ChainWindowConfKey = "spark.graft.dedup.chain.window"
+
+  /** The session's chain pass count: [[ChainPassesConfKey]] if set,
+    * else the measured [[SortedPassesDefault]]. */
+  def chainPasses(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(ChainPassesConfKey, SortedPassesDefault.toString).toInt
+
+  /** The session's chain window: [[ChainWindowConfKey]] if set, else
+    * the measured [[SortedWindowDefault]]. */
+  def chainWindow(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(ChainWindowConfKey, SortedWindowDefault.toString).toInt
+
   /** Minhash-sorted neighborhood pairs: [[minhashSortedCandidates]]
     * verified by the shared exact-Jaccard pass — the LINEAR,
     * cap-free candidate strategy for corpora where banding caps
-    * tombstone and fixed blocks saturate. Defaults are the measured
-    * [[SortedPassesDefault]]/[[SortedWindowDefault]] knee; the DuckDB
-    * oracle CTEs build from the same constants. */
+    * tombstone and fixed blocks saturate.
+    *
+    * `passes`/`window` ≤ 0 (the default) resolve from the session's
+    * chain dial ([[ChainPassesConfKey]]/[[ChainWindowConfKey]], falling
+    * back to the measured [[SortedPassesDefault]]×[[SortedWindowDefault]]
+    * knee) — one source of truth for every production consumer, sized
+    * per deployment by the ladder recipe on [[ChainPassesConfKey]]'s
+    * scaladoc. Explicit positive arguments always win (ladder rungs,
+    * fixed-config oracles). The default-config DuckDB oracle CTEs
+    * build from the same [[SortedPassesDefault]] constants. */
   def minhashSortedPairs(df: DataFrame, idCol: String, textCol: String,
-                         passes: Int = SortedPassesDefault,
-                         window: Int = SortedWindowDefault, w: Int = 3,
+                         passes: Int = -1,
+                         window: Int = -1, w: Int = 3,
                          threshold: Double = 0.5,
                          fastHash: Boolean = false,
-                         coeffSkip: Int = 0): DataFrame =
+                         coeffSkip: Int = 0): DataFrame = {
+    val p = if (passes > 0) passes else chainPasses(df.sparkSession)
+    val win = if (window > 0) window else chainWindow(df.sparkSession)
     verifyJaccard(df,
-      minhashSortedCandidates(df, idCol, textCol, passes, window, w,
+      minhashSortedCandidates(df, idCol, textCol, p, win, w,
         fastHash, coeffSkip),
       idCol, textCol, w, threshold, fastHash)
+  }
+
+  /** Batch-vs-corpus chain CANDIDATES without re-shingling the corpus —
+    * the candidate stage of [[incrementalNearDup]]. By construction the
+    * corpus side enters as its persisted SIGNATURE frame only
+    * (`corpusSigs`, schema (id, mh0..mh{passes-1}) as written by
+    * [[chainSignatures]]) — there is no corpus text parameter, so the
+    * stage CANNOT re-shingle the corpus. Only the incoming batch is
+    * shingled; per pass, batch and corpus signature rows rank together
+    * in ONE global (mh_p, id) total order — identical to the order a
+    * full recompute would produce, because signatures are
+    * deterministic in the text — and each doc pairs with its `window`
+    * rank-successors exactly as in [[minhashSortedCandidates]].
+    * Corpus-corpus pairs are dropped (the corpus's own dedup already
+    * clustered them); returns (id_a, id_b, batch_a, batch_b) with the
+    * 0/1 flags marking which endpoints are batch docs. */
+  private[graft] def incrementalChainCandidates(batch: DataFrame,
+                                                idCol: String,
+                                                textCol: String,
+                                                corpusSigs: DataFrame,
+                                                passes: Int, window: Int,
+                                                w: Int,
+                                                fastHash: Boolean): DataFrame = {
+    require(passes >= 1 && window >= 1, "passes and window must be >= 1")
+    val bsig = chainSignatures(batch, idCol, textCol, passes, w, fastHash)
+      .withColumn("__isb", lit(1))
+    val csig = corpusSigs
+      .select(col("id") +: (0 until passes).map(i => col(s"mh$i")): _*)
+      .withColumn("__isb", lit(0))
+    val all = bsig.unionByName(csig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = (0 until passes).map { p =>
+      val ranked = GlobalOrder.withRowNumberLong(
+          all.select(col("id"), col("__isb"), col(s"mh$p").as("__k")),
+          Seq(col("__k"), col("id")), "rn")
+        .select(col("id"), col("__isb"), col("rn"))
+      ranked
+        .select(col("id").as("id_l"), col("__isb").as("__bl"),
+          explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
+        .join(ranked.select(col("id").as("id_r"), col("__isb").as("__br"),
+          col("rn")), Seq("rn"))
+        .filter(col("__bl") + col("__br") >= 1)
+        .select(least(col("id_l"), col("id_r")).as("id_a"),
+          greatest(col("id_l"), col("id_r")).as("id_b"),
+          when(col("id_l") <= col("id_r"), col("__bl"))
+            .otherwise(col("__br")).as("batch_a"),
+          when(col("id_l") <= col("id_r"), col("__br"))
+            .otherwise(col("__bl")).as("batch_b"))
+    }.reduce(_ union _)
+      // distinct on the pair; the flags are functions of the doc ids,
+      // so max() just carries the (constant) value through
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("batch_a")).as("batch_a"),
+        max(col("batch_b")).as("batch_b"))
+      .pinned
+    all.unpersist(false)
+    cand
+  }
+
+  /** Incremental NEAR-dup ingest — the pipeline shape every daily
+    * crawl needs: classify an incoming batch against an
+    * already-ingested corpus by near-duplication (verified shingle
+    * Jaccard ≥ `threshold`), where the corpus enters as its persisted
+    * [[chainSignatures]] sidecar + its doc frame, and the corpus text
+    * is NEVER re-shingled corpus-wide — the candidate stage
+    * ([[incrementalChainCandidates]]) consumes signatures only, and
+    * the verification pass's candidate-id semi-join prunes the corpus
+    * scan to the ≤ passes·window·|batch| docs that appear in some
+    * candidate pair (the [[verifyJaccard]] pushdown).
+    *
+    * Returns (idCol, status) for every batch doc, statuses mirroring
+    * [[incremental]]'s exact-digest contract:
+    *   - `dup_base`  — verified near-dup of some corpus doc;
+    *   - `dup_batch` — else, verified near-dup of a SMALLER-id batch
+    *     doc (the pairwise twin of the exact path's min-id
+    *     first-occurrence rule — SQL-replayable, no closure);
+    *   - `keep`      — neither.
+    *
+    * Scale: the signature union is |corpus|+|batch| narrow rows (id +
+    * passes longs — the same frame class the rank passes already
+    * shuffle); batch-side shingling is |batch|-sized; verification is
+    * candidate-bounded. A 100 TB corpus ingesting a daily batch pays
+    * |batch| text work + |corpus| SIGNATURE-row rank work, never
+    * |corpus| text work. */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
+                         corpusSigs: DataFrame, idCol: String,
+                         textCol: String, passes: Int = -1,
+                         window: Int = -1, w: Int = 3,
+                         threshold: Double = 0.5,
+                         fastHash: Boolean = false): DataFrame = {
+    val p = if (passes > 0) passes else chainPasses(batch.sparkSession)
+    val win = if (window > 0) window else chainWindow(batch.sparkSession)
+    val cand = incrementalChainCandidates(batch, idCol, textCol,
+      corpusSigs, p, win, w, fastHash)
+    val docs = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    val vp = verifyJaccard(docs, cand, idCol, textCol, w, threshold,
+      fastHash, extraCols = Seq("batch_a", "batch_b"))
+    val baseHits = vp.filter(col("batch_a") === 1 && col("batch_b") === 0)
+      .select(col("id_a").as("__idb"))
+      .union(vp.filter(col("batch_a") === 0 && col("batch_b") === 1)
+        .select(col("id_b").as("__idb")))
+      .distinct().withColumn("__hb", lit(1))
+    val batchLarger = vp.filter(col("batch_a") === 1 && col("batch_b") === 1)
+      .select(col("id_b").as("__ids")).distinct().withColumn("__hs", lit(1))
+    batch.select(col(idCol))
+      .join(baseHits, col(idCol) === col("__idb"), "left")
+      .join(batchLarger, col(idCol) === col("__ids"), "left")
+      .withColumn("status",
+        when(col("__hb") === 1, "dup_base")
+          .when(col("__hs") === 1, "dup_batch")
+          .otherwise("keep"))
+      .select(col(idCol), col("status"))
+  }
 
   /** Stage 5 of [[minhashPairs]] as a reusable verification pass: exact
     * shingle-set Jaccard over the md5-derived 32-bit shingle hashes,
@@ -611,6 +784,39 @@ object Dedup {
         max(col("__fk")).as("from_blocked"))
     verifyJaccard(df, cand, idCol, textCol, w, threshold, fastHash,
       extraCols = Seq("from_banded", "from_blocked"))
+  }
+
+  /** FAMILY-DIVERSITY union candidate stage: minhash-sorted chain
+    * candidates ∪ SimHash banded-Hamming pairs, verified ONCE at the
+    * shared exact-Jaccard threshold — the r15 measurement of whether
+    * mixing a SECOND, scale-stable candidate family recovers the
+    * recall that more chain passes buy ever more slowly (the r14
+    * third-decade finding: +4 passes bought +1.77 pts at 2M docs).
+    * Unlike [[unionPairsFlagged]]'s blocked half, BOTH families here
+    * are content-keyed and linear-ish at any corpus size (chains:
+    * exactly passes·window·n candidates; SimHash: 64-bit band space —
+    * no fixed-cardinality cliff), so this union IS shippable as a
+    * production composition, not just a diagnostic.
+    * Returns (id_a, id_b, jaccard, from_chain, from_simhash). */
+  def chainSimhashUnionPairs(df: DataFrame, idCol: String, textCol: String,
+                             passes: Int = -1, window: Int = -1,
+                             w: Int = 3, threshold: Double = 0.5,
+                             maxHamming: Int = 3, maxBucket: Int = 200,
+                             fastHash: Boolean = false,
+                             coeffSkip: Int = 0): DataFrame = {
+    val p = if (passes > 0) passes else chainPasses(df.sparkSession)
+    val win = if (window > 0) window else chainWindow(df.sparkSession)
+    val cc = minhashSortedCandidates(df, idCol, textCol, p, win, w,
+        fastHash, coeffSkip)
+      .select(col("id_a"), col("id_b"), lit(1).as("__fc"), lit(0).as("__fs"))
+    val sc = simhashPairs(df, idCol, textCol, maxHamming, maxBucket)
+      .select(col("id_a"), col("id_b"), lit(0).as("__fc"), lit(1).as("__fs"))
+    val cand = cc.union(sc)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("__fc")).as("from_chain"),
+        max(col("__fs")).as("from_simhash"))
+    verifyJaccard(df, cand, idCol, textCol, w, threshold, fastHash,
+      extraCols = Seq("from_chain", "from_simhash"))
   }
 
   /** [[unionPairsFlagged]] without the provenance flags — the

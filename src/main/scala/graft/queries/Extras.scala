@@ -353,6 +353,31 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental NEAR-dup ingest — q_incremental_dedup's contract
+    // (dup_base / dup_batch / keep over the same md5-bucket split) at
+    // near-duplicate rather than exact-digest granularity: the corpus
+    // side enters as its PERSISTED chain-signature sidecar (written
+    // once per dataset — chainSigSidecar) plus a verification-only doc
+    // frame; the batch is shingled, chained into the corpus's global
+    // minhash orders (rank over narrow signature rows — identical
+    // orders to a full recompute because signatures are deterministic),
+    // and batch-touching candidates are Jaccard-verified with the
+    // corpus scan semi-join-pruned to candidate docs.
+    // IncrementalNearDupSpec pins that the corpus is read, not
+    // recomputed (a corpus-text edit invisible to the persisted
+    // signatures cannot change the candidates) and that statuses
+    // equal the full-recompute classification.
+    "q_incremental_neardup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("__b", md5Bucket(col("doc_id"), 100L))
+      val corpus = d.filter(col("__b") < 80).select(col("doc_id"), col("text"))
+      val batch = d.filter(col("__b") >= 80).select(col("doc_id"), col("text"))
+      val sigs = s.read.parquet(chainSigSidecar(s, dir))
+      Dedup.incrementalNearDup(batch, corpus, sigs, "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // train/eval contamination scan: which held-out ("test" split) docs
     // share a 3-word shingle with the training split, and how much —
     // Dedup.contaminationScan over the md5-bucket splits (scale notes
@@ -637,6 +662,21 @@ object Extras {
     "q_dedup_minhash_sorted" -> ((s, dir) => {
       Dedup.minhashSortedPairs(Tables(s, dir, "documents"), "doc_id",
           "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // THE DIAL, exercised end-to-end at a NON-default config: the same
+    // chain stage at 12×4 — the measured ~0.99 operating point at the
+    // 2M-doc decade (BENCH_RECALL_LADDER.json docs2m: 12×4 reads
+    // 0.9868 where the 8×4 default reads 0.9691 shared-prefix /
+    // 0.9506 decorrelated). The oracle CTE builds from the same
+    // explicit (12, 4) constants, so this gate proves a non-default
+    // passes value flows through signature construction, all 12
+    // global total orders, candidate explosion, and verification —
+    // the deployment-sizing path ChainPassesConfKey documents.
+    "q_dedup_chain_sized" -> ((s, dir) => {
+      Dedup.minhashSortedPairs(Tables(s, dir, "documents"), "doc_id",
+          "text", passes = 12, window = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1264,6 +1304,30 @@ object Extras {
       tmp
     })
 
+  private val chainSigPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The corpus `_signatures` sidecar (the q_ann_ivf_partitioned
+    * `_centroids` pattern applied to dedup): the base corpus's chain
+    * signature frame, written ONCE per dataset and read back by every
+    * incremental ingest — the thing a production pipeline persists
+    * between daily batches so new docs chain against the corpus
+    * without re-shingling it. Content is deterministic in the corpus
+    * text (md5-derived hashes, fixed coefficient family). */
+  private def chainSigSidecar(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    chainSigPaths.computeIfAbsent(dir, { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_chainsigs_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val corpus = Tables(s, dir, "documents")
+        .withColumn("__b", md5Bucket(col("doc_id"), 100L))
+        .filter(col("__b") < 80)
+        .select(col("doc_id"), col("text"))
+      Dedup.chainSignatures(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   private val dot64 = "list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
 
   /** DuckDB fragment: first 8 hex chars of md5(`x`) folded to a BIGINT. */
@@ -1307,10 +1371,13 @@ object Extras {
     * mhsets, and mpairs(id_a, id_b, j) exact-Jaccard verified. The
     * pass/window counts come from the SAME production constants the
     * Spark side defaults to (Dedup.SortedPassesDefault/
-    * SortedWindowDefault — the measured BENCH_RECALL_LADDER knee). */
-  private lazy val mhSortedCtes: String = {
-    val passes = Dedup.SortedPassesDefault
-    val window = Dedup.SortedWindowDefault
+    * SortedWindowDefault — the measured BENCH_RECALL_LADDER knee);
+    * [[mhSortedCtesAt]] builds the same chain at an explicit config
+    * (the dial queries' oracles). */
+  private lazy val mhSortedCtes: String =
+    mhSortedCtesAt(Dedup.SortedPassesDefault, Dedup.SortedWindowDefault)
+
+  private def mhSortedCtesAt(passes: Int, window: Int): String = {
     val coeffs = Dedup.minhashCoeffs(passes)
     val mhs = coeffs.zipWithIndex.map { case ((a, b), s) =>
       s"list_min(list_transform(hl, h -> ${Dedup.minhashTermSql("h", a, b)})) AS mh$s"
@@ -1632,6 +1699,37 @@ object Extras {
         |       WHEN doc_id <> mn THEN 'dup_batch'
         |       ELSE 'keep' END AS status
         |FROM inc ORDER BY doc_id""".stripMargin,
+
+    // incrementalNearDup replica: the FULL-corpus chain replay (the
+    // oracle needs no sidecar — the sidecar holds exactly the corpus
+    // minhashes a recompute produces, and the incremental rank orders
+    // equal the full-recompute orders by signature determinism), with
+    // statuses read off the batch-touching verified pairs: dup_base =
+    // some pair to a corpus (bucket < 80) doc, dup_batch = else some
+    // pair to a smaller-id batch doc, keep otherwise
+    "q_incremental_neardup" ->
+      s"""WITH $shingleHsCtes,
+        |$mhSortedCtes,
+        |db AS (SELECT doc_id, ${hex8("doc_id::VARCHAR")} % 100 AS bkt
+        |  FROM documents),
+        |vp AS (SELECT id_a, id_b FROM mpairs WHERE j >= 0.5),
+        |bh AS (SELECT vp.id_a AS did FROM vp
+        |         JOIN db ca ON ca.doc_id = vp.id_a AND ca.bkt >= 80
+        |         JOIN db cb ON cb.doc_id = vp.id_b AND cb.bkt < 80
+        |       UNION
+        |       SELECT vp.id_b FROM vp
+        |         JOIN db ca ON ca.doc_id = vp.id_a AND ca.bkt < 80
+        |         JOIN db cb ON cb.doc_id = vp.id_b AND cb.bkt >= 80),
+        |bl AS (SELECT DISTINCT vp.id_b AS did FROM vp
+        |         JOIN db ca ON ca.doc_id = vp.id_a AND ca.bkt >= 80
+        |         JOIN db cb ON cb.doc_id = vp.id_b AND cb.bkt >= 80)
+        |SELECT d.doc_id,
+        |  CASE WHEN bh.did IS NOT NULL THEN 'dup_base'
+        |       WHEN bl.did IS NOT NULL THEN 'dup_batch'
+        |       ELSE 'keep' END AS status
+        |FROM db d LEFT JOIN bh ON bh.did = d.doc_id
+        |          LEFT JOIN bl ON bl.did = d.doc_id
+        |WHERE d.bkt >= 80 ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
@@ -2168,6 +2266,13 @@ object Extras {
     "q_dedup_minhash_sorted" ->
       s"""WITH $shingleHsCtes,
         |$mhSortedCtes
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM mpairs
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // the same chain replayed at the EXPLICIT 12x4 dial setting
+    "q_dedup_chain_sized" ->
+      s"""WITH $shingleHsCtes,
+        |${mhSortedCtesAt(12, 4)}
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM mpairs
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 

@@ -120,32 +120,47 @@ object SearchOps {
 
     // ——— blocked fuzzy matching (edit distance) ———
     // Entity-resolution / catalog-dedup shape: exact Levenshtein is
-    // quadratic, so candidates are BLOCKED on (brand, type) — cheap
-    // equi-keys that near-dups must share — with the same window-count
-    // block cap minhashPairs/ngramJaccard carry (an uncapped hot block
-    // is a straggler task at 100 TB; 200 covers the fixture's max 165).
-    // In-block pairs meet in one shuffled equi-join keyed by the block,
-    // the d≤2 verify runs on candidates only, and the output is the
-    // per-brand accounting (exact integer counts).
+    // quadratic over ROWS, so collapse to DISTINCT names per
+    // (brand, type) block FIRST — the contamination-scan pre-collapse
+    // move — and run the quadratic over name GROUPS weighted by their
+    // multiplicities: n_exact = Σ C(m, 2) per identical-name group,
+    // n_near = Σ m_a·m_b over distinct-name pairs at d ∈ [1, 2]. The
+    // answer equals the uncapped row-pair count at EVERY scale while
+    // the join is bounded by the name space, not the corpus (sf10:
+    // 13.5k-row blocks but only ≤256 distinct names — the r14 row-cap
+    // spelling tombstoned every sf10 block and gated vacuously on
+    // 0 = 0). The distinct-name cap stays as the degenerate-input
+    // straggler guard (same role as the minhash bucket cap); it binds
+    // nowhere on the fixtures.
     "q_str_fuzzy" -> ((s, dir) => {
-      val cap = 200
-      val base = Tables(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
+      val cap = 1000 // DISTINCT names per block, not rows
+      val names = Tables(s, dir, "part")
+        .groupBy(col("p_brand"), col("p_type"), col("p_name"))
+        .agg(count(lit(1)).as("m"))
       val wc = Window.partitionBy(col("p_brand"), col("p_type"))
-      val capped = base.withColumn("__bn", count(lit(1)).over(wc))
+      // three consumers (exact agg + both join branches) and the frame
+      // is name-space-sized (≤ blocks × distinct names — 38k rows at
+      // sf10), so pin it: Catalyst has no common-subtree reuse, and
+      // unpinned the scan+agg+window subtree plans (and runs) thrice
+      val capped = names.withColumn("__bn", count(lit(1)).over(wc))
         .filter(col("__bn") <= cap).drop("__bn")
+        .pinned
+      val ex = capped.groupBy(col("p_brand"))
+        .agg(sum(expr("(m * (m - 1)) div 2")).as("n_exact"))
       val a = capped.select(col("p_brand"), col("p_type"),
-        col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+        col("p_name").as("name_a"), col("m").as("m_a"))
       val b = capped.select(col("p_brand").as("__b2"), col("p_type").as("__t2"),
-        col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-      a.join(b, col("p_brand") === col("__b2") && col("p_type") === col("__t2") &&
-          col("id_a") < col("id_b"))
-        .select(col("p_brand"),
-          levenshtein(col("name_a"), col("name_b")).as("d"))
-        .filter(col("d") <= 2)
+        col("p_name").as("name_b"), col("m").as("m_b"))
+      val nr = a.join(b, col("p_brand") === col("__b2") &&
+          col("p_type") === col("__t2") && col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")).between(1, 2))
         .groupBy(col("p_brand"))
-        .agg(sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("d").between(1, 2), 1L).otherwise(0L)).as("n_near"))
+        .agg(sum(col("m_a") * col("m_b")).as("n_near"))
+      ex.join(nr, Seq("p_brand"), "outer")
+        .select(col("p_brand"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .filter(col("n_exact") + col("n_near") > 0)
         .orderBy(col("p_brand"))
     }),
 
@@ -228,19 +243,23 @@ object SearchOps {
         |FROM fp GROUP BY source ORDER BY source""".stripMargin,
 
     "q_str_fuzzy" ->
-      """WITH b AS (SELECT p_partkey, p_brand, p_type, p_name FROM part),
-        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY p_brand, p_type)
-        |    AS bn FROM b),
-        |capped AS (SELECT * FROM sized WHERE bn <= 200),
-        |pairs AS (SELECT a.p_brand, levenshtein(a.p_name, c.p_name) AS d
-        |  FROM capped a JOIN capped c
-        |    ON a.p_brand = c.p_brand AND a.p_type = c.p_type
-        |   AND a.p_partkey < c.p_partkey)
-        |SELECT p_brand,
-        |  CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-        |  CAST(SUM(CASE WHEN d BETWEEN 1 AND 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_near
-        |FROM pairs WHERE d <= 2 GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      """WITH names AS (SELECT p_brand, p_type, p_name, COUNT(*) AS m
+        |  FROM part GROUP BY 1, 2, 3),
+        |capped AS (SELECT * FROM names
+        |  QUALIFY COUNT(*) OVER (PARTITION BY p_brand, p_type) <= 1000),
+        |ex AS (SELECT p_brand, SUM(m * (m - 1) // 2) AS n_exact
+        |  FROM capped GROUP BY 1),
+        |nr AS (SELECT a.p_brand, SUM(a.m * b.m) AS n_near
+        |  FROM capped a JOIN capped b
+        |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |   AND a.p_name < b.p_name
+        |   AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+        |  GROUP BY 1)
+        |SELECT p_brand, CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+        |  CAST(COALESCE(n_near, 0) AS BIGINT) AS n_near
+        |FROM ex FULL OUTER JOIN nr USING (p_brand)
+        |WHERE COALESCE(n_exact, 0) + COALESCE(n_near, 0) > 0
+        |ORDER BY p_brand""".stripMargin,
 
     "q_zorder_layout" -> {
       val terms = (0 until 16).map { i =>

@@ -35,4 +35,29 @@ class BucketingSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS li_price_b")
     }
   }
+
+  test("q_join_multi_key_bucketed: aggregates + join ride the buckets, zero pre-sort exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_join_multi_key_bucketed")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the ONLY exchange allowed is the final presentation sort's
+      // rangepartitioning — both aggregates and the SMJ must reuse the
+      // (l_partkey, l_suppkey) bucket partitioning
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.size == 1 &&
+        exchanges.head.contains("rangepartitioning"),
+        s"expected only the orderBy range exchange, got:\n${exchanges.mkString("\n")}")
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      // same answer as the unbucketed twin
+      val bucketed = df.collect().toSeq
+      val plain = SparkEntry.queries("q_join_multi_key")(spark, sf)
+        .collect().toSeq
+      assert(bucketed == plain,
+        s"bucketed twin diverged: ${bucketed.size} vs ${plain.size} rows")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }

