@@ -188,8 +188,15 @@ object Bench {
     // artifact is self-consistent at any precision (full-precision
     // seconds live in the metrics sibling's "sec" fields).
     def render(decimals: Int, withQueries: Boolean): String = {
-      def fmt(v: Double): String =
-        s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+      // trailing ".0" stripped — still valid JSON numbers, and at 88
+      // headline queries the map crossed the 1900-char budget by 12
+      // chars at 1dp, which these byte-level trims (plus the short sf
+      // tag below) buy back without dropping the per-query map the
+      // cross-round diff reads
+      def fmt(v: Double): String = {
+        val s = s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+        if (s.endsWith(".0")) s.dropRight(2) else s
+      }
       def rnd(v: Double): Double = fmt(v).toDouble
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -200,7 +207,10 @@ object Bench {
         if (results.exists(_._2 < 0)) -1.0
         else results.map(r => rnd(r._2)).sum
       val q = if (withQueries) s""","queries":$qs""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$q,"sf":"$sfDir"}"""
+      // basename only: the full fixture path spent 15 of the line's
+      // 1900-char budget on directory noise the metrics sibling keeps
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$q,"sf":"${
+        sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}"}"""
     }
     // If the headline set ever grows enough that 3dp overflows the 1.9 KB
     // budget, degrade precision rather than the parse; if even 1dp
