@@ -523,11 +523,14 @@ object Dedup {
     * the banded pairs with tools/uf_compare.py --alt-pairs — and set
     * the smallest passes whose DECORRELATED recall clears the
     * deployment's floor. Measured decorrelated operating points:
-    * 8×4 ≈ 0.993 at 500k docs, ≈ 0.95 at 2M docs; 12×4 ≈ 0.987
-    * (shared-prefix read) at 2M docs. Recall sags ~2-3 points per 10×
-    * docs at a fixed config and passes-recovery DECELERATES, so every
-    * decade of corpus growth needs a re-measurement, not an
-    * extrapolation. */
+    * 8×4 ≈ 0.993 at 500k docs, ≈ 0.9506 at 2M docs; 12×4 ≈ 0.9790 at
+    * 2M docs (the r15 decorrelated read — the shared-prefix 0.9868 is
+    * ~0.78 pts optimistic at 12 passes). Recall sags ~2-3 points per
+    * 10× docs at a fixed config and passes-recovery DECELERATES, so
+    * every decade of corpus growth needs a re-measurement, not an
+    * extrapolation. Passes are also the MEASURED best recovery axis:
+    * at 2M docs, +4 passes buys +2.84 pts where unioning in the whole
+    * SimHash family buys +0.87 ([[chainSimhashUnionPairs]]). */
   val ChainPassesConfKey = "spark.graft.dedup.chain.passes"
   val ChainWindowConfKey = "spark.graft.dedup.chain.window"
 
@@ -788,15 +791,23 @@ object Dedup {
 
   /** FAMILY-DIVERSITY union candidate stage: minhash-sorted chain
     * candidates ∪ SimHash banded-Hamming pairs, verified ONCE at the
-    * shared exact-Jaccard threshold — the r15 measurement of whether
-    * mixing a SECOND, scale-stable candidate family recovers the
-    * recall that more chain passes buy ever more slowly (the r14
-    * third-decade finding: +4 passes bought +1.77 pts at 2M docs).
-    * Unlike [[unionPairsFlagged]]'s blocked half, BOTH families here
-    * are content-keyed and linear-ish at any corpus size (chains:
-    * exactly passes·window·n candidates; SimHash: 64-bit band space —
-    * no fixed-cardinality cliff), so this union IS shippable as a
-    * production composition, not just a diagnostic.
+    * shared exact-Jaccard threshold. Unlike [[unionPairsFlagged]]'s
+    * blocked half, BOTH families are content-keyed and linear-ish at
+    * any corpus size (chains: exactly passes·window·n candidates;
+    * SimHash: 64-bit band space — no fixed-cardinality cliff), so the
+    * union is shippable, not just diagnostic.
+    *
+    * MEASURED VERDICT (r15, 2M docs, decorrelated — BENCH_RECALL_LADDER
+    * .json docs2m_union_families_r15): for CLUSTER recall, PASSES WIN —
+    * chains 8×4∪SimHash reads 0.9593 of the banded pairs' connectivity
+    * (+0.87 pts over chains alone) at 721 s and 1.33M verified pairs,
+    * while chains 12×4 reads 0.9790 (+2.84 pts) at 675 s and 0.81M
+    * pairs. SimHash's Hamming≤3 ball surfaces ~584k pairs the chains
+    * miss as PAIRS, but they land almost entirely inside components
+    * the chains already connect. Run this union when the consumer
+    * needs the pair LIST itself to be more complete (audit trails,
+    * pair-supervised training data); size PASSES
+    * ([[ChainPassesConfKey]]) when the consumer is clustering.
     * Returns (id_a, id_b, jaccard, from_chain, from_simhash). */
   def chainSimhashUnionPairs(df: DataFrame, idCol: String, textCol: String,
                              passes: Int = -1, window: Int = -1,

@@ -666,10 +666,11 @@ object Extras {
     }),
 
     // THE DIAL, exercised end-to-end at a NON-default config: the same
-    // chain stage at 12×4 — the measured ~0.99 operating point at the
-    // 2M-doc decade (BENCH_RECALL_LADDER.json docs2m: 12×4 reads
-    // 0.9868 where the 8×4 default reads 0.9691 shared-prefix /
-    // 0.9506 decorrelated). The oracle CTE builds from the same
+    // chain stage at 12×4 — the measured 2M-doc-decade operating point
+    // (BENCH_RECALL_LADDER.json: decorrelated 12×4 reads 0.9790 where
+    // the 8×4 default reads 0.9506 — and the r15 family-union section
+    // shows those +4 passes beat adding a whole second candidate
+    // family). The oracle CTE builds from the same
     // explicit (12, 4) constants, so this gate proves a non-default
     // passes value flows through signature construction, all 12
     // global total orders, candidate explosion, and verification —
