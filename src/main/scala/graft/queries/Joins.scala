@@ -72,7 +72,21 @@ object Joins {
     * graceful SMJ sort spill under 6 GiB executors — all of it
     * shuffle+sort of the two aggregate outputs that this layout makes
     * bucket-local). Written once per (session, dir), same contract as
-    * [[bucketedTables]]. */
+    * [[bucketedTables]].
+    *
+    * 32 buckets, NOT 8: bucket count caps the zero-exchange plan's
+    * parallelism (each task owns whole buckets), and this table feeds
+    * per-bucket hash AGGREGATES, not just a merge — the r15 multi-JVM
+    * sf10 probe (local-cluster[8,4,6144]) measured 8 buckets forcing
+    * ~5M-group maps into single tasks: 51 GB spill, 72.2 s — SLOWER
+    * than the unbucketed shuffle plan's 37.8 s. At 32 buckets (= fleet
+    * cores) the same probe reads 30.5 s vs 31.8 s unbucketed with
+    * shuffle traffic cut 9× (0.69 GB, all of it the final presentation
+    * orderBy, vs 6.4 GB read+write); the residual ~9.7 GB disk spill
+    * is the per-task hash-agg external sort over ~40M groups, which no
+    * layout removes under 6 GiB executors. The general rule a 100 TB
+    * deployment applies: buckets ≥ cluster cores, sized so one
+    * bucket's group set fits one task's execution memory. */
   private def multiKeyBucketed(s: org.apache.spark.sql.SparkSession,
                                dir: String): String = bucketLock.synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -81,7 +95,7 @@ object Joins {
       Tables(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
-        .write.bucketBy(8, "l_partkey", "l_suppkey")
+        .write.bucketBy(32, "l_partkey", "l_suppkey")
         .sortBy("l_partkey", "l_suppkey")
         .option("path",
           s"${System.getProperty("java.io.tmpdir")}/graft_li_ps_bkt_$tag")
