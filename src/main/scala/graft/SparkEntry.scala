@@ -98,7 +98,9 @@ object SparkEntry {
     // round 15: the chain dial exercised at a non-default (12x4)
     // config — the 2M-doc-decade operating point — the zero-exchange
     // bucketed twin of the fleet's r14 spill outlier, and the
-    // sidecar-driven incremental near-dup ingest
+    // sidecar-driven incremental ingest pair (near-dup text, ANN
+    // embeddings — both classify a new batch against a persisted
+    // corpus sidecar without recomputing the corpus)
     "q_dedup_chain_sized", "q_join_multi_key_bucketed",
-    "q_incremental_neardup")
+    "q_incremental_neardup", "q_incremental_ann")
 }

@@ -307,6 +307,83 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental ANN ingest — the daily-crawl shape for EMBEDDINGS,
+    * mirroring [[graft.operators.Dedup.incrementalNearDup]]'s contract:
+    * classify a NEW batch of vectors against a PERSISTED corpus index
+    * ([[ivfWriteIndex]]) without re-assigning — or even scanning — the
+    * corpus base table. The corpus enters ONLY through the index path
+    * (assignments + `_centroids` sidecar); there is deliberately no
+    * corpus-frame parameter, so a corpus edit invisible to the
+    * persisted index cannot change the answer.
+    *
+    * Per batch vector: rank the sidecar centroids (metadata-sized,
+    * collected once — the same driver round-trip [[ivfQueryIndex]]
+    * makes, and the same move Spark's own DPP makes with its subquery
+    * broadcast), exact-score ONLY the nprobe best inverted lists, emit
+    * the single best corpus neighbor and a dup_base/keep status at
+    * `threshold`.
+    *
+    * Scale shape: the probe list is ONE projection over the
+    * broadcast-literal centroids (an nCents-element struct array sorted
+    * per row — no explode→window, so no batch shuffle); the candidate
+    * join streams the index scan PRUNED at planning time to the union
+    * of probed partitions against the broadcast batch-probe frame
+    * (daily batch ≪ corpus — when a batch outgrows broadcast, flip the
+    * build side and the same plan shuffles on `cent`); the top-1 is a
+    * max_by hash agg keyed on batch id (map-side partials, one
+    * batch-sized shuffle). Ties: probe ranking (cos DESC, cent_id ASC),
+    * match (cos DESC, id ASC) — both replayed by the DuckDB oracle.
+    * All cosines ride the ordered `graft_dot` fold, so candidates,
+    * scores and statuses are bit-deterministic at any partitioning. */
+  def ivfBatchMatch(spark: org.apache.spark.sql.SparkSession,
+                    idCol: String, embCol: String,
+                    path: String, batch: DataFrame,
+                    nprobe: Int = 4,
+                    threshold: Double = 0.30): DataFrame = {
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .select(col("cent_id"), col("cemb"), col("cnrm"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no _centroids sidecar under $path")
+    val e = col(embCol)
+    val b = batch.select(col(idCol).as("__bid"), e.as("__be"),
+      sqrt(dotp(e, e)).as("__bnrm"))
+    // (cos, -cent_id) structs: sort_array desc = cos DESC, cent_id ASC
+    val centScores = array(cents.map { case (cid, cemb, cnrm) =>
+      struct(
+        (dotp(col("__be"), array(cemb.map(lit): _*)) /
+          (col("__bnrm") * lit(cnrm))).as("c"),
+        lit(-cid).as("nid"))
+    }: _*)
+    val probed = b
+      .withColumn("__probe",
+        slice(sort_array(centScores, asc = false), 1, nprobe))
+      .select(col("__bid"), col("__be"), col("__bnrm"),
+        explode(col("__probe.nid")).as("__ncid"))
+      .withColumn("cent", -col("__ncid")).drop("__ncid")
+      .pinned
+    val probeCents = probed.select(col("cent")).distinct()
+      .collect().map(_.getLong(0))
+    val idx = spark.read.parquet(path)
+    val cand = idx
+      .filter(col("cent").isin(probeCents: _*))
+      .join(broadcast(probed
+        .withColumn("cent", col("cent").cast(idx.schema("cent").dataType))),
+        Seq("cent"))
+      .withColumn("__cs",
+        dotp(col("__be"), col("e")) / (col("__bnrm") * col("nrm")))
+    cand.groupBy(col("__bid"))
+      .agg(max_by(struct(col("id"), col("__cs")),
+        struct(col("__cs"), -col("id"))).as("__best"))
+      .select(col("__bid").as(idCol),
+        col("__best.id").as("match_id"),
+        round(col("__best.__cs"), 6).as("cos_sim"),
+        when(col("__best.__cs") >= threshold, "dup_base")
+          .otherwise("keep").as("status"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine within LSH
     * buckets (bucket equi-join, verified exactly). `maxBucket` caps
     * per-bucket membership — one degenerate bucket (e.g. the all-zeros

@@ -378,6 +378,25 @@ object Extras {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental ANN ingest — q_incremental_neardup's daily-crawl
+    // contract for EMBEDDINGS: the corpus enters ONLY as its persisted
+    // IVF index (assignments partitioned by centroid + the _centroids
+    // sidecar, written once per dataset); each new-batch vector probes
+    // its nprobe nearest inverted lists and gets its best corpus
+    // neighbor + dup_base/keep at the same md5-bucket split. The index
+    // scan prunes to the probed partitions at planning time; the
+    // corpus base table is never read (structural: ivfBatchMatch takes
+    // no corpus frame). Scale notes on the operator.
+    "q_incremental_ann" -> ((s, dir) => {
+      val batch = Tables(s, dir, "embeddings")
+        .withColumn("__b", md5Bucket(col("vec_id"), 100L))
+        .filter(col("__b") >= 80)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfBatchMatch(s, "vec_id", "embedding",
+          corpusIvfPath(s, dir), batch, nprobe = 4, threshold = 0.30)
+        .orderBy(col("vec_id"))
+    }),
+
     // train/eval contamination scan: which held-out ("test" split) docs
     // share a 3-word shingle with the training split, and how much —
     // Dedup.contaminationScan over the md5-bucket splits (scale notes
@@ -1329,6 +1348,28 @@ object Extras {
       tmp
     })
 
+  private val corpusIvfPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Corpus-only IVF index for the incremental ANN ingest (the
+    * [[chainSigSidecar]] pattern for embeddings): the base split's
+    * vectors assigned and partitioned by centroid, written ONCE per
+    * dataset. Seeds = corpus ∩ vec_id < 16 — deterministic, so the
+    * DuckDB oracle replays the identical index without reading it. */
+  private def corpusIvfPath(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    corpusIvfPaths.computeIfAbsent(dir, { _ =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_inc_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val corpus = Tables(s, dir, "embeddings")
+        .withColumn("__b", md5Bucket(col("vec_id"), 100L))
+        .filter(col("__b") < 80)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfWriteIndex(corpus, "vec_id", "embedding",
+        nCents = 16, path = tmp)
+      tmp
+    })
+
   private val dot64 = "list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
 
   /** DuckDB fragment: first 8 hex chars of md5(`x`) folded to a BIGINT. */
@@ -1731,6 +1772,40 @@ object Extras {
         |FROM db d LEFT JOIN bh ON bh.did = d.doc_id
         |          LEFT JOIN bl ON bl.did = d.doc_id
         |WHERE d.bkt >= 80 ORDER BY doc_id""".stripMargin,
+
+    // ivfBatchMatch replica: same md5-bucket split, same deterministic
+    // seeds (corpus ∩ vec_id < 16), same ordered-fold dots for corpus
+    // assignment, batch probe ranking (cos DESC, cent_id ASC, top
+    // nprobe=4) and candidate scoring, same (cos DESC, id ASC) best
+    // pick — the persisted index holds exactly what this recompute
+    // produces, so the oracle needs no sidecar.
+    "q_incremental_ann" ->
+      s"""WITH db AS (SELECT vec_id, embedding,
+        |  sqrt(${foldDot("embedding", "embedding")}) AS nrm,
+        |  ${hex8("vec_id::VARCHAR")} % 100 AS bkt FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |  FROM db WHERE bkt < 80 AND vec_id < 16),
+        |assigned AS (SELECT vec_id, embedding, nrm, cent_id FROM (
+        |  SELECT b.vec_id, b.embedding, b.nrm, c.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |      ORDER BY ${foldDot("b.embedding", "c.cemb")} / (b.nrm * c.cnrm)
+        |        DESC, c.cent_id) AS rk
+        |  FROM db b CROSS JOIN cents c WHERE b.bkt < 80) t WHERE rk = 1),
+        |bprobe AS (SELECT vec_id, embedding, nrm, cent_id FROM (
+        |  SELECT b.vec_id, b.embedding, b.nrm, c.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |      ORDER BY ${foldDot("b.embedding", "c.cemb")} / (b.nrm * c.cnrm)
+        |        DESC, c.cent_id) AS rk
+        |  FROM db b CROSS JOIN cents c WHERE b.bkt >= 80) t WHERE rk <= 4),
+        |cand AS (SELECT p.vec_id, a.vec_id AS match_id,
+        |  ${foldDot("p.embedding", "a.embedding")} / (p.nrm * a.nrm) AS cs
+        |  FROM bprobe p JOIN assigned a USING (cent_id)),
+        |best AS (SELECT vec_id, match_id, cs,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, match_id) AS rk FROM cand)
+        |SELECT vec_id, match_id, ROUND(cs, 6) AS cos_sim,
+        |  CASE WHEN cs >= 0.30 THEN 'dup_base' ELSE 'keep' END AS status
+        |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
