@@ -323,24 +323,41 @@ object Similarity {
     * the single best corpus neighbor and a dup_base/keep status at
     * `threshold`.
     *
-    * Scale shape: the probe list is ONE projection over the
+    * Scale shape: for compact codebooks (≤ `literalProbeMax`
+    * centroids) the probe list is ONE projection over the
     * broadcast-literal centroids (an nCents-element struct array sorted
-    * per row — no explode→window, so no batch shuffle); the candidate
-    * join streams the index scan PRUNED at planning time to the union
-    * of probed partitions against the broadcast batch-probe frame
-    * (daily batch ≪ corpus — when a batch outgrows broadcast, flip the
-    * build side and the same plan shuffles on `cent`); the top-1 is a
-    * max_by hash agg keyed on batch id (map-side partials, one
-    * batch-sized shuffle). Ties: probe ranking (cos DESC, cent_id ASC),
-    * match (cos DESC, id ASC) — both replayed by the DuckDB oracle.
-    * All cosines ride the ordered `graft_dot` fold, so candidates,
-    * scores and statuses are bit-deterministic at any partitioning. */
+    * per row — no explode→window, so no batch shuffle); past that the
+    * literal expression tree outgrows codegen, so the probe switches to
+    * a broadcast crossJoin + rank window (map-side WindowGroupLimit
+    * keeps each task's local top-nprobe; ONE batch-sized shuffle on
+    * batch id, rows are (id, cos, cent) — narrow). Both paths rank by
+    * the identical (cos DESC, cent_id ASC) order over the identical
+    * widened-float dot products, so they are answer-equivalent
+    * (spec-pinned). The candidate join streams the index scan PRUNED
+    * at planning time to the union of probed partitions against the
+    * broadcast batch-probe frame (daily batch ≪ corpus — when a batch
+    * outgrows broadcast, flip the build side and the same plan
+    * shuffles on `cent`); the top-1 is a max_by agg keyed on batch id
+    * (map-side partials, one batch-sized shuffle). Ties: probe ranking
+    * (cos DESC, cent_id ASC), match (cos DESC, id ASC) — both replayed
+    * by the DuckDB oracle. All cosines ride the ordered `graft_dot`
+    * fold, so candidates, scores and statuses are bit-deterministic at
+    * any partitioning.
+    *
+    * COST MODEL (why the index must be written with corpus-scaled
+    * nCents): a probe scores |batch|·nprobe·|corpus|/nCents candidate
+    * pairs. At fixed nCents that is linear in |corpus| PER BATCH ROW —
+    * quadratic end-to-end as both grow. Sizing nCents ∝ |corpus|
+    * (constant-size inverted lists — IVF's own design rule) keeps the
+    * candidate volume |batch|·nprobe·listSize, linear in the batch. */
   def ivfBatchMatch(spark: org.apache.spark.sql.SparkSession,
                     idCol: String, embCol: String,
                     path: String, batch: DataFrame,
                     nprobe: Int = 4,
-                    threshold: Double = 0.30): DataFrame = {
-    val cents = spark.read.parquet(s"$path/_centroids")
+                    threshold: Double = 0.30,
+                    literalProbeMax: Int = 64): DataFrame = {
+    val centsDf = spark.read.parquet(s"$path/_centroids")
+    val cents = centsDf
       .select(col("cent_id"), col("cemb"), col("cnrm"))
       .collect()
       .map(r => (r.getLong(0),
@@ -350,20 +367,32 @@ object Similarity {
     val e = col(embCol)
     val b = batch.select(col(idCol).as("__bid"), e.as("__be"),
       sqrt(dotp(e, e)).as("__bnrm"))
-    // (cos, -cent_id) structs: sort_array desc = cos DESC, cent_id ASC
-    val centScores = array(cents.map { case (cid, cemb, cnrm) =>
-      struct(
-        (dotp(col("__be"), array(cemb.map(lit): _*)) /
-          (col("__bnrm") * lit(cnrm))).as("c"),
-        lit(-cid).as("nid"))
-    }: _*)
-    val probed = b
-      .withColumn("__probe",
-        slice(sort_array(centScores, asc = false), 1, nprobe))
-      .select(col("__bid"), col("__be"), col("__bnrm"),
-        explode(col("__probe.nid")).as("__ncid"))
-      .withColumn("cent", -col("__ncid")).drop("__ncid")
-      .pinned
+    val probed = (if (cents.length <= literalProbeMax) {
+      // (cos, -cent_id) structs: sort_array desc = cos DESC, cent_id ASC
+      val centScores = array(cents.map { case (cid, cemb, cnrm) =>
+        struct(
+          (dotp(col("__be"), array(cemb.map(lit): _*)) /
+            (col("__bnrm") * lit(cnrm))).as("c"),
+          lit(-cid).as("nid"))
+      }: _*)
+      b.withColumn("__probe",
+          slice(sort_array(centScores, asc = false), 1, nprobe))
+        .select(col("__bid"), col("__be"), col("__bnrm"),
+          explode(col("__probe.nid")).as("__ncid"))
+        .withColumn("cent", -col("__ncid")).drop("__ncid")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__bid"))
+        .orderBy(col("__cos_c").desc, col("cent_id"))
+      b.crossJoin(broadcast(centsDf
+          .select(col("cent_id"), col("cemb"), col("cnrm"))))
+        .withColumn("__cos_c",
+          dotp(col("__be"), col("cemb")) / (col("__bnrm") * col("cnrm")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nprobe)
+        .select(col("__bid"), col("__be"), col("__bnrm"),
+          col("cent_id").as("cent"))
+    }).pinned
     val probeCents = probed.select(col("cent")).distinct()
       .collect().map(_.getLong(0))
     val idx = spark.read.parquet(path)

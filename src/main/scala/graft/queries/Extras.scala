@@ -1354,8 +1354,13 @@ object Extras {
   /** Corpus-only IVF index for the incremental ANN ingest (the
     * [[chainSigSidecar]] pattern for embeddings): the base split's
     * vectors assigned and partitioned by centroid, written ONCE per
-    * dataset. Seeds = corpus ∩ vec_id < 16 — deterministic, so the
-    * DuckDB oracle replays the identical index without reading it. */
+    * dataset. nCents SCALES with the corpus —
+    * clamp(16, 512, |corpus|/1000) — because a probe scores
+    * |batch|·nprobe·|corpus|/nCents candidates (ivfBatchMatch's cost
+    * model): a fixed codebook at 10× the corpus means 10× the work per
+    * batch row. The rule is a deterministic integer function of the
+    * corpus count, and seeds = corpus ∩ vec_id < nCents, so the DuckDB
+    * oracle replays the identical index without reading it. */
   private def corpusIvfPath(s: org.apache.spark.sql.SparkSession,
                             dir: String): String =
     corpusIvfPaths.computeIfAbsent(dir, { _ =>
@@ -1365,8 +1370,10 @@ object Extras {
         .withColumn("__b", md5Bucket(col("vec_id"), 100L))
         .filter(col("__b") < 80)
         .select(col("vec_id"), col("embedding"))
+      val nCents = math.max(16L,
+        math.min(512L, corpus.count() / 1000L)).toInt
       Similarity.ivfWriteIndex(corpus, "vec_id", "embedding",
-        nCents = 16, path = tmp)
+        nCents = nCents, path = tmp)
       tmp
     })
 
@@ -1774,31 +1781,41 @@ object Extras {
         |WHERE d.bkt >= 80 ORDER BY doc_id""".stripMargin,
 
     // ivfBatchMatch replica: same md5-bucket split, same deterministic
-    // seeds (corpus ∩ vec_id < 16), same ordered-fold dots for corpus
+    // corpus-scaled codebook (nCents = clamp(16, 512, |corpus|/1000),
+    // seeds = corpus ∩ vec_id < nCents), same dot products for corpus
     // assignment, batch probe ranking (cos DESC, cent_id ASC, top
     // nprobe=4) and candidate scoring, same (cos DESC, id ASC) best
     // pick — the persisted index holds exactly what this recompute
-    // produces, so the oracle needs no sidecar.
+    // produces, so the oracle needs no sidecar. Dots are DuckDB's
+    // native list_dot_product over DOUBLE[] — the same ascending fold
+    // as graft_dot (the q_ann_brute gate proves the identity at every
+    // tested scale) at native speed, which is what keeps this replica
+    // feasible at the sf10 candidate volume.
     "q_incremental_ann" ->
-      s"""WITH db AS (SELECT vec_id, embedding,
-        |  sqrt(${foldDot("embedding", "embedding")}) AS nrm,
+      s"""WITH db AS (SELECT vec_id,
+        |  CAST(embedding AS DOUBLE[]) AS emb,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))) AS nrm,
         |  ${hex8("vec_id::VARCHAR")} % 100 AS bkt FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-        |  FROM db WHERE bkt < 80 AND vec_id < 16),
-        |assigned AS (SELECT vec_id, embedding, nrm, cent_id FROM (
-        |  SELECT b.vec_id, b.embedding, b.nrm, c.cent_id,
+        |nc AS (SELECT GREATEST(16, LEAST(512,
+        |    CAST(FLOOR(COUNT(*) / 1000.0) AS BIGINT))) AS n
+        |  FROM db WHERE bkt < 80),
+        |cents AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+        |  FROM db, nc WHERE bkt < 80 AND vec_id < nc.n),
+        |assigned AS (SELECT vec_id, emb, nrm, cent_id FROM (
+        |  SELECT b.vec_id, b.emb, b.nrm, c.cent_id,
         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |      ORDER BY ${foldDot("b.embedding", "c.cemb")} / (b.nrm * c.cnrm)
+        |      ORDER BY list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm)
         |        DESC, c.cent_id) AS rk
         |  FROM db b CROSS JOIN cents c WHERE b.bkt < 80) t WHERE rk = 1),
-        |bprobe AS (SELECT vec_id, embedding, nrm, cent_id FROM (
-        |  SELECT b.vec_id, b.embedding, b.nrm, c.cent_id,
+        |bprobe AS (SELECT vec_id, emb, nrm, cent_id FROM (
+        |  SELECT b.vec_id, b.emb, b.nrm, c.cent_id,
         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |      ORDER BY ${foldDot("b.embedding", "c.cemb")} / (b.nrm * c.cnrm)
+        |      ORDER BY list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm)
         |        DESC, c.cent_id) AS rk
         |  FROM db b CROSS JOIN cents c WHERE b.bkt >= 80) t WHERE rk <= 4),
         |cand AS (SELECT p.vec_id, a.vec_id AS match_id,
-        |  ${foldDot("p.embedding", "a.embedding")} / (p.nrm * a.nrm) AS cs
+        |  list_dot_product(p.emb, a.emb) / (p.nrm * a.nrm) AS cs
         |  FROM bprobe p JOIN assigned a USING (cent_id)),
         |best AS (SELECT vec_id, match_id, cs,
         |  ROW_NUMBER() OVER (PARTITION BY vec_id

@@ -60,6 +60,22 @@ class IncrementalAnnSpec extends SparkSpecBase {
       .forall(_ == "dup_base"))
   }
 
+  test("literal and window probe paths are answer-identical") {
+    // large codebooks switch the probe from the literal struct-array
+    // projection to a broadcast crossJoin + rank window; forcing the
+    // window path (literalProbeMax = 0) on the same index must give
+    // the bit-identical result — same dots, same (cos DESC, cent ASC)
+    // rank, so same probed lists, candidates, and matches
+    val path = writeIndex(nCents = 8)
+    val lit = Similarity.ivfBatchMatch(spark, "vec_id", "embedding",
+      path, batch, nprobe = 3, threshold = 0.5).collect().toSeq
+    val win = Similarity.ivfBatchMatch(spark, "vec_id", "embedding",
+      path, batch, nprobe = 3, threshold = 0.5, literalProbeMax = 0)
+      .collect().toSeq
+    assert(lit == win, s"lit=$lit\nwin=$win")
+    assert(lit.nonEmpty)
+  }
+
   test("the index scan prunes to the probed centroid partitions") {
     val path = writeIndex(nCents = 8)
     val df = Similarity.ivfBatchMatch(spark, "vec_id", "embedding",
