@@ -212,12 +212,16 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$q,"sf":"${
         sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}"}"""
     }
-    // If the headline set ever grows enough that 3dp overflows the 1.9 KB
+    // If the headline set ever grows enough that 3dp overflows the
     // budget, degrade precision rather than the parse; if even 1dp
     // overflows, drop the queries map entirely (total + metrics sibling
     // still carry everything) rather than print an unparsable line.
+    // Budget 4000: the driver contract is ONE parsable JSON line, not a
+    // length cap — the old defensive 1900 silently dropped the map the
+    // cross-round diff reads once the headline set passed 88 queries
+    // (1dp at 89 = 1934 chars).
     val line = (3 to 1 by -1).iterator.map(render(_, withQueries = true))
-      .find(_.length <= 1900).getOrElse(render(3, withQueries = false))
+      .find(_.length <= 4000).getOrElse(render(3, withQueries = false))
     println(line)
     spark.stop()
   }

@@ -102,5 +102,5 @@ object SparkEntry {
     // embeddings — both classify a new batch against a persisted
     // corpus sidecar without recomputing the corpus)
     "q_dedup_chain_sized", "q_join_multi_key_bucketed",
-    "q_incremental_neardup", "q_incremental_ann")
+    "q_incremental_neardup", "q_incremental_ann", "q_filter_funnel")
 }

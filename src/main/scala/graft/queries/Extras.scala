@@ -583,6 +583,43 @@ object Extras {
         .orderBy(col("lang"))
     }),
 
+    // Quality-filter funnel (the drop-accounting report every corpus
+    // pipeline publishes: how many docs does each stage remove, in
+    // order): each doc is attributed to its FIRST failing stage —
+    // exact-dup (non-keeper under the fingerprint keep-first rule) →
+    // too-short → low-quality (the corpus_clean ≥2-of-3 gate) →
+    // repetitive (dup-word ratio > 0.3, compared in exact integer
+    // arithmetic: 10·(n_words − n_distinct) > 3·n_words) → pass.
+    // ONE corpus pass: the fp window's shuffle is the only exchange
+    // over data (fp is ~unique, no heavy key), every metric is a
+    // projection riding it, and the funnel itself is a 5-row hash agg
+    // (the pct window runs over that metadata-sized frame). Shares
+    // q_corpus_clean's rules so the funnel EXPLAINS that query's
+    // survivor count stage by stage.
+    "q_filter_funnel" -> ((s, dir) => {
+      val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val staged = Parallelism.fanOut(Tables(s, dir, "documents"))
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("__keep", min(col("doc_id")).over(wFp))
+        .withColumn("__ws", TextOps.normWords(col("text")))
+        .withColumn("__nw", size(col("__ws")))
+        .withColumn("__nd", size(array_distinct(col("__ws"))))
+        .withColumn("stage",
+          when(col("doc_id") =!= col("__keep"), "1_exact_dup")
+            .when(col("__nw") < 20, "2_too_short")
+            .when(TextOps.qualityScore3(col("text")) < 2, "3_low_quality")
+            .when((col("__nw") - col("__nd")) * 10 > col("__nw") * 3,
+              "4_repetitive")
+            .otherwise("5_pass"))
+      // no orderBy -> whole-partition frame; runs over the 5-row agg
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("pct",
+          floor(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(wAll) * 1e6 + 0.5) / 1e6)
+        .orderBy(col("stage"))
+    }),
+
     // ——— dedup ———
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
@@ -2261,6 +2298,46 @@ object Extras {
         |  md5(regexp_replace(TRIM(
         |    regexp_replace(LOWER(text), '[^a-z0-9\s]', '', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // funnel replica: q_fingerprint's fp + keep-first window,
+    // q_text_repetition's word split, q_text_quality's three rules —
+    // the identical first-fail CASE order, counts over exact keys, pct
+    // via the explicit floor(x*1e6+0.5)/1e6 op sequence both engines
+    // share
+    "q_filter_funnel" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+') AS ws,
+        |  md5(regexp_replace(TRIM(
+        |    regexp_replace(LOWER(text), '[^a-z0-9\s]', '', 'g'), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep FROM w),
+        |q AS (SELECT doc_id, ws, keep,
+        |  (CASE WHEN LENGTH(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN
+        |        CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+'),
+        |          x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','for','on','with','as','was','at','by','be')))
+        |          AS DOUBLE)
+        |        / GREATEST(len(regexp_split_to_array(TRIM(LOWER(text), ' '||chr(9)||chr(10)||chr(13)||chr(12)||chr(11)), '\s+')), 1)
+        |        > 0.05 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN
+        |        CAST(LENGTH(text) -
+        |          LENGTH(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g'))
+        |          AS DOUBLE) / GREATEST(LENGTH(text), 1)
+        |        < 0.2 THEN 1 ELSE 0 END) AS q3
+        |  FROM k),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN doc_id <> keep THEN '1_exact_dup'
+        |       WHEN len(ws) < 20 THEN '2_too_short'
+        |       WHEN q3 < 2 THEN '3_low_quality'
+        |       WHEN (len(ws) - len(list_distinct(ws))) * 10 > len(ws) * 3
+        |         THEN '4_repetitive'
+        |       ELSE '5_pass' END AS stage FROM q),
+        |a AS (SELECT stage, COUNT(*) AS n_docs FROM s GROUP BY stage)
+        |SELECT stage, n_docs,
+        |  FLOOR(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () * 1000000 + 0.5)
+        |    / 1000000 AS pct
+        |FROM a ORDER BY stage""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,

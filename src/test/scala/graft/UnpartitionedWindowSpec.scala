@@ -44,7 +44,10 @@ class UnpartitionedWindowSpec extends SparkSpecBase {
     "q_chain_recall", "q_dedup_keep_best", "q_dedup_union",
     "q_dedup_minhash_sorted", "q_union_recall", "q_minhash_recall",
     "q_pagerank_converged", "q_naive_bayes", "q_kmeans_converged",
-    "q_pagerank")
+    "q_pagerank",
+    // not heavy, but its pct window is deliberately unpartitioned —
+    // gate that it only ever sees the stage-count agg (≤ |stages| rows)
+    "q_filter_funnel")
 
   for (q <- heaviest)
     test(s"$q: every unpartitioned WindowExec input is metadata-sized") {
