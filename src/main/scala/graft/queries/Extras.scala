@@ -1392,12 +1392,17 @@ object Extras {
     * [[chainSigSidecar]] pattern for embeddings): the base split's
     * vectors assigned and partitioned by centroid, written ONCE per
     * dataset. nCents SCALES with the corpus —
-    * clamp(16, 512, |corpus|/1000) — because a probe scores
-    * |batch|·nprobe·|corpus|/nCents candidates (ivfBatchMatch's cost
+    * clamp(16, 4096, floor(sqrt(|corpus|))), IVF's classic √n sizing —
+    * because a probe pays nprobe·|corpus|/nCents list scans plus
+    * nCents centroid rankings per batch vector (ivfBatchMatch's cost
     * model): a fixed codebook at 10× the corpus means 10× the work per
-    * batch row. The rule is a deterministic integer function of the
-    * corpus count, and seeds = corpus ∩ vec_id < nCents, so the DuckDB
-    * oracle replays the identical index without reading it. */
+    * batch row, and √n balances the two terms (the r15 multi-JVM sf10
+    * probe measured the /1000 linear rule leaving 1k-row lists — 160M
+    * scored candidates and 4.4 GB of agg-sort spill — where √n cuts
+    * the candidate volume 2.5×). The rule is a deterministic integer
+    * function of the corpus count, and seeds = corpus ∩
+    * vec_id < nCents, so the DuckDB oracle replays the identical index
+    * without reading it. */
   private def corpusIvfPath(s: org.apache.spark.sql.SparkSession,
                             dir: String): String =
     corpusIvfPaths.computeIfAbsent(dir, { _ =>
@@ -1407,8 +1412,8 @@ object Extras {
         .withColumn("__b", md5Bucket(col("vec_id"), 100L))
         .filter(col("__b") < 80)
         .select(col("vec_id"), col("embedding"))
-      val nCents = math.max(16L,
-        math.min(512L, corpus.count() / 1000L)).toInt
+      val nCents = math.max(16L, math.min(4096L,
+        math.floor(math.sqrt(corpus.count().toDouble)).toLong)).toInt
       Similarity.ivfWriteIndex(corpus, "vec_id", "embedding",
         nCents = nCents, path = tmp)
       tmp
@@ -1818,8 +1823,9 @@ object Extras {
         |WHERE d.bkt >= 80 ORDER BY doc_id""".stripMargin,
 
     // ivfBatchMatch replica: same md5-bucket split, same deterministic
-    // corpus-scaled codebook (nCents = clamp(16, 512, |corpus|/1000),
-    // seeds = corpus ∩ vec_id < nCents), same dot products for corpus
+    // corpus-scaled codebook (nCents = clamp(16, 4096,
+    // floor(sqrt(|corpus|))), seeds = corpus ∩ vec_id < nCents), same
+    // dot products for corpus
     // assignment, batch probe ranking (cos DESC, cent_id ASC, top
     // nprobe=4) and candidate scoring, same (cos DESC, id ASC) best
     // pick — the persisted index holds exactly what this recompute
@@ -1834,8 +1840,8 @@ object Extras {
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |    CAST(embedding AS DOUBLE[]))) AS nrm,
         |  ${hex8("vec_id::VARCHAR")} % 100 AS bkt FROM embeddings),
-        |nc AS (SELECT GREATEST(16, LEAST(512,
-        |    CAST(FLOOR(COUNT(*) / 1000.0) AS BIGINT))) AS n
+        |nc AS (SELECT GREATEST(16, LEAST(4096,
+        |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS n
         |  FROM db WHERE bkt < 80),
         |cents AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
         |  FROM db, nc WHERE bkt < 80 AND vec_id < nc.n),
