@@ -433,26 +433,47 @@ object Dedup {
                                              window: Int, w: Int,
                                              fastHash: Boolean,
                                              coeffSkip: Int = 0): DataFrame = {
-    require(passes >= 1 && window >= 1, "passes and window must be >= 1")
     val sig = chainSignatures(df, idCol, textCol, passes, w, fastHash,
-        coeffSkip)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = (0 until passes).map { p =>
-      val ranked = GlobalOrder.withRowNumberLong(
-          sig.select(col("id"), col(s"mh$p").as("__k")),
-          Seq(col("__k"), col("id")), "rn")
-        .select(col("id"), col("rn"))
-      ranked
-        .select(col("id").as("id_l"),
-          explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
-        .join(ranked.select(col("id").as("id_r"), col("rn")), Seq("rn"))
-        .select(least(col("id_l"), col("id_r")).as("id_a"),
-          greatest(col("id_l"), col("id_r")).as("id_b"))
-    }.reduce(_ union _)
+      coeffSkip)
+    sortedCandidatesFromSig(sig, passes, window)
+  }
+
+  /** The melted chain-candidate stage over a prebuilt signature frame
+    * (id, mh0..mh{passes-1}[, extra columns — ignored]). Factored out
+    * so [[minhashSortedPairs]] can feed a FUSED frame that also
+    * carries each doc's shingle-hash set (one tokenize pass instead of
+    * two — see the fusion note there). */
+  private[graft] def sortedCandidatesFromSig(sig: DataFrame, passes: Int,
+                                             window: Int): DataFrame = {
+    require(passes >= 1 && window >= 1, "passes and window must be >= 1")
+    // MELTED rank (r15 optimization): all `passes` global total orders
+    // ride ONE range shuffle. The signature frame unpivots to one row
+    // per (pass, mh_p, id), and a single global rank over
+    // (pass, key, id) is taken. Within a pass the melted rank order is
+    // exactly the old per-pass (mh_p, id) order and the pass's rows
+    // occupy one CONTIGUOUS rank range (pass is the leading sort key),
+    // so "the next `window` ranks within the same pass" — the
+    // (__p, rn) equi-join below — reproduces each pass's chain pairs
+    // bit-for-bit, while cross-pass rank neighbors never match (__p
+    // differs). Replaces `passes` × (range-sample + shuffle +
+    // checkpoint + rank join) with one of each; candidate volume is
+    // unchanged (exactly passes·window·n before the distinct).
+    val melted = sig
+      .select(col("id"),
+        posexplode(array((0 until passes).map(p => col(s"mh$p")): _*)))
+      .select(col("pos").as("__p"), col("col").as("__k"), col("id"))
+    val ranked = GlobalOrder.withRowNumberLong(melted,
+        Seq(col("__p"), col("__k"), col("id")), "rn")
+      .select(col("__p"), col("id"), col("rn"))
+    ranked
+      .select(col("__p"), col("id").as("id_l"),
+        explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
+      .join(ranked.select(col("__p"), col("id").as("id_r"), col("rn")),
+        Seq("__p", "rn"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
       .distinct()
       .pinned
-    sig.unpersist(false)
-    cand
   }
 
   /** Production sorted-chain config — measured across TWO decades of
@@ -565,10 +586,32 @@ object Dedup {
                          coeffSkip: Int = 0): DataFrame = {
     val p = if (passes > 0) passes else chainPasses(df.sparkSession)
     val win = if (window > 0) window else chainWindow(df.sparkSession)
-    verifyJaccard(df,
-      minhashSortedCandidates(df, idCol, textCol, p, win, w,
-        fastHash, coeffSkip),
-      idCol, textCol, w, threshold, fastHash)
+    // FUSED signature pass (r15): chain candidates structurally cover
+    // EVERY doc (each doc pairs with its window successors in every
+    // pass), so verifyJaccard's candidate-id semi-join prunes nothing
+    // here and its re-shingle pass re-tokenizes the whole corpus. One
+    // aggregate now computes the per-doc minhashes AND the exact
+    // shingle-hash set together — one tokenize+md5 pass instead of
+    // two, and no corpus-wide candidate-id broadcast. Storage is the
+    // same frame verifyJaccard's candSh would have persisted anyway
+    // (all docs are candidates); verification maths are unchanged.
+    val baseHash: Column => Column =
+      if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
+      else shingleBaseHash
+    val coeffs = minhashCoeffs(p, coeffSkip)
+    val sig = shingleRows(Parallelism.fanOut(df), idCol, textCol, w)
+      .select(col("id"), baseHash(col("shingle")).as("__h"))
+      .groupBy(col("id")).agg(
+        collect_set(col("__h")).as("sh"),
+        coeffs.zipWithIndex.map { case ((a, b), s) =>
+          min(minhashTerm(col("__h"), a, b)).as(s"mh$s")
+        }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = sortedCandidatesFromSig(sig, p, win)
+    val result = verifyJaccardSets(cand, sig.select(col("id"), col("sh")),
+      threshold)
+    sig.unpersist(false)
+    result
   }
 
   /** Batch-vs-corpus chain CANDIDATES without re-shingling the corpus —
@@ -591,41 +634,61 @@ object Dedup {
                                                 corpusSigs: DataFrame,
                                                 passes: Int, window: Int,
                                                 w: Int,
-                                                fastHash: Boolean): DataFrame = {
+                                                fastHash: Boolean): DataFrame =
+    incrementalCandidatesFromSigs(
+      chainSignatures(batch, idCol, textCol, passes, w, fastHash),
+      corpusSigs, passes, window)
+
+  /** The melted batch-vs-corpus candidate stage over prebuilt signature
+    * frames — `bsig` (batch) and `corpusSigs` both carry
+    * (id, mh0..mh{passes-1}[, extras — projected away]). Factored out
+    * so [[incrementalNearDup]] can feed the FUSED batch frame that also
+    * carries the batch docs' shingle-hash sets (one batch tokenize
+    * instead of two). */
+  private[graft] def incrementalCandidatesFromSigs(bsigIn: DataFrame,
+                                                   corpusSigs: DataFrame,
+                                                   passes: Int,
+                                                   window: Int): DataFrame = {
     require(passes >= 1 && window >= 1, "passes and window must be >= 1")
-    val bsig = chainSignatures(batch, idCol, textCol, passes, w, fastHash)
+    val bsig = bsigIn
+      .select(col("id") +: (0 until passes).map(i => col(s"mh$i")): _*)
       .withColumn("__isb", lit(1))
     val csig = corpusSigs
       .select(col("id") +: (0 until passes).map(i => col(s"mh$i")): _*)
       .withColumn("__isb", lit(0))
     val all = bsig.unionByName(csig)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = (0 until passes).map { p =>
-      val ranked = GlobalOrder.withRowNumberLong(
-          all.select(col("id"), col("__isb"), col(s"mh$p").as("__k")),
-          Seq(col("__k"), col("id")), "rn")
-        .select(col("id"), col("__isb"), col("rn"))
-      ranked
-        .select(col("id").as("id_l"), col("__isb").as("__bl"),
-          explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
-        .join(ranked.select(col("id").as("id_r"), col("__isb").as("__br"),
-          col("rn")), Seq("rn"))
-        .filter(col("__bl") + col("__br") >= 1)
-        .select(least(col("id_l"), col("id_r")).as("id_a"),
-          greatest(col("id_l"), col("id_r")).as("id_b"),
-          when(col("id_l") <= col("id_r"), col("__bl"))
-            .otherwise(col("__br")).as("batch_a"),
-          when(col("id_l") <= col("id_r"), col("__br"))
-            .otherwise(col("__bl")).as("batch_b"))
-    }.reduce(_ union _)
+    // Melted rank, as in [[minhashSortedCandidates]] (r15): one range
+    // shuffle carries all `passes` total orders — within a pass the
+    // melted (pass, key, id) rank order equals the old per-pass order
+    // and pass ranges are contiguous, so the (__p, rn) join yields the
+    // identical chain pairs with `passes`× fewer sample/shuffle/
+    // checkpoint rounds. The batch flag melts alongside the id.
+    val melted = all
+      .select(col("id"), col("__isb"),
+        posexplode(array((0 until passes).map(p => col(s"mh$p")): _*)))
+      .select(col("pos").as("__p"), col("col").as("__k"), col("id"),
+        col("__isb"))
+    val ranked = GlobalOrder.withRowNumberLong(melted,
+        Seq(col("__p"), col("__k"), col("id")), "rn")
+      .select(col("__p"), col("id"), col("__isb"), col("rn"))
+    ranked
+      .select(col("__p"), col("id").as("id_l"), col("__isb").as("__bl"),
+        explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
+      .join(ranked.select(col("__p"), col("id").as("id_r"),
+        col("__isb").as("__br"), col("rn")), Seq("__p", "rn"))
+      .filter(col("__bl") + col("__br") >= 1)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        when(col("id_l") <= col("id_r"), col("__bl"))
+          .otherwise(col("__br")).as("batch_a"),
+        when(col("id_l") <= col("id_r"), col("__br"))
+          .otherwise(col("__bl")).as("batch_b"))
       // distinct on the pair; the flags are functions of the doc ids,
       // so max() just carries the (constant) value through
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("batch_a")).as("batch_a"),
         max(col("batch_b")).as("batch_b"))
       .pinned
-    all.unpersist(false)
-    cand
   }
 
   /** Incremental NEAR-dup ingest — the pipeline shape every daily
@@ -637,7 +700,9 @@ object Dedup {
     * ([[incrementalChainCandidates]]) consumes signatures only, and
     * the verification pass's candidate-id semi-join prunes the corpus
     * scan to the ≤ passes·window·|batch| docs that appear in some
-    * candidate pair (the [[verifyJaccard]] pushdown).
+    * candidate pair (built from the candidate frame's corpus-side
+    * endpoints; verification itself is [[verifyJaccardSets]] over the
+    * fused batch sets ∪ pruned corpus sets).
     *
     * Returns (idCol, status) for every batch doc, statuses mirroring
     * [[incremental]]'s exact-digest contract:
@@ -661,12 +726,42 @@ object Dedup {
                          fastHash: Boolean = false): DataFrame = {
     val p = if (passes > 0) passes else chainPasses(batch.sparkSession)
     val win = if (window > 0) window else chainWindow(batch.sparkSession)
-    val cand = incrementalChainCandidates(batch, idCol, textCol,
-      corpusSigs, p, win, w, fastHash)
-    val docs = batch.select(col(idCol), col(textCol))
-      .unionByName(corpus.select(col(idCol), col(textCol)))
-    val vp = verifyJaccard(docs, cand, idCol, textCol, w, threshold,
-      fastHash, extraCols = Seq("batch_a", "batch_b"))
+    // FUSED batch pass (r15, the minhashSortedPairs move): the batch's
+    // chain signatures and its exact shingle-hash sets come out of ONE
+    // tokenize+md5 aggregate — the old flow re-shingled the batch in
+    // verifyJaccard. The corpus side stays signature-only for
+    // candidates; only corpus docs that land in a candidate pair are
+    // tokenized, via the same semi-join pushdown as before (now built
+    // from the candidate frame's corpus-side endpoints directly).
+    val baseHash: Column => Column =
+      if (fastHash) s => pmod(xxhash64(s), lit(1L << 32))
+      else shingleBaseHash
+    val coeffs = minhashCoeffs(p)
+    val bsigFull = shingleRows(Parallelism.fanOut(batch), idCol, textCol, w)
+      .select(col("id"), baseHash(col("shingle")).as("__h"))
+      .groupBy(col("id")).agg(
+        collect_set(col("__h")).as("sh"),
+        coeffs.zipWithIndex.map { case ((a, b), s) =>
+          min(minhashTerm(col("__h"), a, b)).as(s"mh$s")
+        }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = incrementalCandidatesFromSigs(bsigFull, corpusSigs, p, win)
+    // corpus-side endpoints of candidate pairs — the verification scan
+    // of the corpus is pruned to exactly these ids
+    val corpusCandIds = cand.filter(col("batch_a") === 0)
+      .select(col("id_a").as("cid"))
+      .union(cand.filter(col("batch_b") === 0).select(col("id_b").as("cid")))
+      .distinct()
+    val corpusSets = shingleRows(
+        Parallelism.fanOut(corpus.join(broadcast(corpusCandIds),
+          col(idCol) === col("cid"), "left_semi")),
+        idCol, textCol, w)
+      .select(col("id"), baseHash(col("shingle")).as("__h"))
+      .groupBy(col("id")).agg(collect_set(col("__h")).as("sh"))
+    val sets = bsigFull.select(col("id"), col("sh")).unionByName(corpusSets)
+    val vp = verifyJaccardSets(cand, sets, threshold,
+      extraCols = Seq("batch_a", "batch_b"))
+    bsigFull.unpersist(false)
     val baseHits = vp.filter(col("batch_a") === 1 && col("batch_b") === 0)
       .select(col("id_a").as("__idb"))
       .union(vp.filter(col("batch_a") === 0 && col("batch_b") === 1)
@@ -699,6 +794,33 @@ object Dedup {
     *
     * @param extraCols candidate-frame columns (e.g. provenance flags)
     *                  carried through verification into the output. */
+  /** The verification tail of [[verifyJaccard]] over a PREBUILT
+    * per-doc shingle-hash-set frame `shSets` (id, sh) covering every
+    * id that appears in `cand` — the fused-signature path
+    * ([[minhashSortedPairs]]) feeds the set column it aggregated
+    * alongside the minhashes, skipping the candidate-id semi-join and
+    * the second corpus tokenize entirely. `cand` must already be
+    * materialized (pinned) or cheap to recompute: it feeds the two
+    * verification joins below. Output contract identical to
+    * [[verifyJaccard]]. */
+  private[graft] def verifyJaccardSets(cand: DataFrame, shSets: DataFrame,
+                                       threshold: Double,
+                                       extraCols: Seq[String] = Nil): DataFrame = {
+    val verified = cand
+      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    verified.withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(Seq(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard")) ++ extraCols.map(col): _*)
+      // eager pin: callers unpersist their signature frames right after
+      .pinned
+  }
+
   private[graft] def verifyJaccard(df: DataFrame, candIn: DataFrame,
                                    idCol: String, textCol: String, w: Int,
                                    threshold: Double, fastHash: Boolean,
@@ -1148,7 +1270,15 @@ object Dedup {
           sm.join(mins2, Seq("u")).select(col("v").as("u"), col("m").as("v"))
             .union(mins2.select(col("u"), col("m").as("v"))))
         .pinned
-      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // Set equality in ONE job (r15): both frames are distinct
+      // normalized edge sets, so next == e ⟺ no (u, v) key whose +1/−1
+      // membership sum is nonzero. The previous two exceptAll().isEmpty
+      // actions cost two jobs with two wide shuffles per round.
+      stable = next.select(col("u"), col("v"), lit(1L).as("__w"))
+        .union(e.select(col("u"), col("v"), lit(-1L).as("__w")))
+        .groupBy(col("u"), col("v")).agg(sum(col("__w")).as("__s"))
+        .filter(col("__s") =!= 0L)
+        .isEmpty
       e = next
       round += 1
     }

@@ -71,10 +71,22 @@ object GlobalOrder {
     * always project before calling, so only order keys + needed values
     * are stored. */
   private def ranged(df: DataFrame, order: Seq[Column], parts: Int): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (parts > 0) parts
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    df.repartitionByRange(n, order: _*)
+    // parts <= 0 (every production caller): no explicit partition
+    // count, so the range exchange enters AQE as REPARTITION_BY_COL
+    // and its partition count is sized at runtime from the measured
+    // shuffle bytes (coalesced small, parallelism-first) instead of a
+    // fixed spark.sql.shuffle.partitions constant — scale-adaptive in
+    // both directions (r15, guide §2: derive partitioning from input
+    // size, not a constant tuned for one deployment). Correctness is
+    // partitioning-agnostic by construction: the offset composition is
+    // exact on ANY partition count, and AQE coalescing merges only
+    // ADJACENT range partitions, preserving the between-partition
+    // order the PID prefix composition needs. An explicit `parts`
+    // pins the count exactly as before (spec probes).
+    val ordered =
+      if (parts > 0) df.repartitionByRange(parts, order: _*)
+      else df.repartitionByRange(order: _*)
+    ordered
       .sortWithinPartitions(order: _*)
       .pinned
       .withColumn(PID, spark_partition_id())

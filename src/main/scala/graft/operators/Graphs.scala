@@ -88,59 +88,81 @@ object Graphs {
       .groupBy(col("__k"))
       .agg(sort_array(collect_list(col("__i"))).as("__items"))
       .select(col("__items"))
-    val pairParts = 4 * df.sparkSession.sessionState.conf.numShufflePartitions
     baskets
       .select(col("__items"), posexplode(col("__items")))
       .select(col("col").as("a"),
         explode(slice(col("__items"), col("pos") + lit(2), lit(maxBasket)))
           .as("b"))
       .filter(col("a") =!= col("b"))
-      .repartition(pairParts, col("a"), col("b"))
+      // column-only repartition (r15): the pre-partition-before-count
+      // move stays (mostly-unique pair keys make map-side partials
+      // useless), but the partition COUNT is now sized by AQE from the
+      // measured exploded-pair bytes instead of the old fixed
+      // 4×shuffle.partitions constant — fewer empty tasks at small
+      // inputs, the same large fan-out at scale (guide §2:
+      // scale-adaptive partitioning, not a constant).
+      .repartition(col("a"), col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w")).filter(col("w") >= minCount)
       .select(col("a"), col("b"))
   }
 
-  /** Shared PageRank machinery: (pinned undirected edge frame, pinned
-    * degree frame, node frame) — both loop variants iterate over the
-    * same frames, so a fix to the setup cannot desync them. */
-  private def prSetup(pairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  /** Shared PageRank machinery: (pinned src-partitioned edge frame,
+    * pinned initial rank frame (node, prq, deg)) — both loop variants
+    * iterate over the same frames, so a fix to the setup cannot desync
+    * them. */
+  private def prSetup(pairs: DataFrame): (DataFrame, DataFrame) = {
+    // r15 shape changes, both scale-motivated:
+    //  - edges pin BEHIND an explicit hash repartition on `src` (fixed
+    //    partition count, so AQE cannot coalesce it away): every
+    //    iteration's (edges JOIN ranks) join finds the |E|-sized side
+    //    already partitioned on the join key and re-shuffles only the
+    //    |V|-sized rank frame — the edge list crosses the wire ONCE
+    //    per query instead of once per iteration (guide: two
+    //    operations keyed the same way share one exchange);
+    //  - the degree column rides the RANK frame (deg is constant
+    //    across iterations), so the old per-iteration (contrib JOIN
+    //    deg) lookup disappears entirely.
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(n, col("src"))
       .pinned // consumed by deg + every iteration join
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val pr0 = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), lit(1000000000L).as("prq"), col("deg"))
       .pinned
-    (edges, deg, deg.select(col("src").as("node")))
+    (edges, pr0)
   }
 
   /** One power-iteration step at damping 0.85 on 1e-9-quantized integer
     * rank mass (contribution = rank div degree — exact; inflow sums
     * exact; the one damping multiply is a single double op). Returns
-    * the next (node, prq, __delta) frame — __delta = |Δprq| per node —
-    * pinned to sever the iteration chain (q_kmeans precedent). Shared
+    * the next (node, prq, deg[, __delta]) frame — __delta = |Δprq| per
+    * node — pinned to sever the iteration chain (q_kmeans precedent).
+    * Shared
     * by [[pageRank]] and [[pageRankConverged]]; the delta rides the
     * step's own left join against the previous ranks (pr covers the
     * node set, so joining pr instead of a bare node list is
     * row-equivalent) — the convergence gate then needs ONE tiny
     * aggregate over the pinned frame, not its own join. */
-  private def prStep(edges: DataFrame, deg: DataFrame, pr: DataFrame,
+  private def prStep(edges: DataFrame, pr: DataFrame,
                      trackDelta: Boolean): DataFrame = {
     val contrib = edges
-      .join(pr.select(col("node").as("src"), col("prq")), Seq("src"))
-      .join(deg, Seq("src"))
+      .join(pr.select(col("node").as("src"), col("prq"), col("deg")),
+        Seq("src"))
       .select(col("dst").as("node"), expr("prq div deg").as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-    val next = pr.select(col("node"), col("prq").as("__prev"))
+    val next = pr.select(col("node"), col("deg"), col("prq").as("__prev"))
       .join(contrib, Seq("node"), "left")
       .select(col("node"), (lit(150000000L) +
         floor(lit(0.85) * coalesce(col("inflow"), lit(0L)).cast("double")
-          + 0.5).cast("long")).as("prq"), col("__prev"))
+          + 0.5).cast("long")).as("prq"), col("deg"), col("__prev"))
     // the fixed-iteration path has no gate, so it doesn't pay for
     // materializing a per-node delta it never reads
     val out =
-      if (trackDelta) next.select(col("node"), col("prq"),
+      if (trackDelta) next.select(col("node"), col("prq"), col("deg"),
         abs(col("prq") - col("__prev")).as("__delta"))
-      else next.select(col("node"), col("prq"))
+      else next.select(col("node"), col("prq"), col("deg"))
     out.pinned
   }
 
@@ -148,10 +170,10 @@ object Graphs {
     * power iterations (see [[prStep]] for the quantized arithmetic).
     * Returns (node, prq) — prq/1e9 is the rank. */
   def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
-    val (edges, deg, nodes) = prSetup(pairs)
-    var pr = nodes.select(col("node"), lit(1000000000L).as("prq"))
-    for (_ <- 1 to iters) pr = prStep(edges, deg, pr, trackDelta = false)
-    pr
+    val (edges, pr0) = prSetup(pairs)
+    var pr = pr0
+    for (_ <- 1 to iters) pr = prStep(edges, pr, trackDelta = false)
+    pr.select(col("node"), col("prq"))
   }
 
   /** PageRank iterated to CONVERGENCE — the loop shape a real training
@@ -185,12 +207,12 @@ object Graphs {
   def pageRankConverged(pairs: DataFrame, epsMilli: Long,
                         maxIters: Int): (DataFrame, Int) = {
     require(epsMilli > 0 && maxIters > 0, s"bad gate ($epsMilli, $maxIters)")
-    val (edges, deg, nodes) = prSetup(pairs)
-    var pr = nodes.select(col("node"), lit(1000000000L).as("prq")).pinned
+    val (edges, pr0) = prSetup(pairs)
+    var pr = pr0
     var k = 0
     var converged = false
     while (k < maxIters && !converged) {
-      val next = prStep(edges, deg, pr, trackDelta = true)
+      val next = prStep(edges, pr, trackDelta = true)
       // The step already carries |Δprq| per node, so the gate is one
       // aggregate over the pinned iterate — no extra join or shuffle.
       val row = next

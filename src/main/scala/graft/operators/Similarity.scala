@@ -485,7 +485,7 @@ object Similarity {
       // nothing but the pin job. lloydResult recomputes the final
       // assignment once from the persisted pts (bit-identical: min_by
       // over the (dist, cent) total order).
-      a = lloydAssign(pts, cents)
+      a = lloydAssign(pts, cents, k)
       cents = lloydUpdate(a).pinned
     }
     val res = lloydResult(a, cents, dim)
@@ -529,7 +529,7 @@ object Similarity {
     var converged = false
     while (it < maxIters && !converged) {
       // unpinned for the same reason as in [[kmeans]]'s loop
-      a = lloydAssign(pts, cents)
+      a = lloydAssign(pts, cents, k)
       val next = lloydUpdate(a).pinned
       val nw = next.select(col("cent"), posexplode(col("ce")))
         .select(col("cent"), col("pos"), col("col").as("cn"))
@@ -577,15 +577,40 @@ object Similarity {
     pts.orderBy(col("id")).limit(k)
       .select(col("id").cast("int").as("cent"), col("e").as("ce"))
 
-  private def lloydAssign(pts: DataFrame, c: DataFrame): DataFrame = {
-    val scored = pts.crossJoin(
-        broadcast(c.withColumn("cc", dotp(col("ce"), col("ce")))))
-      .withColumn("dist",
-        col("xx") - lit(2.0) * dotp(col("e"), col("ce")) + col("cc"))
-    scored.groupBy(col("id"))
-      .agg(min_by(struct(col("cent"), col("e")),
-        struct(col("dist"), col("cent"))).as("b"))
-      .select(col("id"), col("b.cent").as("cent"), col("b.e").as("e"))
+  /** Per-row argmin assignment (r15): the ≤k centroids fold into ONE
+    * broadcast row carrying a cent-ASCENDING struct array (cent, ce,
+    * ‖c‖²), and each point's nearest centroid is a pure projection —
+    * k distance expressions + a least()/when-chain pick. The previous
+    * spelling crossJoined k centroid rows into every point and ran a
+    * min_by hash aggregate on id, which re-shuffled the whole
+    * (id, cent, e) point table EVERY iteration; this shuffles nothing
+    * (the iteration's only exchange left is lloydUpdate's k×dim
+    * partial agg). Bit-equivalence with min_by over the
+    * (dist, cent) total order: the dist expression is the identical
+    * op sequence (xx − 2·x·c + ‖c‖², same graft_dot fold), least()
+    * over identical doubles picks the identical minimum, the
+    * when-chain scans cent-ascending so distance ties resolve to the
+    * smallest cent exactly as the struct order did, and a vanished
+    * (empty-cluster) centroid is simply absent: element_at past the
+    * runtime array length is null, null dists are skipped by least()
+    * and never equal the minimum. */
+  private def lloydAssign(pts: DataFrame, c: DataFrame, k: Int): DataFrame = {
+    val cRow = c.agg(sort_array(collect_list(struct(col("cent"),
+      col("ce"), dotp(col("ce"), col("ce")).as("cc")))).as("cl"))
+    val withC = pts.crossJoin(broadcast(cRow))
+    val dists = (1 to k).map { i =>
+      val e = element_at(col("cl"), i)
+      (e.getField("cent"),
+        col("xx") - lit(2.0) * dotp(col("e"), e.getField("ce"))
+          + e.getField("cc"))
+    }
+    val best = least(dists.map(_._2): _*)
+    // first (cent-ascending) centroid whose dist equals the minimum —
+    // unmatched whens yield null, coalesce picks the first match
+    val cent = coalesce(dists.map { case (c0, d) =>
+      when(d === best, c0)
+    }: _*)
+    withC.select(col("id"), cent.as("cent"), col("e"))
   }
 
   private def lloydUpdate(a: DataFrame): DataFrame =

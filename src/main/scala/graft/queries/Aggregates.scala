@@ -280,7 +280,14 @@ object Aggregates {
         (for ((ka, a) <- cols; (kb, b) <- cols if ka <= kb)
           yield sum((a * b).cast(DecimalType(38, 4))).cast("double")
             .as(s"s_$ka$kb"))
-      val agged = Tables(s, dir, "lineitem")
+      // fanOut (r15): 9 exact-decimal sums are per-row BigDecimal work,
+      // and a small-SF lineitem arrives as ONE scan split — measured
+      // 2.7 s single-core at sf0.1. The round-robin fan-out only fires
+      // when splits < cores (no-op at scale); decimal sums are exact
+      // and order-free, so the result is bit-identical.
+      val agged = graft.operators.Parallelism.fanOut(
+          Tables(s, dir, "lineitem")
+            .select(cols.map { case (_, c) => c }: _*))
         .agg(count(lit(1)).cast("double").as("n"), sums: _*)
       def corr(ka: String, kb: String) = {
         val (sa, sb) = (col(s"s_$ka"), col(s"s_$kb"))

@@ -68,23 +68,36 @@ object EventAnalytics {
           expr("(__max_us - __last_us) div 86400000000"))
         .select(col("user_id"), col("recency_days"), col("frequency"),
           col("monetary"))
-        .pinned // feeds three rank passes + the result
-      def score(metric: String, name: String, invert: Boolean) = {
-        val ranked = GlobalOrder.withRowNumberLong(
-          base.select(col("user_id").as(s"__u_$name"), col(metric).as("__m")),
-          Seq(col("__m"), col(s"__u_$name")), "__r")
+        .pinned // feeds the melted rank pass + the result
+      // MELTED rank (r15, the chain-candidate move): the three metric
+      // rank passes ride ONE range shuffle — unpivot to (metric, value,
+      // user), rank over that total order, and recover each metric's
+      // rank as global_rn − metric·n (every user contributes exactly
+      // one row per metric, so each metric's block is contiguous with
+      // exactly n rows). Values melt as doubles: recency/frequency are
+      // day/event counts far below 2^53, so the cast is exact and
+      // order-preserving, and ties still break on user_id as before.
+      // The three score joins collapse into one pivoted aggregate.
+      val melted = base.select(col("user_id"), posexplode(array(
+          col("recency_days").cast("double"),
+          col("frequency").cast("double"), col("monetary"))))
+        .select(col("pos").as("__metric"), col("col").as("__m"),
+          col("user_id"))
+      val ranked = GlobalOrder.withRowNumberLong(melted,
+        Seq(col("__metric"), col("__m"), col("user_id")), "__gr")
+      val scores = ranked.crossJoin(
+          broadcast(base.agg(count(lit(1)).as("__n"))))
+        .withColumn("__r", col("__gr") - col("__metric") * col("__n"))
         // bucket = ⌈5r/n⌉ in integer arithmetic; inverted for recency
         // (most recent = highest score)
-        val frame = ranked.crossJoin(
-            broadcast(ranked.agg(max(col("__r")).as("__n"))))
-          .withColumn("__b", expr("(5 * __r - 1) div __n + 1"))
-        frame.select(col(s"__u_$name").as("user_id"),
-          (if (invert) lit(6L) - col("__b") else col("__b")).as(name))
-      }
-      base
-        .join(score("recency_days", "r_score", invert = true), Seq("user_id"))
-        .join(score("frequency", "f_score", invert = false), Seq("user_id"))
-        .join(score("monetary", "m_score", invert = false), Seq("user_id"))
+        .withColumn("__b", expr("(5 * __r - 1) div __n + 1"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("__metric") === 0, lit(6L) - col("__b")))
+            .as("r_score"),
+          max(when(col("__metric") === 1, col("__b"))).as("f_score"),
+          max(when(col("__metric") === 2, col("__b"))).as("m_score"))
+      base.join(scores, Seq("user_id"))
         .withColumn("rfm",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
         .orderBy(col("user_id"))

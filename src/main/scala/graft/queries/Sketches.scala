@@ -89,7 +89,13 @@ object Sketches {
     // gid bit order (first column = high bit) agrees between Spark's
     // grouping_id() and DuckDB's GROUPING(a, b).
     "q_cube" -> ((s, dir) => {
-      Tables(s, dir, "lineitem")
+      // fanOut (r15): cube's Expand multiplies every row ×4 BEFORE the
+      // partial agg — per-row work that ran single-core on the one
+      // small-SF scan split (7 tasks / 1.4 s). No-op at scale; exact
+      // decimal sums are order-free, result identical.
+      graft.operators.Parallelism.fanOut(Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity")))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(30, 2))).cast("double")

@@ -500,7 +500,13 @@ object Sources {
     // doubles through to_json) is precisely what's under test. Sum is
     // exact decimal (dsum) — order-free.
     "q_variant_extract" -> ((s, dir) => {
-      val v = Tables(s, dir, "orders")
+      // fanOut (r15): to_json + parse_json + three variant_gets are
+      // real per-row CPU, and the small-SF orders file is one scan
+      // split (5 tasks / 1.3 s single-core). No-op at scale; the
+      // aggregate is count/max/exact-decimal-sum — order-free.
+      val v = graft.operators.Parallelism.fanOut(Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")))
         .select(parse_json(to_json(struct(col("o_orderkey"),
           col("o_orderstatus"), col("o_totalprice")))).as("v"))
       v.select(

@@ -365,9 +365,12 @@ object TrainPrep {
       def toks = Parallelism.fanOut(Tables(s, dir, "documents"))
         .select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("w"))
       val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val vocab = GlobalOrder.withRowNumberLong(
-          counts, Seq(col("c").desc, col("w")), "rn")
-        .filter(col("rn") <= 1000)
+      // top-k via TakeOrdered (r15): a bounded k over a total order
+      // needs no global rank — per-partition top-1000 + one merge,
+      // replacing the two-pass range shuffle + checkpoint + window the
+      // rank operator pays. Same deterministic set: (c desc, w) is a
+      // total order.
+      val vocab = counts.orderBy(col("c").desc, col("w")).limit(1000)
         .select(col("w"), lit(1).as("__in"))
       toks.join(broadcast(vocab), Seq("w"), "left")
         .groupBy(col("doc_id"))
@@ -411,9 +414,10 @@ object TrainPrep {
           .join(broadcast(mk), Seq("lang"))
           .select(col("doc_id"), col("lang"), col("w")))
       val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val vocab = GlobalOrder.withRowNumberLong(
-          counts, Seq(col("c").desc, col("w")), "rn")
-        .filter(col("rn") <= 200).select(col("w"))
+      // top-k via TakeOrdered (r15) — the q_oov_rate note: a bounded
+      // 200-word vocabulary needs no two-pass global rank.
+      val vocab = counts.orderBy(col("c").desc, col("w")).limit(200)
+        .select(col("w"))
         .union(mk.select(col("w"))).distinct()
       val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       val total = docs.agg(count(lit(1)).as("ntot"))
