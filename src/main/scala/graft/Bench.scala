@@ -39,6 +39,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      .config(Tables.aqeMinPartitionConf._1, Tables.aqeMinPartitionConf._2)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -166,13 +167,15 @@ object Bench {
       if (args.isEmpty) "BENCH_METRICS.json" else "/tmp/bench_metrics.json")
     val metricsJson = {
       val qs = results.map { case (name, sec) =>
-        val a = listener.acc.getOrElse(name, Array.fill(5)(0L))
+        val a = listener.acc.getOrElse(name, Array.fill(7)(0L))
         val cc = ccStats.get(name).map { case (n, rounds, esc) =>
           s""" "cc_runs": $n, "cc_rounds": $rounds, "cc_escalated": $esc,"""
         }.getOrElse("")
         s""" "$name": {"shuffle_read_b": ${a(0)}, "shuffle_write_b": ${a(1)},""" +
           s""" "mem_spill_b": ${a(2)}, "disk_spill_b": ${a(3)},$cc""" +
-          s""" "tasks": ${a(4)}, "sec": ${"%.3f".formatLocal(java.util.Locale.ROOT, sec)}}"""
+          s""" "tasks": ${a(4)}, "cpu_ms": ${a(5) / 1000000L},""" +
+          s""" "run_ms": ${a(6)},""" +
+          s""" "sec": ${"%.3f".formatLocal(java.util.Locale.ROOT, sec)}}"""
       }.mkString(",\n")
       s"""{\n"sf": "$sfDir",\n"queries": {\n$qs\n}\n}\n"""
     }

@@ -30,7 +30,12 @@ object BenchMetrics {
   val GroupPrefix = "graft-bench:"
 
   /** acc slot layout: shuffle_read_b, shuffle_write_b, mem_spill_b,
-    * disk_spill_b, tasks. */
+    * disk_spill_b, tasks, executor_cpu_ns, executor_run_ms (r16: CPU
+    * time is the wall-noise-immune WORK signal this box needs — wall
+    * seconds swing ±2× with background load while summed task CPU
+    * moves only with the plan and the data; run_ms additionally
+    * carries scheduler/GC/fetch-wait time, so run_ms ≫ cpu_ms flags
+    * contention rather than computation). */
   class MetricsListener extends org.apache.spark.scheduler.SparkListener {
     @volatile var lastEventNs: Long = System.nanoTime()
     private val stageQuery = scala.collection.concurrent.TrieMap[Int, String]()
@@ -49,13 +54,15 @@ object BenchMetrics {
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       lastEventNs = System.nanoTime()
       for (q <- stageQuery.get(te.stageId); if te.taskMetrics != null) {
-        val a = acc.getOrElseUpdate(q, Array.fill(5)(0L))
+        val a = acc.getOrElseUpdate(q, Array.fill(7)(0L))
         a.synchronized {
           a(0) += te.taskMetrics.shuffleReadMetrics.totalBytesRead
           a(1) += te.taskMetrics.shuffleWriteMetrics.bytesWritten
           a(2) += te.taskMetrics.memoryBytesSpilled
           a(3) += te.taskMetrics.diskBytesSpilled
           a(4) += 1
+          a(5) += te.taskMetrics.executorCpuTime
+          a(6) += te.taskMetrics.executorRunTime
         }
       }
     }

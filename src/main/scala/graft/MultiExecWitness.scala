@@ -56,6 +56,7 @@ object MultiExecWitness {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      .config(Tables.aqeMinPartitionConf._1, Tables.aqeMinPartitionConf._2)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config(graft.operators.Pin.FLAG, "true")

@@ -15,6 +15,7 @@ object ProfileMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      .config(Tables.aqeMinPartitionConf._1, Tables.aqeMinPartitionConf._2)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

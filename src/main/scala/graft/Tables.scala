@@ -23,6 +23,26 @@ object Tables {
     * treats nanos columns, masking schema problems). */
   val nanosConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** AQE partition-coalescing floor (r16). AQE's coalescing targets
+    * `max(min(advisorySize, totalBytes / defaultParallelism),
+    * minPartitionSize)`; the stock `minPartitionSize = 1m` means any
+    * shuffle under ~`1 MB × cores` collapses BELOW the cluster's
+    * parallelism — measured on this build: a 6 MB
+    * `repartitionByRange(col)` on `local[32]` lands on 4 partitions,
+    * serializing every downstream sort/window on 4 of 32 cores (the
+    * r15 32-core outliers: q_chain_recall 14.6→35 s in the driver run,
+    * faster at 8 cores than 32). Lowering the floor to 16k lets the
+    * parallelism-first target (`totalBytes / defaultParallelism`) win
+    * at every deployment: partitions keep tracking data size at scale
+    * (the advisory size still caps them) and only the
+    * tiny-shuffle-on-a-big-cluster corner changes — from "a few fat
+    * partitions + idle cores" to "defaultParallelism small ones".
+    * Scale-parameterised by defaultParallelism, not tuned to
+    * local[32]. */
+  val aqeMinPartitionConf: (String, String) =
+    ("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "16k"))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
     else spark.read.parquet(s"$sfDir/$name.parquet")

@@ -74,15 +74,23 @@ object GlobalOrder {
     // parts <= 0 (every production caller): no explicit partition
     // count, so the range exchange enters AQE as REPARTITION_BY_COL
     // and its partition count is sized at runtime from the measured
-    // shuffle bytes (coalesced small, parallelism-first) instead of a
-    // fixed spark.sql.shuffle.partitions constant — scale-adaptive in
-    // both directions (r15, guide §2: derive partitioning from input
-    // size, not a constant tuned for one deployment). Correctness is
-    // partitioning-agnostic by construction: the offset composition is
-    // exact on ANY partition count, and AQE coalescing merges only
-    // ADJACENT range partitions, preserving the between-partition
-    // order the PID prefix composition needs. An explicit `parts`
-    // pins the count exactly as before (spec probes).
+    // shuffle bytes instead of a fixed spark.sql.shuffle.partitions
+    // constant (r15, guide §2: derive partitioning from input size).
+    // CEILING (r16 honesty fix): AQE only COALESCES below
+    // spark.sql.shuffle.partitions — it never grows above it, so at
+    // deployment that conf (or spark.sql.adaptive.coalescePartitions.
+    // initialPartitionNum) remains the upper bound for every ranked
+    // exchange and must be sized for the cluster (README deploy
+    // notes). FLOOR (r16): coalescing is kept parallelism-first down
+    // to tiny shuffles via Tables.aqeMinPartitionConf — the stock 1 MB
+    // minPartitionSize collapsed small range shuffles to a handful of
+    // partitions, serializing the downstream local sort/window on a
+    // few of local[32]'s cores (the r15 driver's 32-core outliers).
+    // Correctness is partitioning-agnostic by construction: the offset
+    // composition is exact on ANY partition count, and AQE coalescing
+    // merges only ADJACENT range partitions, preserving the
+    // between-partition order the PID prefix composition needs. An
+    // explicit `parts` pins the count exactly as before (spec probes).
     val ordered =
       if (parts > 0) df.repartitionByRange(parts, order: _*)
       else df.repartitionByRange(order: _*)

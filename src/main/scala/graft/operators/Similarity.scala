@@ -476,19 +476,26 @@ object Similarity {
              dim: Int = 64, k: Int = 4, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pts = lloydPoints(df, idCol, embCol, dim)
-    var cents = lloydSeeds(pts, k)
+    var cents = collectCents(lloydSeeds(pts, k))
+    require(cents.nonEmpty, "kmeans: empty points frame — df has no rows")
     var a: DataFrame = null
     for (_ <- 0 until iters) {
       // a is NOT pinned: each round's assignment has one consumer
-      // (update), and the pinned centroids already sever the lineage
-      // chain — materializing the |pts|-row frame every round bought
-      // nothing but the pin job. lloydResult recomputes the final
-      // assignment once from the persisted pts (bit-identical: min_by
-      // over the (dist, cent) total order).
-      a = lloydAssign(pts, cents, k)
-      cents = lloydUpdate(a).pinned
+      // (update), and the driver-resident centroids already sever the
+      // lineage chain — materializing the |pts|-row frame every round
+      // bought nothing but the pin job. lloydResult recomputes the
+      // final assignment once from the persisted pts (bit-identical:
+      // the same (dist, cent) total-order argmin).
+      a = lloydAssign(pts, cents)
+      // ONE job per iteration (r16): the k×dim update collects to the
+      // driver (k rows — metadata-sized at any corpus scale) instead
+      // of pinning to executor blocks; the next assignment inlines the
+      // centroids as literals, so the per-iteration pin job AND the
+      // per-iteration broadcast-build job both disappear. Collected
+      // doubles round-trip through literals bit-exactly.
+      cents = collectCents(lloydUpdate(a))
     }
-    val res = lloydResult(a, cents, dim)
+    val res = lloydResult(a, centsFrame(df.sparkSession, cents), dim)
     pts.unpersist(false)
     res
   }
@@ -509,12 +516,12 @@ object Similarity {
     * vanished centroid contributes nothing to either gate sum — the
     * movement join is on surviving centroid ids.
     *
-    * Executor-loss behavior matches [[Graphs.pageRankConverged]]: every
-    * iterate is pinned, so in default mode a lost executor recomputes
-    * only the last iterate from its pin, and with
-    * `spark.graft.reliableCheckpoint=true` each iterate is durably
-    * materialized — either way the gate replays over identical bits,
-    * never a silently re-randomized trajectory.
+    * Executor-loss behavior (r16): each iterate's centroids are
+    * COLLECTED to the driver (k × dim doubles — metadata-sized), so no
+    * executor holds loop state at all; a lost executor re-runs at most
+    * the in-flight update job from the persisted points. The gate
+    * replays over identical bits either way — never a silently
+    * re-randomized trajectory.
     *
     * @return (result frame as [[kmeans]] — (cent, n, c_sum), iterations
     *         actually run; `maxIters` when the gate never fired). */
@@ -523,35 +530,48 @@ object Similarity {
                       maxIters: Int): (DataFrame, Int) = {
     require(epsMilli > 0 && maxIters >= 1, s"bad gate ($epsMilli, $maxIters)")
     val pts = lloydPoints(df, idCol, embCol, dim)
-    var cents = lloydSeeds(pts, k)
+    var cents = collectCents(lloydSeeds(pts, k))
+    require(cents.nonEmpty,
+      "kmeansConverged: empty points frame — df has no rows")
     var a: DataFrame = null
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
       // unpinned for the same reason as in [[kmeans]]'s loop
-      a = lloydAssign(pts, cents, k)
-      val next = lloydUpdate(a).pinned
-      val nw = next.select(col("cent"), posexplode(col("ce")))
-        .select(col("cent"), col("pos"), col("col").as("cn"))
-      val od = cents.select(col("cent"), posexplode(col("ce")))
-        .select(col("cent"), col("pos"), col("col").as("co"))
-      val row = nw.join(od, Seq("cent", "pos"))
-        .agg(
-          sum(floor(abs(col("cn") - col("co")) * lit(1e3) + lit(0.5))
-            .cast("long")).as("l1"),
-          sum(floor(abs(col("cn")) * lit(1e3) + lit(0.5))
-            .cast("long")).as("mass"))
-        .head
-      // An empty points frame leaves the gate join with zero rows, so
-      // the sums aggregate to NULL — name the cause instead of NPE-ing.
-      require(!row.isNullAt(0) && !row.isNullAt(1),
+      a = lloydAssign(pts, cents)
+      // ONE job per iteration (r16): the update's k rows collect to
+      // the driver and the gate runs in driver arithmetic — the old
+      // shape paid a pin job for `next` PLUS a gate job (explode +
+      // join over two pinned k-row frames) every round. The gate math
+      // is the identical op sequence on the identical doubles
+      // (java.lang.Math.floor/abs are exactly Spark's FLOOR/ABS on
+      // DOUBLE; the quantized terms are nonnegative longs, so the sums
+      // are order-free integer adds), and the integer
+      // cross-multiplication compare is unchanged — the stopping
+      // decision stays bit-deterministic.
+      val next = collectCents(lloydUpdate(a))
+      // An empty points frame leaves the update with zero rows — name
+      // the cause instead of gating on an empty sum.
+      require(next.nonEmpty,
         "kmeansConverged: empty points frame — df has no rows")
+      // movement joins on surviving centroid ids (next ⊆ old by
+      // construction: assignments only pick from the old list)
+      val old = cents.toMap
+      var l1 = 0L
+      var mass = 0L
+      for {
+        (ct, cn) <- next
+        co <- old.get(ct).toSeq
+        i <- cn.indices
+      } {
+        l1 += math.floor(math.abs(cn(i) - co(i)) * 1e3 + 0.5).toLong
+        mass += math.floor(math.abs(cn(i)) * 1e3 + 0.5).toLong
+      }
       cents = next
       it += 1
-      converged =
-        BigInt(row.getLong(0)) * 1000 < BigInt(epsMilli) * BigInt(row.getLong(1))
+      converged = BigInt(l1) * 1000 < BigInt(epsMilli) * BigInt(mass)
     }
-    val res = lloydResult(a, cents, dim)
+    val res = lloydResult(a, centsFrame(df.sparkSession, cents), dim)
     pts.unpersist(false)
     (res, it)
   }
@@ -577,40 +597,67 @@ object Similarity {
     pts.orderBy(col("id")).limit(k)
       .select(col("id").cast("int").as("cent"), col("e").as("ce"))
 
-  /** Per-row argmin assignment (r15): the ≤k centroids fold into ONE
-    * broadcast row carrying a cent-ASCENDING struct array (cent, ce,
-    * ‖c‖²), and each point's nearest centroid is a pure projection —
-    * k distance expressions + a least()/when-chain pick. The previous
-    * spelling crossJoined k centroid rows into every point and ran a
-    * min_by hash aggregate on id, which re-shuffled the whole
-    * (id, cent, e) point table EVERY iteration; this shuffles nothing
-    * (the iteration's only exchange left is lloydUpdate's k×dim
-    * partial agg). Bit-equivalence with min_by over the
-    * (dist, cent) total order: the dist expression is the identical
-    * op sequence (xx − 2·x·c + ‖c‖², same graft_dot fold), least()
-    * over identical doubles picks the identical minimum, the
-    * when-chain scans cent-ascending so distance ties resolve to the
-    * smallest cent exactly as the struct order did, and a vanished
-    * (empty-cluster) centroid is simply absent: element_at past the
-    * runtime array length is null, null dists are skipped by least()
-    * and never equal the minimum. */
-  private def lloydAssign(pts: DataFrame, c: DataFrame, k: Int): DataFrame = {
-    val cRow = c.agg(sort_array(collect_list(struct(col("cent"),
-      col("ce"), dotp(col("ce"), col("ce")).as("cc")))).as("cl"))
-    val withC = pts.crossJoin(broadcast(cRow))
-    val dists = (1 to k).map { i =>
-      val e = element_at(col("cl"), i)
-      (e.getField("cent"),
-        col("xx") - lit(2.0) * dotp(col("e"), e.getField("ce"))
-          + e.getField("cc"))
+  /** Collect a (cent, ce) frame to the driver, cent-ascending. k rows ×
+    * dim doubles — metadata-sized at any corpus scale; the doubles are
+    * the exact bits the executors computed. */
+  private def collectCents(c: DataFrame): Seq[(Int, Seq[Double])] =
+    c.select(col("cent"), col("ce")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+
+  /** Driver centroids back as a LocalRelation frame (for
+    * [[lloydResult]]'s unchanged join/rounding expressions). */
+  private def centsFrame(spark: org.apache.spark.sql.SparkSession,
+                         cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("cent", IntegerType, nullable = false),
+      StructField("ce", ArrayType(DoubleType, containsNull = false))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(cents.map { case (ct, ce) =>
+        org.apache.spark.sql.Row(ct, ce) }: _*), schema)
+  }
+
+  /** Per-row argmin assignment (r15; r16 literal centroids): the ≤k
+    * driver-resident centroids inline as LITERALS — (cent, ce, ‖c‖²)
+    * per surviving centroid, cent-ascending — so assignment is a pure
+    * projection: k distance expressions + a least()/when-chain pick,
+    * no broadcast build, no job, nothing shuffled (the iteration's
+    * only exchange left is lloydUpdate's k×dim partial agg; r15's
+    * broadcast 1-row struct-array frame still paid a per-iteration
+    * broadcast-exchange job to fold the centroid frame). ‖c‖² is dotp
+    * over the literal array — constant-folded by Catalyst through the
+    * SAME DotProduct eval the r15 aggregate ran, so the value is
+    * bit-identical. Bit-equivalence with min_by over the (dist, cent)
+    * total order: the dist expression is the identical op sequence
+    * (xx − 2·x·c + ‖c‖², same graft_dot fold), least() over identical
+    * doubles picks the identical minimum, the when-chain scans
+    * cent-ascending so distance ties resolve to the smallest cent
+    * exactly as the struct order did, and a vanished (empty-cluster)
+    * centroid is simply absent from the literal list — it contributes
+    * no dist expression and can never win. This also retires the r15
+    * element_at(cl, i)-past-array-end spelling, which under Spark 4's
+    * default ANSI mode THROWS once a cluster empties rather than
+    * yielding the null its comment promised (ADVICE r15), and the
+    * least()-of-one analysis error for single-centroid fits (least
+    * requires ≥ 2 args) — the lone distance is taken directly. */
+  private def lloydAssign(pts: DataFrame,
+                          cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "lloydAssign: no centroids")
+    val dists = cents.map { case (ct, ce) =>
+      val ceArr = array(ce.map(lit): _*)
+      (lit(ct),
+        col("xx") - lit(2.0) * dotp(col("e"), ceArr) + dotp(ceArr, ceArr))
     }
-    val best = least(dists.map(_._2): _*)
     // first (cent-ascending) centroid whose dist equals the minimum —
-    // unmatched whens yield null, coalesce picks the first match
-    val cent = coalesce(dists.map { case (c0, d) =>
-      when(d === best, c0)
-    }: _*)
-    withC.select(col("id"), cent.as("cent"), col("e"))
+    // unmatched whens yield null, coalesce picks the first match; a
+    // single surviving centroid needs no pick at all
+    val cent =
+      if (dists.size == 1) dists.head._1
+      else {
+        val best = least(dists.map(_._2): _*)
+        coalesce(dists.map { case (c0, d) => when(d === best, c0) }: _*)
+      }
+    pts.select(col("id"), cent.as("cent"), col("e"))
   }
 
   private def lloydUpdate(a: DataFrame): DataFrame =

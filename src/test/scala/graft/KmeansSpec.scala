@@ -82,6 +82,41 @@ class KmeansSpec extends SparkSpecBase {
     assert(e.getMessage.contains("empty points frame"), e.getMessage)
   }
 
+  test("clusters that empty mid-run survive (ANSI element_at regression) " +
+    "and k = 1 fits work (least-of-one regression)") {
+    val dim = 4
+    // ids 0,1,2 share identical coordinates, so round 1 assigns EVERY
+    // point to cent 0 (distance ties resolve to the smallest cent) and
+    // clusters 1 and 2 vanish in the update; round 2 then runs with a
+    // single surviving centroid. Under Spark 4's default ANSI mode the
+    // r15 spelling threw (element_at past the collected array's end,
+    // then least() with one argument) — scaladoc'd as supported.
+    val rows = (0 until 12).map { j =>
+      val v = if (j < 3) 1.0f else 3.0f
+      Row(j.toLong, (0 until dim).map(_ => v))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val got = Similarity.kmeans(df, "vec_id", "embedding",
+        dim = dim, k = 3, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // single survivor: all 12 points, centroid mean 2.5 per dim
+    assert(got.toSeq == Seq((0, 12L, 10.0)), got.mkString(","))
+    // the converged variant rides the same vanish without crashing and
+    // stops once movement hits zero
+    val (cr, ci) = Similarity.kmeansConverged(df, "vec_id", "embedding",
+      dim = dim, k = 3, epsMilli = 1L, maxIters = 5)
+    assert(ci <= 3 && cr.collect().map(_.getLong(1)).sum == 12L)
+    // an explicit k = 1 fit — the old least() spelling failed analysis
+    val one = Similarity.kmeans(df, "vec_id", "embedding",
+        dim = dim, k = 1, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(one.toSeq == Seq((0, 12L, 10.0)), one.mkString(","))
+  }
+
   test("result is invariant to input partitioning") {
     val dim = 4
     val rows = (0 until 40).map(j =>

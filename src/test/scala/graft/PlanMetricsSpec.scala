@@ -49,7 +49,7 @@ class PlanMetricsSpec extends SparkSpecBase {
       }
       listener.quiesce()
       val current = family.map { name =>
-        val a = listener.acc.getOrElse(name, Array.fill(5)(0L))
+        val a = listener.acc.getOrElse(name, Array.fill(7)(0L))
         name -> (a(0), a(1), a(4)) // read bytes, write bytes, tasks
       }.toMap
 
