@@ -31,17 +31,22 @@ object Tables {
     * `repartitionByRange(col)` on `local[32]` lands on 4 partitions,
     * serializing every downstream sort/window on 4 of 32 cores (the
     * r15 32-core outliers: q_chain_recall 14.6→35 s in the driver run,
-    * faster at 8 cores than 32). Lowering the floor to 16k lets the
+    * faster at 8 cores than 32). Lowering the floor lets the
     * parallelism-first target (`totalBytes / defaultParallelism`) win
     * at every deployment: partitions keep tracking data size at scale
     * (the advisory size still caps them) and only the
     * tiny-shuffle-on-a-big-cluster corner changes — from "a few fat
     * partitions + idle cores" to "defaultParallelism small ones".
     * Scale-parameterised by defaultParallelism, not tuned to
-    * local[32]. */
+    * local[32]. 64k, not smaller: the A/B at sf0.1/local[32] read
+    * 64k vs 16k as q_chain_recall 12.1 s / 111 s summed-task-CPU /
+    * 1104 tasks vs 18.6 s / 144 s / 1318 — MB-scale exchanges (the
+    * pathological case) already hit full parallelism at 64k, while a
+    * sub-64k floor only shatters trivial shuffles into per-task
+    * overhead. */
   val aqeMinPartitionConf: (String, String) =
     ("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "16k"))
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))

@@ -717,7 +717,17 @@ object Dedup {
     * shuffle); batch-side shingling is |batch|-sized; verification is
     * candidate-bounded. A 100 TB corpus ingesting a daily batch pays
     * |batch| text work + |corpus| SIGNATURE-row rank work, never
-    * |corpus| text work. */
+    * |corpus| text work.
+    *
+    * CONTRACT: batch and corpus ids must be DISJOINT — the natural
+    * ingest invariant (a re-crawled doc gets a new id; the exact-digest
+    * [[incremental]] stage upstream already keys first-occurrence on
+    * id). An id on both sides would contribute two rows to the fused
+    * set union and verifyJaccardSets' per-endpoint joins would multiply
+    * that pair's output rows (ADVICE r15); enforcing it here would cost
+    * an extra |corpus|-row pass per ingest, so it stays a documented
+    * precondition like the unique-order-key contract in
+    * [[GlobalOrder]]. */
   def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
                          corpusSigs: DataFrame, idCol: String,
                          textCol: String, passes: Int = -1,
@@ -1187,10 +1197,19 @@ object Dedup {
     * near-dup group rather than dropping both ends of each pair.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // edges pin BEHIND an explicit hash repartition on `src` (r16, the
+    // PageRank edge trick — fixed count so AQE cannot re-coalesce it):
+    // every round's message join then finds the |E|-sized side already
+    // partitioned on the join key and re-shuffles only the |V|-sized
+    // label frame — the edge list crosses the wire once per QUERY, not
+    // once per round (guide §2.4: two operations keyed the same way
+    // share one exchange).
+    val nParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
+      .repartition(nParts, col("src"))
       .pinned // consumed every round; sever the LSH plan
     var lab = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
@@ -1228,48 +1247,71 @@ object Dedup {
     * EVEN on a path/chain graph — where [[connectedComponents]]' label
     * propagation needs O(diameter) rounds. Same (id, cluster) contract.
     *
-    * Per round: two groupBy-min aggregations + two equi-joins on vertex
-    * id over the CURRENT edge set — no per-node neighbor lists are ever
-    * collected (the degenerate high-degree node that breaks the naive
-    * MR formulation is just a big group in a hash aggregate here).
+    * Per round (r16 restructure — same contraction sequence, ~half the
+    * exchanges): the edge set is kept NORMALIZED (u < v, distinct) and
+    * hash-partitioned on `u` between rounds, which buys three
+    * exchange eliminations at once. (a) The neighborhood minimum
+    * m(x) = min(Γ(x) ∪ {x}) needs only x's SMALLER neighbors — larger
+    * ones can never be the min — so it is one groupBy over e's v-side
+    * (half the old dir()-union's input) instead of over the doubled
+    * edge list. (b) The large-star join on u finds e already
+    * partitioned (the pinned frame carries its HashPartitioning), so
+    * only the vertex-sized min frame moves. (c) The round's final
+    * dedup rides the SAME exchange that restores the u-partitioning
+    * invariant (HashPartitioning(u) satisfies the (u, v) aggregate's
+    * clustering), and the intermediate large-star output skips its
+    * old full distinct outright — min aggregates and the final dedup
+    * absorb duplicate edges unchanged. No per-node neighbor lists are
+    * ever collected (the degenerate high-degree node that breaks the
+    * naive MR formulation is just a big group in a hash aggregate).
     * Edge count never grows (each directed edge maps to one rewired
     * edge, minus self-loops), so every round's shuffle is bounded by
     * the LSH pair count. localCheckpoint per round severs the
     * exponential plan; convergence = the rewired edge set equals the
-    * previous one (two anti-join counts over checkpointed blocks).
+    * previous one (one signed-membership job over checkpointed
+    * blocks).
     *
     * Large-star from each edge's SMALLER endpoint u: (v, min Γ(u)∪{u})
     * for v > u; small-star from the LARGER endpoint u: each smaller
     * neighbor and u itself connect to min Γ≤(u). */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    def norm(e: DataFrame): DataFrame = e
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    def dir(e: DataFrame): DataFrame =
-      e.union(e.select(col("v").as("u"), col("u").as("v")))
-    var e = norm(pairs.select(col("id_a").cast("long").as("u"),
-        col("id_b").cast("long").as("v")))
+    // normalized distinct edge set, re-keyed on u and pinned — the
+    // between-round invariant everything above relies on
+    def dedupOnU(e: DataFrame): DataFrame = e
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
       .pinned
+    var e = dedupOnU(pairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")))
     var stable = e.isEmpty
     var round = 0
     while (!stable && round < maxIter) {
       // large-star: every larger neighbor v of u rewires to the
-      // neighborhood minimum m(u) = min(Γ(u) ∪ {u})
-      val d = dir(e)
-      val mins = d.groupBy(col("u")).agg(min(col("v")).as("__mn"))
-        .select(col("u"), least(col("u"), col("__mn")).as("m"))
-      val ls = norm(d.filter(col("v") > col("u"))
-        .join(mins, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v")))
-      // small-star: every smaller neighbor of u (and u itself) rewires
-      // to the minimum among the smaller neighbors
-      val sm = dir(ls).filter(col("v") < col("u"))
-      val mins2 = sm.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = norm(
-          sm.join(mins2, Seq("u")).select(col("v").as("u"), col("m").as("v"))
-            .union(mins2.select(col("u"), col("m").as("v"))))
-        .pinned
+      // neighborhood minimum m(u) = least(u, min of u's smaller
+      // neighbors) — vertices with no smaller neighbor (absent from
+      // the v-side groups) fall back to themselves via the left join
+      // (least() skips the null). m(u) ≤ u < v, so the output is
+      // normalized by construction: no self-loops, no reorder needed.
+      val mins = e.groupBy(col("v")).agg(min(col("u")).as("__mn"))
+        .select(col("v").as("u"), col("__mn"))
+      val ls = e.join(mins, Seq("u"), "left")
+        .select(least(col("u"), col("__mn")).as("u"), col("v"))
+      // small-star keyed on the larger endpoint: ONE explicit
+      // repartition feeds both the min aggregate and the rewire join
+      // (reused exchange), emitting (m(v), u) per edge — normalized
+      // since m(v) ≤ u, self-loops filtered — plus each center's own
+      // (m(v), v) edge from the min frame.
+      val lsP = ls.repartition(col("v"))
+      val mins2 = lsP.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val next = dedupOnU(
+        lsP.join(mins2, Seq("v"))
+          .select(col("m").as("u"), col("u").as("v"))
+          .filter(col("u") =!= col("v"))
+          .union(mins2.select(col("m").as("u"), col("v"))))
       // Set equality in ONE job (r15): both frames are distinct
       // normalized edge sets, so next == e ⟺ no (u, v) key whose +1/−1
       // membership sum is nonzero. The previous two exceptAll().isEmpty
